@@ -1,0 +1,189 @@
+"""The Validator engine: one-pass multi-rule evaluation.
+
+Execution model (SURVEY.md §4.3 item 3 — the engine's own operator fusion):
+ALL row-level checks are packed into a single projection over one scan.
+Catalyst then gets a flat boolean expression tree per rule — whole-stage
+codegen evaluates every keyword for a row in one pass over the row, and the
+`bytes` column is never read unless an image check references it (column
+pruning is preserved because predicates only reference their own columns).
+
+Three consumers, three physical shapes:
+- ``verdicts``  — ONE aggregate pass: ``sum(fail_i)`` per rule inside a
+  single ``groupBy(partition)`` — partial aggregation map-side, shuffle is
+  O(partitions × 1 row), then a tiny unpivot. No explode, no string
+  materialization.
+- ``violations`` — explode of the packed check array, pre-filtered to
+  failures; message/value strings are computed ONLY for failing rows (the
+  ``when(ok, null)`` guard in Check.as_struct).
+- ``annotate``  — the input plus a ``_valid`` boolean and the packed array,
+  for pipelines that quarantine bad rows inline.
+
+Reference lifecycle being re-expressed: validator.ValidateJSON →
+validateCompiledSchema (/root/reference/validator/validator.go:289-549), with
+ValidationResult{Valid, Errors} (:557-560) becoming DataFrames.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jsonschema_validator_spark.errors import VIOLATION_FIELDS
+from jsonschema_validator_spark.spec import CompiledSpec, Spec, ValidationMode
+
+CHECKS_COL = "_checks"
+VALID_COL = "_valid"
+
+
+class Validator:
+    """Compiles a Spec against a DataFrame and evaluates it.
+
+    Analogue of validator.New + Validate* (/root/reference/validator/
+    validator.go:40-57, 289-316), with options mirroring options.go:
+    ``stop_on_first_error`` (options.go:71-75) limits violation output to the
+    first failing check per row.
+    """
+
+    def __init__(
+        self,
+        spec: Union[Spec, dict, str],
+        mode: Union[str, ValidationMode] = "strict",
+        stop_on_first_error: bool = False,
+    ):
+        self.spec = spec if isinstance(spec, Spec) else Spec(spec, mode=mode)
+        self.stop_on_first_error = stop_on_first_error
+
+    def compile(self, df: DataFrame) -> CompiledSpec:
+        return self.spec.compile(df.schema)
+
+    def validate(self, df: DataFrame) -> "ValidationResult":
+        compiled = self.compile(df)
+        return ValidationResult(df, compiled, stop_on_first_error=self.stop_on_first_error)
+
+
+class ValidationResult:
+    """Lazy handle over the validated DataFrame (nothing executes until an
+    action — the three views share the one compiled plan)."""
+
+    def __init__(self, df: DataFrame, compiled: CompiledSpec, stop_on_first_error: bool = False):
+        self.df = df
+        self.compiled = compiled
+        self.stop_on_first_error = stop_on_first_error
+
+    # ---- row-level views -------------------------------------------------
+
+    def row_valid(self) -> Column:
+        pred = F.lit(True)
+        for c in self.compiled.checks:
+            pred = pred & c.predicate
+        return pred
+
+    def annotate(self, with_checks: bool = False) -> DataFrame:
+        out = self.df.withColumn(VALID_COL, self.row_valid())
+        if with_checks:
+            out = out.withColumn(CHECKS_COL, self._checks_array())
+        return out
+
+    def valid_rows(self) -> DataFrame:
+        return self.df.filter(self.row_valid())
+
+    def invalid_rows(self) -> DataFrame:
+        return self.df.filter(~self.row_valid())
+
+    def _checks_array(self) -> Column:
+        return F.array(*[c.as_struct() for c in self.compiled.checks])
+
+    # ---- violations ------------------------------------------------------
+
+    def violations(self, include: Optional[Sequence[str]] = None) -> DataFrame:
+        """Violation rows ``(path, message, value, tag, param)`` — the
+        reference's ValidationError shape (errors/errors.go:24-39) — plus
+        any passthrough key columns requested via ``include``.
+
+        With ``stop_on_first_error`` only the FIRST failing check per row is
+        emitted (options.go:71-75 short-circuit semantics); check order is
+        spec order, with ``required`` first (validator.go:327-353).
+        """
+        include = list(include or [])
+        checks = self._checks_array()
+        failed = F.filter(checks, lambda c: ~c["ok"])
+        if self.stop_on_first_error:
+            failed = F.slice(failed, 1, 1)
+        src = self.df.select(*include, F.explode(failed).alias("_v"))
+        cols = [F.col(f"_v.{f}").alias(f) for f in VIOLATION_FIELDS]
+        return src.select(*include, *cols)
+
+    # ---- verdicts ----------------------------------------------------------
+
+    def verdicts(
+        self,
+        partition_by: Optional[Union[str, Sequence[str]]] = None,
+        use_spark_partition_id: bool = False,
+    ) -> DataFrame:
+        """Per-partition, per-rule pass/fail verdicts.
+
+        Output: ``[partition cols…,] rule_id, tag, n_checked, n_failed,
+        pass``. One aggregation pass: each rule contributes a single
+        ``sum(cast(!pred as long))`` — map-side partial agg, then a driver-
+        free unpivot of the R sums into long form via a literal map.
+        """
+        if isinstance(partition_by, str):
+            partition_by = [partition_by]
+        group_cols = [F.col(c) for c in (partition_by or [])]
+        df = self.df
+        if use_spark_partition_id:
+            df = df.withColumn("_pid", F.spark_partition_id())
+            group_cols.append(F.col("_pid"))
+
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for i, c in enumerate(self.compiled.checks):
+            aggs.append(F.sum((~c.predicate).cast("long")).alias(f"_f{i}"))
+        agged = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+
+        # unpivot the per-rule sums: map(rule_idx -> fails) → explode
+        entries = []
+        for i, _ in enumerate(self.compiled.checks):
+            entries.append(F.lit(i))
+            entries.append(F.col(f"_f{i}"))
+        m = F.create_map(*entries)
+        base_cols = [c for c in (partition_by or [])] + (
+            ["_pid"] if use_spark_partition_id else []
+        )
+        exploded = agged.select(
+            *base_cols, F.col("_n"), F.explode(m).alias("_idx", "n_failed")
+        )
+        meta = [(i, c.rule_id, c.tag) for i, c in enumerate(self.compiled.checks)]
+        spark = self.df.sparkSession
+        meta_df = spark.createDataFrame(meta, ["_idx", "rule_id", "tag"])
+        warn = self.compiled.spec.mode == ValidationMode.WARN
+        out = (
+            exploded.join(F.broadcast(meta_df), "_idx")
+            .withColumn("n_checked", F.col("_n"))
+            .withColumn(
+                "pass",
+                F.lit(True) if warn else (F.col("n_failed") == 0),
+            )
+            .select(*base_cols, "rule_id", "tag", "n_checked", "n_failed", "pass")
+        )
+        if use_spark_partition_id:
+            out = out.withColumnRenamed("_pid", "partition_id")
+        return out
+
+    # ---- scalar summary (driver-side; small) -------------------------------
+
+    def summary(self) -> dict:
+        """Table-level ValidationResult{Valid, error count} analogue."""
+        row = (
+            self.df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((~self.row_valid()).cast("long")).alias("bad"),
+            )
+        ).collect()[0]
+        return {
+            "valid": row["bad"] == 0,
+            "n_rows": row["n"],
+            "n_invalid_rows": row["bad"],
+            "n_rules": len(self.compiled.checks),
+        }

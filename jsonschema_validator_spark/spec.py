@@ -1,0 +1,155 @@
+"""Declarative validation spec: parse + compile.
+
+Analogue of ``schema.Parse`` + ``Schema.Compile``
+(/root/reference/schema/schema.go:36-297): the spec is validated ONCE at
+compile time (keyword value types, regex compilation, ``$ref`` rejection,
+unknown-keyword rejection in strict mode), producing a tree of vectorized
+Column predicates instead of a CompiledSchema interpreter tree.
+
+Spec shape — the root describes the ROW OBJECT, exactly like a JSON-Schema
+``object`` schema where properties are table columns::
+
+    Spec({
+        "type": "object",
+        "required": ["image_id", "w"],
+        "properties": {
+            "w": {"type": "integer", "minimum": 1, "maximum": 16384},
+            "fmt": {"enum": ["png", "jpeg", "webp"]},
+            "caption": {"type": "string", "minLength": 1, "maxLength": 200},
+        },
+    }, mode="strict")
+
+``columns`` is accepted as an alias for ``properties``.
+"""
+
+from __future__ import annotations
+
+import json
+from enum import Enum
+from typing import Optional, Union
+
+from pyspark.sql.types import StructType
+
+from jsonschema_validator_spark.rules.base import Check, CompileContext, SpecError
+from jsonschema_validator_spark.rules.objects import RootAccessor, compile_object_spec
+from jsonschema_validator_spark.rules.subschema import ANNOTATION_KEYWORDS
+from jsonschema_validator_spark.rules import base as rules_base
+
+
+class ValidationMode(str, Enum):
+    """schema/schema.go:10-16. ModeWarn is declared but has no behavioral
+    branch in the reference (SURVEY.md §1.3); here it compiles like strict
+    but verdicts are marked non-fatal."""
+
+    STRICT = "strict"
+    LOOSE = "loose"
+    WARN = "warn"
+
+
+_ROOT_ONLY = {"type", "required", "properties", "columns"}
+_OBJECT_KEYWORDS = {
+    "required",
+    "properties",
+    "minProperties",
+    "maxProperties",
+    "patternProperties",
+    "additionalProperties",
+    "dependencies",
+}
+
+
+class Spec:
+    """A parsed validation spec (analogue of schema.Schema)."""
+
+    def __init__(self, raw: Union[dict, str], mode: Union[str, ValidationMode] = "strict"):
+        if isinstance(raw, str):
+            raw = json.loads(raw)  # schema.Parse (schema.go:36-58)
+        if not isinstance(raw, dict):
+            raise SpecError("schema must be a JSON object")
+        self.raw = dict(raw)
+        if "columns" in self.raw:
+            props = dict(self.raw.pop("columns"))
+            props.update(self.raw.get("properties") or {})
+            self.raw["properties"] = props
+        self.mode = ValidationMode(mode if not isinstance(mode, ValidationMode) else mode.value)
+        self._validate_keywords(self.raw)
+
+    def _validate_keywords(self, spec: dict) -> None:
+        """Compile-time keyword screening (schema.go:276-293)."""
+        for key in spec:
+            if key == "$ref":
+                if self.mode == ValidationMode.STRICT:
+                    raise SpecError("unsupported keyword '$ref' in strict mode")
+                continue
+            if key in ANNOTATION_KEYWORDS or key == "mode":
+                continue
+            if key in _OBJECT_KEYWORDS or key == "type":
+                continue
+            if rules_base.REGISTRY.get(key) is None and self.mode == ValidationMode.STRICT:
+                raise SpecError(f"unknown keyword '{key}' in strict mode")
+        # recurse into sub-schemas (Schema.Compile compiles them eagerly,
+        # schema.go:136-261, so unknown keywords anywhere fail at compile)
+        props = spec.get("properties")
+        if isinstance(props, dict):
+            for sub in props.values():
+                if isinstance(sub, dict):
+                    self._validate_subschema(sub)
+
+    def _validate_subschema(self, sub: dict) -> None:
+        for key, value in sub.items():
+            if key == "$ref" and self.mode == ValidationMode.STRICT:
+                raise SpecError("unsupported keyword '$ref' in strict mode")
+            if key in ANNOTATION_KEYWORDS:
+                continue
+            if key in _OBJECT_KEYWORDS or key == "type":
+                if key == "properties" and isinstance(value, dict):
+                    for s in value.values():
+                        if isinstance(s, dict):
+                            self._validate_subschema(s)
+                continue
+            if rules_base.REGISTRY.get(key) is None and self.mode == ValidationMode.STRICT:
+                raise SpecError(f"unknown keyword '{key}' in strict mode")
+
+    def compile(self, schema: StructType) -> "CompiledSpec":
+        """Compile against a static table schema → list of Checks.
+
+        Mirrors Schema.Compile: all spec errors surface HERE, once, on the
+        driver — never per-row on executors.
+        """
+        ctx = CompileContext(mode=self.mode.value)
+        acc = RootAccessor(schema)
+        object_part = {k: v for k, v in self.raw.items() if k in _OBJECT_KEYWORDS}
+        checks = compile_object_spec(acc, object_part, "$", ctx)
+
+        # non-object root keywords (rare but legal — e.g. root-level allOf)
+        for key, value in self.raw.items():
+            if key in _OBJECT_KEYWORDS or key in ANNOTATION_KEYWORDS:
+                continue
+            if key in ("type", "mode", "$ref"):
+                continue
+            compiler = rules_base.REGISTRY.get(key)
+            if compiler is None:
+                continue
+            raise SpecError(
+                f"root-level keyword '{key}' requires a column context; "
+                "nest it under properties.<column>"
+            )
+        return CompiledSpec(self, checks)
+
+
+class CompiledSpec:
+    """Analogue of CompiledSchema (schema.go:29-33) — the physical rule plan."""
+
+    def __init__(self, spec: Spec, checks: list[Check]):
+        self.spec = spec
+        self.checks = checks
+
+    @property
+    def rule_ids(self) -> list[str]:
+        return [c.rule_id for c in self.checks]
+
+    def __len__(self) -> int:
+        return len(self.checks)
+
+
+__all__ = ["Spec", "CompiledSpec", "SpecError", "ValidationMode"]
