@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship validation query on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + north-rule
+table-level checks + training-pipeline operators).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every SQL-expressible query
+(tables region nation customer supplier part orders lineitem events documents
+embeddings are pre-registered views).
 """
 
 from __future__ import annotations
@@ -12,27 +13,552 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# validation specs used by the flagship queries
+# ---------------------------------------------------------------------------
+
+LINEITEM_SPEC = {
+    "required": ["l_orderkey", "l_partkey", "l_quantity"],
+    "properties": {
+        "l_quantity": {"type": "number", "minimum": 1, "maximum": 50},
+        "l_discount": {"minimum": 0, "maximum": 0.1},
+        "l_extendedprice": {"exclusiveMinimum": 0},
+        "l_tax": {"multipleOf": 0.01},
+        "l_returnflag": {"enum": ["A", "N", "R"]},
+        "l_linestatus": {"enum": ["O", "F"]},
+        "l_linenumber": {"type": "integer", "minimum": 1, "maximum": 7},
+    },
+}
+
+ORDERS_SPEC = {
+    "properties": {
+        "o_totalprice": {"maximum": 300000},
+        "o_orderpriority": {"enum": ["1-URGENT", "2-HIGH", "3-MEDIUM"]},
+    },
+}
+
+EVENTS_SPEC = {
+    "required": ["event_id", "ts", "user_id"],
+    "properties": {
+        "event_type": {"enum": ["click", "view", "purchase"]},
+        "value": {"type": "number", "minimum": 0, "maximum": 400},
+    },
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: validate lineitem at sf0.001 → per-rule verdicts."""
+    return q_validate_lineitem_verdicts(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_validate_lineitem_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_validator_spark import Validator
+
+    df = _t(spark, sf_dir, "lineitem")
+    return Validator(LINEITEM_SPEC).validate(df).verdicts()
+
+
+def q_validate_orders_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_validator_spark import Validator
+
+    df = _t(spark, sf_dir, "orders")
+    return Validator(ORDERS_SPEC).validate(df).violations(include=["o_orderkey"])
+
+
+def q_validate_events_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_validator_spark import Validator
+
+    df = _t(spark, sf_dir, "events")
+    return Validator(EVENTS_SPEC).validate(df).verdicts()
+
+
+def q_column_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_validator_spark.operators.stats import column_profile
+
+    df = _t(spark, sf_dir, "lineitem")
+    return column_profile(
+        df, ["l_quantity", "l_extendedprice", "l_discount"], approx_distinct=False
+    )
+
+
+def q_quantiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_validator_spark.operators.stats import numeric_quantiles
+
+    df = _t(spark, sf_dir, "lineitem")
+    q = numeric_quantiles(df, ["l_extendedprice"], (0.25, 0.5, 0.75), exact=True)
+    return q.select("column", "p", F.round("value", 6).alias("value"))
+
+
+def q_duplicate_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_validator_spark.operators.uniqueness import duplicate_keys
+
+    df = _t(spark, sf_dir, "lineitem")
+    return duplicate_keys(df, "l_orderkey", salted=False)
+
+
+def q_uniqueness_salted_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_validator_spark.operators.uniqueness import uniqueness_verdict
+
+    df = _t(spark, sf_dir, "lineitem")
+    return uniqueness_verdict(df, "l_orderkey", salted=True)
+
+
+def q_ref_orphans_nationkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_validator_spark.operators.referential import orphan_rows
+
+    customer = _t(spark, sf_dir, "customer")
+    region = _t(spark, sf_dir, "region")
+    return orphan_rows(
+        customer, region, [("c_nationkey", "r_regionkey")], broadcast=True
+    ).select("c_custkey", "c_nationkey")
+
+
+def q_ref_verdict_lineitem_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_validator_spark.operators.referential import referential_verdict
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return referential_verdict(
+        lineitem, part, [("l_partkey", "p_partkey")], broadcast=False,
+        rule_id="ref:l_partkey->p_partkey",
+    )
+
+
+def _halves(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem")
+    return df.filter(F.col("l_orderkey") % 2 == 0), df.filter(F.col("l_orderkey") % 2 == 1)
+
+
+def q_drift_ks_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_validator_spark.operators.drift import ks_statistic
+
+    a, b = _halves(spark, sf_dir)
+    out = ks_statistic(a, b, "l_quantity", 0.5, 50.5, 50)
+    return out.select("column", F.round("ks", 6).alias("ks"))
+
+
+def q_drift_psi_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_validator_spark.operators.drift import psi
+
+    a, b = _halves(spark, sf_dir)
+    out = psi(a, b, "l_quantity", 0.5, 50.5, 50)
+    return out.select("column", F.round("psi", 6).alias("psi"))
+
+
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_validator_spark.operators.dedup import exact_duplicates
+
+    df = _t(spark, sf_dir, "documents")
+    groups = exact_duplicates(df)
+    return groups.select("fingerprint", F.explode("doc_ids").alias("doc_id"))
+
+
+def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_validator_spark.operators.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_validator_spark.operators.text import (
+        bpe_ish_token_count,
+        whitespace_token_count,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def q_text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_validator_spark.operators.text import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_validator_spark.operators.text import language_id
+
+    return language_id(_t(spark, sf_dir, "documents")).select("doc_id", "predicted_lang")
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_validator_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5)
+
+
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_validator_spark.operators.dedup import minhash_lsh_candidates
+
+    df = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(df, n_hashes=32, bands=8)
+
+
+def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_validator_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_validator_spark.operators.similarity import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_topk(emb, queries, dim=64, k=5, n_planes=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_lineitem_verdicts": q_validate_lineitem_verdicts,
+        "validate_orders_violations": q_validate_orders_violations,
+        "validate_events_verdicts": q_validate_events_verdicts,
+        "column_stats_lineitem": q_column_stats_lineitem,
+        "quantiles_extendedprice": q_quantiles_extendedprice,
+        "duplicate_orderkeys": q_duplicate_orderkeys,
+        "uniqueness_salted_verdict": q_uniqueness_salted_verdict,
+        "ref_orphans_nationkey": q_ref_orphans_nationkey,
+        "ref_verdict_lineitem_part": q_ref_verdict_lineitem_part,
+        "drift_ks_quantity": q_drift_ks_quantity,
+        "drift_psi_quantity": q_drift_psi_quantity,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "token_counts_documents": q_token_counts_documents,
+        "text_quality_documents": q_text_quality_documents,
+        "langid_documents": q_langid_documents,
+        "embedding_topk": q_embedding_topk,
+        "minhash_candidates": q_minhash_candidates,
+        "simhash_neardups": q_simhash_neardups,
+        "ann_lsh_topk": q_ann_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_VERDICT_ROW = """
+SELECT '{rule_id}' AS rule_id, '{tag}' AS tag,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(COALESCE(sum(CASE WHEN {fail} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_failed,
+       (COALESCE(sum(CASE WHEN {fail} THEN 1 ELSE 0 END), 0) = 0) AS pass
+FROM {table}
+"""
+
+
+def _verdict_union(table: str, rows: list[tuple[str, str, str]]) -> str:
+    return "\nUNION ALL\n".join(
+        _VERDICT_ROW.format(rule_id=rid, tag=tag, fail=fail, table=table)
+        for rid, tag, fail in rows
+    )
+
+
+_LINEITEM_VERDICT_SQL = _verdict_union(
+    "lineitem",
+    [
+        ("required:$.l_orderkey", "required", "l_orderkey IS NULL"),
+        ("required:$.l_partkey", "required", "l_partkey IS NULL"),
+        ("required:$.l_quantity", "required", "l_quantity IS NULL"),
+        ("type:$.l_quantity", "type", "FALSE"),
+        ("minimum:$.l_quantity", "minimum", "l_quantity IS NOT NULL AND l_quantity < 1"),
+        ("maximum:$.l_quantity", "maximum", "l_quantity IS NOT NULL AND l_quantity > 50"),
+        ("minimum:$.l_discount", "minimum", "l_discount IS NOT NULL AND l_discount < 0"),
+        ("maximum:$.l_discount", "maximum", "l_discount IS NOT NULL AND l_discount > 0.1"),
+        (
+            "exclusiveMinimum:$.l_extendedprice",
+            "exclusiveMinimum",
+            "l_extendedprice IS NOT NULL AND l_extendedprice <= 0",
+        ),
+        (
+            "multipleOf:$.l_tax",
+            "multipleOf",
+            "l_tax IS NOT NULL AND abs(l_tax/0.01 - round(l_tax/0.01)) > 1e-10",
+        ),
+        (
+            "enum:$.l_returnflag",
+            "enum",
+            "l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R')",
+        ),
+        (
+            "enum:$.l_linestatus",
+            "enum",
+            "l_linestatus IS NOT NULL AND l_linestatus NOT IN ('O','F')",
+        ),
+        (
+            "type:$.l_linenumber",
+            "type",
+            "FALSE",
+        ),
+        ("minimum:$.l_linenumber", "minimum", "l_linenumber IS NOT NULL AND l_linenumber < 1"),
+        ("maximum:$.l_linenumber", "maximum", "l_linenumber IS NOT NULL AND l_linenumber > 7"),
+    ],
+)
+
+_ORDERS_VIOLATIONS_SQL = """
+SELECT o_orderkey, '$.o_totalprice' AS path,
+       'greater than maximum 300000' AS message,
+       CAST(o_totalprice AS VARCHAR) AS value, 'maximum' AS tag, '300000' AS param
+FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 300000
+UNION ALL
+SELECT o_orderkey, '$.o_orderpriority',
+       'value must be one of: 1-URGENT, 2-HIGH, 3-MEDIUM',
+       o_orderpriority, 'enum', ''
+FROM orders
+WHERE o_orderpriority IS NOT NULL
+  AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')
+"""
+
+_EVENTS_VERDICT_SQL = _verdict_union(
+    "events",
+    [
+        ("required:$.event_id", "required", "event_id IS NULL"),
+        ("required:$.ts", "required", "ts IS NULL"),
+        ("required:$.user_id", "required", "user_id IS NULL"),
+        (
+            "enum:$.event_type",
+            "enum",
+            "event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase')",
+        ),
+        ("type:$.value", "type", "FALSE"),
+        ("minimum:$.value", "minimum", "value IS NOT NULL AND value < 0"),
+        ("maximum:$.value", "maximum", "value IS NOT NULL AND value > 400"),
+    ],
+)
+
+_STATS_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{c}' AS "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS null_ratio,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM lineitem
+"""
+    for c in ["l_quantity", "l_extendedprice", "l_discount"]
+)
+
+_QUANTILES_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT 'l_extendedprice' AS "column", CAST({p} AS DOUBLE) AS p,
+       round(CAST(quantile_cont(l_extendedprice, {p}) AS DOUBLE), 6) AS value
+FROM lineitem
+"""
+    for p in [0.25, 0.5, 0.75]
+)
+
+_DUP_KEYS_SQL = """
+SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_dup
+FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+"""
+
+_UNIQ_VERDICT_SQL = """
+WITH d AS (
+  SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+)
+SELECT 'unique:l_orderkey' AS rule_id,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_checked,
+       CAST(COALESCE((SELECT sum(c) FROM d), 0) AS BIGINT) AS n_failed,
+       (COALESCE((SELECT sum(c) FROM d), 0) = 0) AS pass,
+       (SELECT CAST(count(*) AS BIGINT) FROM d) AS dup_keys
+"""
+
+_REF_ORPHANS_SQL = """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE c_nationkey NOT IN (SELECT r_regionkey FROM region WHERE r_regionkey IS NOT NULL)
+"""
+
+_REF_VERDICT_SQL = """
+SELECT 'ref:l_partkey->p_partkey' AS rule_id,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_checked,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)
+       ) AS n_failed,
+       ((SELECT count(*) FROM lineitem
+         WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)
+        ) = 0) AS pass
+"""
+
+# histogram CTEs shared by KS/PSI: bucket i = floor((q - 0.5)/1.0) + 1 —
+# identical to width_bucket(q, 0.5, 50.5, 50) for in-range values
+_HIST_CTE = """
+WITH a AS (
+  SELECT CAST(floor((l_quantity - 0.5) / 1.0) + 1 AS INT) AS bucket, count(*) AS n
+  FROM lineitem WHERE l_orderkey % 2 = 0 AND l_quantity IS NOT NULL GROUP BY 1
+), b AS (
+  SELECT CAST(floor((l_quantity - 0.5) / 1.0) + 1 AS INT) AS bucket, count(*) AS n
+  FROM lineitem WHERE l_orderkey % 2 = 1 AND l_quantity IS NOT NULL GROUP BY 1
+), j AS (
+  SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+         COALESCE(CAST(a.n AS DOUBLE) / (SELECT sum(n) FROM a), 0.0) AS pa,
+         COALESCE(CAST(b.n AS DOUBLE) / (SELECT sum(n) FROM b), 0.0) AS pb
+  FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+)
+"""
+
+_KS_SQL = (
+    _HIST_CTE
+    + """
+, c AS (
+  SELECT sum(pa) OVER (ORDER BY bucket) AS ca,
+         sum(pb) OVER (ORDER BY bucket) AS cb
+  FROM j
+)
+SELECT 'l_quantity' AS "column", round(max(abs(ca - cb)), 6) AS ks FROM c
+"""
+)
+
+_PSI_SQL = (
+    _HIST_CTE
+    + """
+SELECT 'l_quantity' AS "column",
+       round(sum((greatest(pa, 1e-6) - greatest(pb, 1e-6))
+                 * ln(greatest(pa, 1e-6) / greatest(pb, 1e-6))), 6) AS psi
+FROM j
+"""
+)
+
+_FP_EXPR = "substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)"
+
+_DEDUP_EXACT_SQL = f"""
+WITH f AS (SELECT doc_id, {_FP_EXPR} AS fp FROM documents)
+SELECT fp AS fingerprint, doc_id FROM f
+WHERE fp IN (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1)
+"""
+
+_FINGERPRINT_SQL = f"SELECT doc_id, {_FP_EXPR} AS fingerprint FROM documents"
+
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+_TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INT) AS n_bpe_tokens
+FROM documents
+"""
+
+_EN_STOP = "['the','and','of','to','a','in','is','that','for','it']"
+_DE_STOP = "['der','die','das','und','ist','nicht','ein','mit','für','auf']"
+_FR_STOP = "['le','la','les','et','est','une','pour','dans','que','des']"
+_ES_STOP = "['el','la','los','y','es','una','para','en','que','por']"
+
+_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         CAST(n_chars AS INT) AS n_chars,
+         CAST(n_tokens AS INT) AS n_tokens,
+         round(CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1), 6) AS mean_token_len,
+         round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+         round(CAST(n_digit AS DOUBLE) / greatest(n_chars, 1), 6) AS digit_ratio,
+         round(CAST(n_upper AS DOUBLE) / greatest(n_chars, 1), 6) AS upper_ratio,
+         round(CAST(len(list_filter(toks, x -> list_contains({_EN_STOP}, x))) AS DOUBLE)
+               / greatest(n_tokens, 1), 6) AS stopword_ratio,
+         round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(n_tokens, 1), 6)
+             AS distinct_token_ratio
+  FROM base
+)
+SELECT *,
+       round((CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN digit_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN distinct_token_ratio >= 0.3 THEN 0.25 ELSE 0.0 END), 6)
+           AS quality_score
+FROM feat
+"""
+
+_LANGID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 1
+              ELSE greatest(len(string_split_regex(trim(text), '\\s+')), 1) END AS nt,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         round(CAST(len(list_filter(toks, x -> list_contains({_DE_STOP}, x))) AS DOUBLE) / nt, 6) AS sde,
+         round(CAST(len(list_filter(toks, x -> list_contains({_EN_STOP}, x))) AS DOUBLE) / nt, 6) AS sen,
+         round(CAST(len(list_filter(toks, x -> list_contains({_ES_STOP}, x))) AS DOUBLE) / nt, 6) AS ses,
+         round(CAST(len(list_filter(toks, x -> list_contains({_FR_STOP}, x))) AS DOUBLE) / nt, 6) AS sfr
+  FROM scored
+)
+SELECT doc_id,
+       CASE WHEN greatest(sde, sen, ses, sfr) <= 0 THEN 'und'
+            WHEN sde >= sen AND sde >= ses AND sde >= sfr THEN 'de'
+            WHEN sen >= ses AND sen >= sfr THEN 'en'
+            WHEN ses >= sfr THEN 'es'
+            ELSE 'fr' END AS predicted_lang
+FROM s
+"""
+
+_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), s AS (
+  SELECT qid, nid,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+  FROM q, c WHERE qid <> nid
+), r AS (
+  SELECT qid AS query_id, nid AS neighbor_id, sim AS cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+  FROM s
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rank FROM r WHERE rk <= 5
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "validate_lineitem_verdicts": _LINEITEM_VERDICT_SQL,
+        "validate_orders_violations": _ORDERS_VIOLATIONS_SQL,
+        "validate_events_verdicts": _EVENTS_VERDICT_SQL,
+        "column_stats_lineitem": _STATS_SQL,
+        "quantiles_extendedprice": _QUANTILES_SQL,
+        "duplicate_orderkeys": _DUP_KEYS_SQL,
+        "uniqueness_salted_verdict": _UNIQ_VERDICT_SQL,
+        "ref_orphans_nationkey": _REF_ORPHANS_SQL,
+        "ref_verdict_lineitem_part": _REF_VERDICT_SQL,
+        "drift_ks_quantity": _KS_SQL,
+        "drift_psi_quantity": _PSI_SQL,
+        "dedup_exact_documents": _DEDUP_EXACT_SQL,
+        "fingerprint_documents": _FINGERPRINT_SQL,
+        "token_counts_documents": _TOKEN_COUNTS_SQL,
+        "text_quality_documents": _QUALITY_SQL,
+        "langid_documents": _LANGID_SQL,
+        "embedding_topk": _TOPK_SQL,
+        # minhash_candidates / simhash_neardups / ann_lsh_topk are
+        # intentionally omitted: they rely on xxhash64 / seeded hyperplanes
+        # not expressible in DuckDB → driver records rows-only checks.
+    }

@@ -1,0 +1,237 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-pipeline additions (not in the reference — SURVEY.md §2.5 scope
+extension mandated by the build brief). All deterministic: hash functions
+are derived from md5/xxhash64 with fixed seeds so results are reproducible
+across runs AND portable to the DuckDB oracle.
+
+Scale design:
+- exact dedup: one hash-groupBy (partial agg map-side).
+- MinHash: signatures via ``transform`` over the shingle array (JVM-side,
+  no UDF); LSH banding turns all-pairs O(n²) into per-bucket candidate
+  pairs — the join key is (band, band_hash), so the shuffle is balanced
+  unless a bucket is hot (degenerate shingles), which the band-hash salt
+  bounds.
+- SimHash: 64-bit signature from per-shingle xxhash bits, hamming-adjacent
+  buckets via bit-slices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm(t: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of exact duplicates (after whitespace/case canonicalization).
+
+    Output: ``fingerprint, n_docs, doc_ids (sorted array)`` for groups with
+    n_docs > 1. One shuffle on the 64-bit (16-hex-char) fingerprint.
+    """
+    fp = F.substring(F.md5(_norm(F.col(text_col))), 1, 16)
+    return (
+        df.select(fp.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of the canonicalized text (JVM-side)."""
+    toks = F.split(_norm(text), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+        )
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
+    """MinHash signature: for seed s, min over shingles of
+    xxhash64(shingle, s). Pure Column algebra — array_min over transform.
+
+    NOTE: higher-order-function lambdas must be unary — PySpark binds a
+    2-arg lambda as (element, index) — so seeds are captured via a closure
+    factory, never default args."""
+
+    def _hash_with_seed(s: int):
+        return lambda sh: F.xxhash64(sh, F.lit(s))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, _hash_with_seed(s)))
+            for s in range(n_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash banding.
+
+    rows = bands of size n_hashes/bands; docs sharing any band hash become a
+    candidate pair. Output: ``id_a, id_b, n_shared_bands`` (id_a < id_b).
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(word_shingles(F.col(text_col), shingle_k), n_hashes)
+    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    band_rows = with_sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("_id", "bh.band", "bh.band_hash")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    pairs = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Without ``candidates`` this verifies ALL pairs sharing ≥1 shingle
+    (test-scale only — at 100 TB always feed LSH candidates). Output:
+    ``id_a, id_b, jaccard`` with jaccard ≥ threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_k).alias("_sh")
+    )
+    if candidates is None:
+        ex = sh.select("_id", F.explode("_sh").alias("s"))
+        cand = (
+            ex.alias("a")
+            .join(ex.alias("b"), "s")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .dropDuplicates()
+        )
+    else:
+        cand = candidates.select("id_a", "id_b")
+    joined = (
+        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.select(
+            "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+        ).filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 2
+) -> DataFrame:
+    """64-bit SimHash per document.
+
+    For each bit position, majority vote over the xxhash64 bits of the
+    document's shingles — vectorized as 64 aggregate sums over the shingle
+    array (still pure Column algebra, no UDF).
+    """
+    sh = word_shingles(F.col(text_col), shingle_k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    n = F.size(hashes).cast("double")
+    def _bit_set(b: int):
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
+    bit_cols = []
+    for bit in range(64):
+        ones = F.size(F.filter(hashes, _bit_set(bit))).cast("double")
+        bit_cols.append(F.when(ones * 2 >= n, F.lit(1).cast("long")).otherwise(F.lit(0)))
+    out = F.lit(0).cast("long")
+    for bit, bc in enumerate(bit_cols):
+        out = out + F.shiftleft(bc, bit)
+    return df.select(F.col(id_col), out.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_slices: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: pigeonhole on bit-slices — any pair within
+    ``max_hamming`` (< n_slices) shares at least one identical 16-bit slice,
+    so the candidate join is equi-join on (slice_idx, slice_value)."""
+    sigs = simhash(df, text_col, id_col).select(
+        F.col(id_col).alias("_id"), F.col("simhash")
+    )
+    width = 64 // n_slices
+    mask = (1 << width) - 1
+    sliced = sigs.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("slice_idx"),
+                        F.shiftright("simhash", i * width).bitwiseAND(F.lit(mask)).alias("slice_val"),
+                    )
+                    for i in range(n_slices)
+                ]
+            )
+        ).alias("sl"),
+    ).select("_id", "simhash", "sl.slice_idx", "sl.slice_val")
+    a, b = sliced.alias("a"), sliced.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    return (
+        a.join(b, ["slice_idx", "slice_val"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(xor).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,128 @@
+"""Distribution-drift tests: KS statistic and PSI over histograms.
+
+North rule: "KS/PSI distribution-drift tests on w/h/phash histograms".
+Implementation is pure DataFrame algebra (SURVEY.md §2.5):
+
+1. bucketize both sides with the SAME fixed bucket edges
+   (``width_bucket`` — deterministic, no sampling),
+2. one ``groupBy(bucket).count()`` per side (map-side partial agg; the
+   shuffle moves only n_buckets rows),
+3. KS = max |cdf_a - cdf_b| via a cumulative-sum window over buckets
+   (n_buckets rows — trivially cheap),
+4. PSI = Σ (p−q)·ln(p/q) with ε-smoothing for empty buckets.
+
+At 100 TB each side costs one scan; everything after the first groupBy
+operates on ≤ n_buckets rows.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def histogram(
+    df: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Fixed-edge histogram: ``bucket (1..n_buckets+1 incl. overflow), n``.
+
+    ``width_bucket`` puts values < lo in bucket 0 and >= hi in n_buckets+1,
+    exactly like the SQL-standard function (portable to the DuckDB oracle).
+    """
+    b = F.width_bucket(F.col(column).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets))
+    return (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _with_share(hist: DataFrame, suffix: str) -> DataFrame:
+    total = Window.partitionBy()
+    return hist.select(
+        "bucket", (F.col("n") / F.sum("n").over(total)).alias(f"share_{suffix}")
+    )
+
+
+def ks_statistic(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 200,
+) -> DataFrame:
+    """Two-sample KS statistic on bucketized data.
+
+    Output: one row ``column, ks``. Exact up to bucket resolution (both
+    sides share edges, so bucketization error cancels in the sup-norm up to
+    1/n_buckets).
+    """
+    ha = _with_share(histogram(df_a, column, lo, hi, n_buckets), "a")
+    hb = _with_share(histogram(df_b, column, lo, hi, n_buckets), "b")
+    joined = ha.join(hb, "bucket", "full_outer").select(
+        F.col("bucket"),
+        F.coalesce("share_a", F.lit(0.0)).alias("pa"),
+        F.coalesce("share_b", F.lit(0.0)).alias("pb"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = joined.select(
+        F.sum("pa").over(w).alias("cdf_a"), F.sum("pb").over(w).alias("cdf_b")
+    )
+    return cdf.agg(
+        F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))).alias("ks")
+    ).select(F.lit(column).alias("column"), F.round(F.col("ks"), 9).alias("ks"))
+
+
+def psi(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 20,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between baseline (a) and current (b).
+
+    Output: one row ``column, psi``. Convention: <0.1 stable, 0.1-0.25
+    moderate drift, >0.25 drifted.
+    """
+    ha = _with_share(histogram(df_a, column, lo, hi, n_buckets), "a")
+    hb = _with_share(histogram(df_b, column, lo, hi, n_buckets), "b")
+    joined = ha.join(hb, "bucket", "full_outer").select(
+        F.greatest(F.coalesce("share_a", F.lit(0.0)), F.lit(eps)).alias("pa"),
+        F.greatest(F.coalesce("share_b", F.lit(0.0)), F.lit(eps)).alias("pb"),
+    )
+    return joined.agg(
+        F.round(F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))), 9).alias(
+            "psi"
+        )
+    ).select(F.lit(column).alias("column"), "psi")
+
+
+def drift_verdict(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.25,
+    n_buckets: int = 200,
+) -> DataFrame:
+    """Combined verdict row: ``rule_id, ks, psi, pass``."""
+    k = ks_statistic(df_a, df_b, column, lo, hi, n_buckets).select("ks")
+    p = psi(df_a, df_b, column, lo, hi, min(n_buckets, 20)).select("psi")
+    return k.crossJoin(p).select(
+        F.lit(f"drift:{column}").alias("rule_id"),
+        "ks",
+        "psi",
+        ((F.col("ks") <= ks_threshold) & (F.col("psi") <= psi_threshold)).alias("pass"),
+    )

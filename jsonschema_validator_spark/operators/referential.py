@@ -1,0 +1,75 @@
+"""Referential-integrity checks (foreign key ⊆ dimension key).
+
+North rule: "referential checks against a dimension table via
+broadcast/sort-merge join". Violations are the fact rows whose key has no
+match in the dimension — a LEFT ANTI join, the shuffle-minimal plan for
+"not exists".
+
+Strategy selection:
+- ``broadcast=True`` (default for small dims like dim_formats, 3 rows):
+  ``F.broadcast(dim)`` → BroadcastHashJoin, ZERO shuffle of the 100 TB fact
+  table.
+- ``broadcast=False`` (large dims like dim_sources, 10^4+ rows or beyond
+  the broadcast threshold): plain anti join → shuffled hash / sort-merge
+  join chosen by Catalyst; AQE's skew-join splitting applies.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def orphan_rows(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Union[str, Sequence[str], list[tuple[str, str]]],
+    broadcast: bool = True,
+    include: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Fact rows whose key is missing from ``dim`` (the violations).
+
+    ``on``: a column name, list of names (same on both sides), or list of
+    (fact_col, dim_col) pairs.
+    """
+    if isinstance(on, str):
+        pairs = [(on, on)]
+    elif on and isinstance(on[0], (list, tuple)):
+        pairs = [tuple(p) for p in on]
+    else:
+        pairs = [(c, c) for c in on]
+
+    dim_keys = dim.select(*[F.col(d).alias(f"_dim_{i}") for i, (_, d) in enumerate(pairs)]).dropDuplicates()
+    if broadcast:
+        dim_keys = F.broadcast(dim_keys)
+    cond = None
+    for i, (f_col, _) in enumerate(pairs):
+        c = fact[f_col] == dim_keys[f"_dim_{i}"]
+        cond = c if cond is None else (cond & c)
+    out = fact.join(dim_keys, cond, "left_anti")
+    if include is not None:
+        out = out.select(*include)
+    return out
+
+
+def referential_verdict(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Union[str, Sequence[str]],
+    broadcast: bool = True,
+    rule_id: Optional[str] = None,
+) -> DataFrame:
+    """One-row verdict ``rule_id, n_checked, n_failed, pass``."""
+    orphans = orphan_rows(fact, dim, on, broadcast=broadcast)
+    n_fail = orphans.agg(F.count(F.lit(1)).alias("n_failed"))
+    n_all = fact.agg(F.count(F.lit(1)).alias("n_checked"))
+    key_desc = on if isinstance(on, str) else ",".join(map(str, on))
+    rid = rule_id or f"ref:{key_desc}"
+    return n_all.crossJoin(n_fail).select(
+        F.lit(rid).alias("rule_id"),
+        "n_checked",
+        "n_failed",
+        (F.col("n_failed") == 0).alias("pass"),
+    )

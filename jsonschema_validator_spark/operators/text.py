@@ -1,0 +1,146 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen) — no Python UDFs in any hot
+path. Designed for the ``documents`` table shape ``(doc_id, text, lang,
+source, n_chars)`` but column names are parameters.
+
+Operators:
+- token counting: whitespace tokens + a BPE-ish subword proxy count
+- quality scoring: length / punctuation / stopword / repetition signals
+- language ID: stopword-hit n-gram heuristic over a small built-in lexicon
+- document fingerprinting: deterministic 64-bit content fingerprint
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny built-in stopword lexicons for the langid heuristic
+LANG_LEXICON: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans", "que", "des"],
+    "es": ["el", "la", "los", "y", "es", "una", "para", "en", "que", "por"],
+}
+
+_WS = r"\s+"
+# BPE-ish proxy: alternating letter-runs, digit-runs, and single punctuation
+# marks — approximates subword token counts without a vocab file.
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Number of whitespace-delimited tokens (0 for empty/blank)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, _WS)))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Subword-proxy token count via regexp extraction."""
+    return F.size(F.regexp_extract_all(text, F.lit(f"({_BPE_ISH})"), 1))
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    """How many tokens of ``text`` are in ``words`` (case-insensitive)."""
+    toks = F.split(F.lower(F.trim(text)), _WS)
+    wl = [w.lower() for w in words]
+    return F.size(F.filter(toks, lambda t: t.isin(*wl)))
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality features + a composite [0,1] score.
+
+    Signals (all cheap Column algebra): length, token count, mean token
+    length, punctuation ratio, digit ratio, uppercase ratio, stopword ratio,
+    distinct-token ratio (repetition detector).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = F.split(F.lower(F.trim(t)), _WS)
+    n_tokens = whitespace_token_count(t)
+    n_distinct_tokens = F.size(F.array_distinct(toks))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_digit = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    n_upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    en_hits = stopword_hits(t, LANG_LEXICON["en"])
+
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    feats = df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars / safe_tokens, 6).alias("mean_token_len"),
+        F.round(n_punct / safe_chars, 6).alias("punct_ratio"),
+        F.round(n_digit / safe_chars, 6).alias("digit_ratio"),
+        F.round(n_upper / safe_chars, 6).alias("upper_ratio"),
+        F.round(en_hits / safe_tokens, 6).alias("stopword_ratio"),
+        F.round(n_distinct_tokens / safe_tokens, 6).alias("distinct_token_ratio"),
+    )
+    # composite score: in-range length + low punct/digit noise + lexical diversity
+    score = (
+        F.when((F.col("n_chars") >= 50) & (F.col("n_chars") <= 20000), F.lit(0.25)).otherwise(
+            F.lit(0.0)
+        )
+        + F.when(F.col("punct_ratio") <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(F.col("digit_ratio") <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(F.col("distinct_token_ratio") >= 0.3, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return feats.withColumn("quality_score", F.round(score, 6))
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """N-gram/stopword heuristic language ID.
+
+    Scores each language by stopword hits per token; prediction is the
+    argmax with deterministic ties (language name ascending), 'und' when no
+    lexicon word matches at all.
+    """
+    t = F.col(text_col)
+    n_tokens = F.greatest(whitespace_token_count(t), F.lit(1))
+    cols = [F.col(id_col)]
+    for lang in sorted(LANG_LEXICON):
+        cols.append(F.round(stopword_hits(t, LANG_LEXICON[lang]) / n_tokens, 6).alias(f"score_{lang}"))
+    scored = df.select(*cols)
+    # argmax with name-ascending tie-break: array of structs sorted desc by
+    # (score, reverse-name) — array_max on struct comparison is
+    # lexicographic, so pack score first.
+    langs = sorted(LANG_LEXICON)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("s"),
+                F.lit(-i).alias("ord"),  # earlier name wins ties
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(pairs)
+    return scored.withColumn(
+        "predicted_lang",
+        F.when(best["s"] <= 0, F.lit("und")).otherwise(best["lang"]),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalize: bool = True
+) -> DataFrame:
+    """Deterministic 64-bit content fingerprint (16 hex chars).
+
+    Normalization (lowercase, collapse whitespace) makes it a *canonical*
+    fingerprint: whitespace/case variants collide intentionally, which is
+    what exact-dedup wants. The fingerprint is the first 16 hex digits of
+    md5 — kept as hex text so it is portable to any engine byte-for-byte
+    (the DuckDB oracle uses the identical expression).
+    """
+    t = F.col(text_col)
+    if normalize:
+        t = F.regexp_replace(F.lower(F.trim(t)), _WS, " ")
+    fp = F.substring(F.md5(t), 1, 16)
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

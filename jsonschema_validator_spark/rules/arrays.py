@@ -92,14 +92,19 @@ def compile_items(col: Column, spec_value, path: str, ctx: CompileContext) -> li
                 continue  # unknown keyword skipped (array.go:56-59)
             sub_ctx = CompileContext(mode=ctx.mode, dtype=elem_dt)
 
-            def elem_pred(x: Column, _c=compiler, _v=kw_value, _ctx=sub_ctx) -> Column:
-                sub = _c(x, _v, "", _ctx)
-                p = None
-                for ch in sub:
-                    p = ch.predicate if p is None else (p & ch.predicate)
-                return p if p is not None else F.lit(True)
+            # closure factory: HOF lambdas MUST be unary (a 2+-arg lambda is
+            # bound as (element, index) by PySpark)
+            def _make_elem_pred(_c, _v, _ctx):
+                def elem_pred(x: Column) -> Column:
+                    sub = _c(x, _v, "", _ctx)
+                    p = None
+                    for ch in sub:
+                        p = ch.predicate if p is None else (p & ch.predicate)
+                    return p if p is not None else F.lit(True)
 
-            oks = F.transform(col, elem_pred)
+                return elem_pred
+
+            oks = F.transform(col, _make_elem_pred(compiler, kw_value, sub_ctx))
             first_bad = F.array_position(oks, F.lit(False))  # 1-based, 0 = none
             pred = null_passes(col, first_bad == 0)
             idx = (first_bad - 1).cast("string")

@@ -320,17 +320,23 @@ def compile_pattern_properties(
                     continue
                 sub_ctx = CompileContext(mode=ctx.mode, dtype=acc.value_dtype)
 
-                def val_pred(v: Column, _c=compiler, _v=kw_value, _ctx=sub_ctx) -> Column:
-                    sub = _c(v, _v, "", _ctx)
-                    p = None
-                    for ch in sub:
-                        p = ch.predicate if p is None else (p & ch.predicate)
-                    return p if p is not None else F.lit(True)
+                def _make_val_pred(_c, _v, _ctx):
+                    def val_pred(v: Column) -> Column:
+                        sub = _c(v, _v, "", _ctx)
+                        p = None
+                        for ch in sub:
+                            p = ch.predicate if p is None else (p & ch.predicate)
+                        return p if p is not None else F.lit(True)
 
-                matching_vals = F.map_values(
-                    F.map_filter(col, lambda k, v: k.rlike(pattern))
-                )
-                bad = F.filter(matching_vals, lambda v: ~val_pred(v))
+                    return val_pred
+
+                _vp = _make_val_pred(compiler, kw_value, sub_ctx)
+
+                def _make_key_match(_pat):
+                    return lambda k, v: k.rlike(_pat)
+
+                matching_vals = F.map_values(F.map_filter(col, _make_key_match(pattern)))
+                bad = F.filter(matching_vals, lambda v: ~_vp(v))
                 pred = acc.guard(F.size(bad) == 0)
                 checks.append(
                     Check(
