@@ -1,0 +1,179 @@
+"""Synthetic image-caption table + multimodal decode checks
+(FIXTURES.md §1, BASELINE.json image invariants)."""
+
+import numpy as np
+import pytest
+
+from jsonschema_validator_spark.sources import synth
+from jsonschema_validator_spark.sources.codecs import (
+    decode_fjpg,
+    decode_image,
+    decode_png,
+    encode_fjpg,
+    encode_png,
+    psnr,
+)
+
+N = 4000  # covers every injection schedule at exact counts
+
+
+def test_png_roundtrip_lossless():
+    px = synth._pixels(42, 1, 24, 17)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+def test_fjpg_lossy_psnr_above_40():
+    px = synth._pixels(42, 2, 32, 32)
+    dec = decode_fjpg(encode_fjpg(px))
+    p = psnr(px, dec)
+    assert p >= 40.0, f"stub lossy codec PSNR {p} < 40 dB"
+    assert np.allclose(px.astype(int), dec.astype(int), atol=3)
+
+
+def test_corrupt_payload_raises():
+    with pytest.raises(ValueError):
+        decode_image(b"garbage bytes here")
+    good = encode_png(synth._pixels(42, 3, 16, 16))
+    with pytest.raises(ValueError):
+        decode_image(good[: len(good) // 3])
+
+
+def test_generator_determinism_and_rates():
+    df1 = synth.generate_pandas(N, seed=42)
+    df2 = synth.generate_pandas(N, seed=42)
+    assert df1.equals(df2)
+    # exact injected violation counts (schedules in synth.py)
+    assert (df1["fmt"] == "bmp").sum() == N // 200
+    assert df1["caption"].isna().sum() == N // 1000
+    assert df1["w"].isna().sum() == N // 1000
+    n_dup_ids = N - df1["image_id"].nunique()
+    assert n_dup_ids == N // 200  # 0.5 % duplicated
+    hot = df1["phash"].isin(synth.HOT_PHASHES).sum()
+    assert hot == N // 20  # 5 % hot phash
+
+
+def test_spark_generator_matches_pandas(spark):
+    sdf = synth.generate_spark(spark, 500, seed=42, partitions=4)
+    pdf = synth.generate_pandas(500, seed=42)
+    got = sdf.orderBy("image_id").toPandas()
+    want = pdf.sort_values("image_id").reset_index(drop=True)
+    assert list(got["image_id"]) == list(want["image_id"])
+    assert list(got["phash"]) == list(want["phash"])
+    assert [bytes(b) for b in got["bytes"]] == [bytes(b) for b in want["bytes"]]
+
+
+def test_decode_profile_flags_exact_violations(spark):
+    from jsonschema_validator_spark.operators.multimodal import decode_profile
+
+    sdf = synth.generate_spark(spark, N, seed=42, partitions=8)
+    prof = decode_profile(sdf).toPandas()
+    assert len(prof) == N
+    # truncated payloads fail decode, exactly N/500 of them
+    assert (~prof["decode_ok"]).sum() == N // 500
+
+
+def test_image_invariant_violations(spark):
+    from jsonschema_validator_spark.operators.multimodal import (
+        image_invariant_violations,
+    )
+
+    sdf = synth.generate_spark(spark, N, seed=42, partitions=8)
+    viol = image_invariant_violations(sdf).toPandas()
+    by_tag = viol.groupby("tag").size().to_dict()
+    assert by_tag.get("decode", 0) == N // 500
+    # dims violations: payload-dim-mismatch schedule (500, 211) PLUS the
+    # w-out-of-range rows (declared w=0/20000 never equals decoded w),
+    # minus null-dims rows (check skipped) and truncated rows (no decode)
+    expected_dims = len(
+        [
+            i
+            for i in range(N)
+            if (i % 500 == 211 or i % 1000 in (17, 18, 19))
+            and i % 1000 != 23
+            and i % 500 != 11
+        ]
+    )
+    assert by_tag.get("dims", 0) == expected_dims
+
+
+def test_psnr_vs_reference_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.multimodal import psnr_vs_reference
+
+    n = 300
+    sdf = synth.generate_spark(spark, n, seed=42, partitions=4).withColumn(
+        "idx", F.regexp_extract("image_id", r"(\d+)", 1).cast("int")
+    )
+    # exclude malformed ids and duplicated-id pairs (a dup row carries its
+    # neighbor's id, so the extracted index would point at the wrong pixels)
+    from pyspark.sql import Window
+
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("image_id"))
+    clean = (
+        sdf.filter(~F.col("image_id").startswith("BAD"))
+        .withColumn("_cnt", cnt)
+        .filter(F.col("_cnt") == 1)
+        .drop("_cnt")
+    )
+
+    def ref_pixels(i: int) -> np.ndarray:
+        w, h = synth.true_dims(42, i)
+        if i % 500 == 211:  # dim-mismatch rows encode shifted dims
+            w, h = w + 3, h + 2
+        return synth._pixels(42, i, w, h)
+
+    res = psnr_vs_reference(clean, ref_pixels, index_col="idx").toPandas()
+    ok = res[~res["psnr"].isna()]
+    # every decodable image meets the >=40 dB invariant (png lossless -> 1e9)
+    assert (ok["psnr"] >= 40.0).all()
+    # truncated payloads are the NaNs
+    assert res["psnr"].isna().sum() == len(res[res["psnr"].isna()])
+
+
+def test_validation_spec_on_synth_table(spark):
+    """The full image-caption spec from FIXTURES.md over the synth table —
+    row-level engine + synthetic violations at exact rates."""
+    from jsonschema_validator_spark import Validator
+
+    sdf = synth.generate_spark(spark, N, seed=42, partitions=8)
+    spec = {
+        "required": ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+        "properties": {
+            "image_id": {"pattern": r"^img-[0-9]{12}$"},
+            "w": {"type": "integer", "minimum": 1, "maximum": 16384},
+            "h": {"type": "integer", "minimum": 1, "maximum": 16384},
+            "fmt": {"enum": ["png", "jpeg", "webp"]},
+            "caption": {"minLength": 1, "maxLength": 200},
+        },
+    }
+    res = Validator(spec).validate(sdf)
+    v = {r["rule_id"]: r for r in res.verdicts().collect()}
+    assert v["enum:$.fmt"]["n_failed"] == N // 200
+    assert v["pattern:$.image_id"]["n_failed"] == N // 1000
+    assert v["required:$.caption"]["n_failed"] == N // 1000
+    assert v["required:$.w"]["n_failed"] == N // 1000
+    # caption too long: schedule (250,5) minus overlap with empty/null
+    exp_long = len([i for i in range(N) if i % 250 == 5 and i % 500 != 9 and i % 1000 != 21])
+    assert v["maxLength:$.caption"]["n_failed"] == exp_long
+    exp_empty = len([i for i in range(N) if i % 500 == 9 and i % 1000 != 21])
+    assert v["minLength:$.caption"]["n_failed"] == exp_empty
+
+
+def test_salted_uniqueness_on_skewed_phash(spark):
+    """Salted and plain aggregation agree on the skewed phash column."""
+    from jsonschema_validator_spark.operators.uniqueness import duplicate_keys
+
+    sdf = synth.generate_spark(spark, N, seed=42, partitions=8).select("phash")
+    plain = {
+        (r["phash"], r["n_dup"]) for r in duplicate_keys(sdf, "phash", salted=False).collect()
+    }
+    salted = {
+        (r["phash"], r["n_dup"])
+        for r in duplicate_keys(sdf, "phash", salted=True, salt_buckets=16).collect()
+    }
+    assert plain == salted
+    # the 8 hot values must be present with ~N/20/8 rows each
+    hot_counts = {k: n for k, n in plain if k in synth.HOT_PHASHES}
+    assert len(hot_counts) == 8
+    assert sum(hot_counts.values()) == N // 20
