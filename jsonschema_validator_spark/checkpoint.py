@@ -1,0 +1,151 @@
+"""Checkpoint / resume: incremental validation over table snapshots.
+
+North rule: runs must be "resumable from Iceberg-snapshot checkpoints with
+per-partition lineage + metrics rows persisted". Design (SURVEY.md §2.5,
+§4.3 item 2):
+
+- after validating a snapshot, persist (a) its per-rule verdict METRICS,
+  (b) mergeable HLL SKETCHES per tracked column, (c) a LINEAGE row
+  (snapshot id, row count, wall time, engine version).
+- a resumed run lists the table's snapshots, skips the ones already in the
+  lineage, validates only the new ones, and answers table-level questions
+  by MERGING persisted state: verdict counts are algebraic (sums), distinct
+  counts merge via ``hll_union_agg`` — so re-validating after an append
+  touches ONLY the new data. At 10^12 rows this turns a daily full-table
+  scan into a scan of the day's increment.
+
+Everything persisted is itself a parquet table → the checkpoint store
+scales and is queryable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsonschema_validator_spark.engine import Validator
+from jsonschema_validator_spark.operators.stats import hll_sketches
+from jsonschema_validator_spark.spec import Spec
+from jsonschema_validator_spark.sources.tables import SnapshotTable
+
+
+class CheckpointStore:
+    """Parquet-backed store for metrics, sketches, lineage."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.metrics_dir = os.path.join(root, "metrics")
+        self.sketches_dir = os.path.join(root, "sketches")
+        self.lineage_path = os.path.join(root, "lineage.json")
+
+    # lineage is tiny (one row per snapshot) → JSON for atomic updates
+    def _load_lineage(self) -> list[dict]:
+        if not os.path.exists(self.lineage_path):
+            return []
+        with open(self.lineage_path) as f:
+            return json.load(f)
+
+    def _save_lineage(self, rows: list[dict]) -> None:
+        tmp = self.lineage_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rows, f, indent=1)
+        os.replace(tmp, self.lineage_path)
+
+    def completed_snapshots(self) -> set[str]:
+        return {r["snapshot_id"] for r in self._load_lineage()}
+
+    def record(
+        self,
+        snapshot_id: str,
+        verdicts: DataFrame,
+        sketches: Optional[DataFrame],
+        n_rows: int,
+        wall_sec: float,
+    ) -> None:
+        """Persist one snapshot's validation outputs; lineage append LAST so
+        a crash mid-record leaves the snapshot 'incomplete' and it is
+        re-validated on resume (idempotent via overwrite-by-partition)."""
+        (
+            verdicts.withColumn("snapshot_id", F.lit(snapshot_id))
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.metrics_dir, f"snapshot={snapshot_id}"))
+        )
+        if sketches is not None:
+            (
+                sketches.withColumn("snapshot_id", F.lit(snapshot_id))
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.sketches_dir, f"snapshot={snapshot_id}"))
+            )
+        rows = [r for r in self._load_lineage() if r["snapshot_id"] != snapshot_id]
+        rows.append(
+            {
+                "snapshot_id": snapshot_id,
+                "n_rows": n_rows,
+                "wall_sec": round(wall_sec, 3),
+                "recorded_at": time.time(),
+            }
+        )
+        self._save_lineage(rows)
+
+    def metrics(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.metrics_dir, "snapshot=*"))
+
+    def sketches(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.sketches_dir, "snapshot=*"))
+
+    def merged_verdicts(self, spark: SparkSession) -> DataFrame:
+        """Table-level verdicts across all recorded snapshots — pure
+        algebraic merge of the persisted per-snapshot counts (no rescan)."""
+        m = self.metrics(spark)
+        return (
+            m.groupBy("rule_id", "tag")
+            .agg(
+                F.sum("n_checked").alias("n_checked"),
+                F.sum("n_failed").alias("n_failed"),
+            )
+            .withColumn("pass", F.col("n_failed") == 0)
+        )
+
+    def merged_distinct(self, spark: SparkSession) -> DataFrame:
+        """Distinct estimates across snapshots via HLL union (no rescan)."""
+        s = self.sketches(spark)
+        return s.groupBy("column").agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("n_distinct")
+        )
+
+
+def validate_resumable(
+    spark: SparkSession,
+    table: SnapshotTable,
+    spec: Union[Spec, dict],
+    store: CheckpointStore,
+    sketch_columns: Optional[Sequence[str]] = None,
+) -> dict:
+    """Validate all snapshots not yet checkpointed; return a run report.
+
+    Idempotent: re-running after a crash (or after an append) only touches
+    snapshots missing from the lineage.
+    """
+    done = store.completed_snapshots()
+    pending = [s for s in table.snapshots() if s not in done]
+    validated = []
+    for sid in pending:
+        df = table.read_snapshot(spark, sid)
+        t0 = time.perf_counter()
+        res = Validator(spec).validate(df)
+        verdicts = res.verdicts()
+        sk = hll_sketches(df, list(sketch_columns)) if sketch_columns else None
+        n_rows = df.count()
+        store.record(sid, verdicts, sk, n_rows, time.perf_counter() - t0)
+        validated.append(sid)
+    return {
+        "validated_snapshots": validated,
+        "skipped_snapshots": sorted(done),
+        "n_snapshots_total": len(table.snapshots()),
+    }

@@ -1,0 +1,91 @@
+"""Checkpoint/resume (FIXTURES.md §6): validate snapshot-1, append
+snapshot-2, resume — only new snapshots processed, merged verdicts equal a
+from-scratch run, HLL merge agrees with a full-table sketch."""
+
+import pytest
+
+from jsonschema_validator_spark import Validator
+from jsonschema_validator_spark.checkpoint import CheckpointStore, validate_resumable
+from jsonschema_validator_spark.sources import synth
+from jsonschema_validator_spark.sources.tables import SnapshotTable
+
+SPEC = {
+    "required": ["image_id", "fmt"],
+    "properties": {
+        "w": {"minimum": 1, "maximum": 16384},
+        "fmt": {"enum": ["png", "jpeg", "webp"]},
+        "caption": {"maxLength": 200},
+    },
+}
+
+N1, N2 = 1600, 400  # 80 / 20 split
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "images"))
+    t.append(synth.generate_spark(spark, N1, seed=42, partitions=4), "snap_a")
+    return t
+
+
+def test_resume_skips_completed_snapshots(spark, tmp_path, table):
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    r1 = validate_resumable(spark, table, SPEC, store, sketch_columns=["image_id", "phash"])
+    assert r1["validated_snapshots"] == ["snap_a"]
+
+    # append the 20% increment (rows N1..N1+N2 of the same pure function)
+    table.append(
+        synth.generate_spark(spark, N2, seed=42, start=N1, partitions=4), "snap_b"
+    )
+    r2 = validate_resumable(spark, table, SPEC, store, sketch_columns=["image_id", "phash"])
+    assert r2["validated_snapshots"] == ["snap_b"]
+    assert r2["skipped_snapshots"] == ["snap_a"]
+
+    # re-run with nothing new: no work
+    r3 = validate_resumable(spark, table, SPEC, store, sketch_columns=["image_id", "phash"])
+    assert r3["validated_snapshots"] == []
+
+
+def test_merged_verdicts_equal_from_scratch(spark, tmp_path, table):
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    validate_resumable(spark, table, SPEC, store, sketch_columns=["image_id"])
+    table.append(
+        synth.generate_spark(spark, N2, seed=42, start=N1, partitions=4), "snap_b"
+    )
+    validate_resumable(spark, table, SPEC, store, sketch_columns=["image_id"])
+
+    merged = {
+        r["rule_id"]: (r["n_checked"], r["n_failed"], r["pass"])
+        for r in store.merged_verdicts(spark).collect()
+    }
+    scratch_df = table.read(spark)
+    scratch = {
+        r["rule_id"]: (r["n_checked"], r["n_failed"], r["pass"])
+        for r in Validator(SPEC).validate(scratch_df).verdicts().collect()
+    }
+    assert merged == scratch
+    assert merged["required:$.image_id"][0] == N1 + N2
+
+
+def test_hll_merge_close_to_exact(spark, tmp_path, table):
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    validate_resumable(spark, table, SPEC, store, sketch_columns=["image_id"])
+    table.append(
+        synth.generate_spark(spark, N2, seed=42, start=N1, partitions=4), "snap_b"
+    )
+    validate_resumable(spark, table, SPEC, store, sketch_columns=["image_id"])
+    est = {
+        r["column"]: r["n_distinct"] for r in store.merged_distinct(spark).collect()
+    }["image_id"]
+    exact = table.read(spark).select("image_id").distinct().count()
+    assert abs(est - exact) / exact < 0.05  # lg_k=12 → ~1.6% rsd
+
+
+def test_snapshot_isolation_and_as_of(spark, tmp_path, table):
+    table.append(
+        synth.generate_spark(spark, N2, seed=42, start=N1, partitions=4), "snap_b"
+    )
+    assert table.read(spark, as_of="snap_a").count() == N1
+    assert table.read(spark).count() == N1 + N2
+    with pytest.raises(ValueError, match="already exists"):
+        table.append(synth.generate_spark(spark, 10, seed=42), "snap_a")
