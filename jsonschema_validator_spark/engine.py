@@ -107,6 +107,16 @@ class ValidationResult:
         spec order, with ``required`` first (validator.go:327-353).
         """
         include = list(include or [])
+        if not self.compiled.checks:
+            # zero compiled checks (e.g. spec of standalone if/then/else
+            # no-ops) — empty violation set with the stable 5-column schema
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            inc_fields = list(self.df.select(*include).schema) if include else []
+            schema = StructType(
+                inc_fields + [StructField(f, StringType()) for f in VIOLATION_FIELDS]
+            )
+            return self.df.sparkSession.createDataFrame([], schema)
         checks = self._checks_array()
         failed = F.filter(checks, lambda c: ~c["ok"])
         if self.stop_on_first_error:

@@ -116,7 +116,7 @@ def compile_items(col: Column, spec_value, path: str, ctx: CompileContext) -> li
                     path=path_col,
                     predicate=pred,
                     message=f"array item validation failed for keyword '{keyword}'",
-                    value=F.element_at(col, first_bad).cast("string"),
+                    value=F.element_at(col, first_bad.cast("int")).cast("string"),
                 )
             )
     elif isinstance(spec_value, (list, tuple)):

@@ -34,7 +34,18 @@ def compile_subschema(
     """
     if not isinstance(subspec, dict):
         raise base.SpecError("schema must be an object")
-    sub_ctx = base.CompileContext(mode=ctx.mode, dtype=dtype if dtype is not None else ctx.dtype)
+    sub_ctx = base.CompileContext(
+        mode=ctx.mode,
+        dtype=dtype if dtype is not None else ctx.dtype,
+        # keep the resolved DataType object: struct/map object keywords in the
+        # sub-spec need it for static field introspection
+        datatype=ctx.datatype,
+        # additionalProperties must see its sibling properties /
+        # patternProperties (the reference threads them via context values,
+        # object_patterns.go:71-72) — at ANY nesting level
+        sibling_properties=subspec.get("properties"),
+        sibling_pattern_properties=subspec.get("patternProperties"),
+    )
     checks: list[base.Check] = []
     for keyword, value in subspec.items():
         if keyword in ANNOTATION_KEYWORDS:
