@@ -10,6 +10,7 @@ embeddings are pre-registered views).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -218,6 +219,87 @@ def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+# ---------------------------------------------------------------------------
+# image-caption flagship (BASELINE.json north rule). The table is synthesized
+# deterministically in-query (no external data); the oracle is an independent
+# pandas/numpy re-implementation rendered as DuckDB VALUES literals
+# (jsonschema_validator_spark/oracle.py).
+# ---------------------------------------------------------------------------
+
+_IMAGES_N = 4000
+
+
+def _images(spark: SparkSession, n: int = _IMAGES_N, seed: int = 42):
+    from jsonschema_validator_spark.sources import synth
+
+    return synth.generate_spark(spark, n, seed=seed, partitions=8)
+
+
+def q_images_suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: ALL north-rule check families over the image-caption
+    table — keyword, uniqueness (salted), referential (broadcast), drift
+    (same-seed baseline), decode invariant — in one verdicts table."""
+    from jsonschema_validator_spark.pipeline import ImageValidationSuite
+    from jsonschema_validator_spark.sources import synth
+
+    df = _images(spark)
+    return ImageValidationSuite(
+        df,
+        dim_formats=synth.dim_formats(spark),
+        baseline=_images(spark),
+    ).suite_verdicts()
+
+
+def q_images_drift_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS + PSI between the base table and a distribution-shifted twin."""
+    from jsonschema_validator_spark.pipeline import ImageValidationSuite
+    from jsonschema_validator_spark.sources import synth
+
+    base = _images(spark)
+    drifted = synth.generate_drifted_spark(spark, _IMAGES_N, partitions=8)
+    s = ImageValidationSuite(drifted, baseline=base, decode=False)
+    return s.drift().select(
+        "column", F.round("ks", 6).alias("ks"), F.round("psi", 6).alias("psi")
+    )
+
+
+def q_images_decode_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode invariant violations (truncated payloads + dim
+    mismatches), counted per tag."""
+    from jsonschema_validator_spark.pipeline import ImageValidationSuite
+
+    viol = ImageValidationSuite(_images(spark)).decode_violations()
+    return viol.groupBy("tag").agg(F.count(F.lit(1)).alias("n_violations"))
+
+
+def q_images_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/resume: validate 2 snapshots, append a 3rd, resume (only
+    the new snapshot is scanned), return merged table-level verdicts."""
+    import shutil
+    import tempfile
+
+    from jsonschema_validator_spark.checkpoint import CheckpointStore, validate_resumable
+    from jsonschema_validator_spark.pipeline import IMAGES_SPEC
+    from jsonschema_validator_spark.sources import synth
+    from jsonschema_validator_spark.sources.tables import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="jsv_ckpt_")
+    try:
+        tbl = SnapshotTable(os.path.join(root, "tbl"))
+        for s in range(2):
+            tbl.append(_images(spark, n=1000, seed=42 + s))
+        store = CheckpointStore(os.path.join(root, "store"))
+        validate_resumable(spark, tbl, IMAGES_SPEC, store)
+        tbl.append(_images(spark, n=1000, seed=45))
+        report = validate_resumable(spark, tbl, IMAGES_SPEC, store)
+        assert len(report["validated_snapshots"]) == 1  # resume skipped 2
+        out = store.merged_verdicts(spark).orderBy("rule_id")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmpdir
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonschema_validator_spark.operators.similarity import ann_topk
 
@@ -248,6 +330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "simhash_neardups": q_simhash_neardups,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "images_suite_verdicts": q_images_suite_verdicts,
+        "images_drift_shifted": q_images_drift_shifted,
+        "images_decode_violations": q_images_decode_violations,
+        "images_checkpoint_resume": q_images_checkpoint_resume,
     }
 
 
@@ -539,8 +625,40 @@ SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rank FROM r WHERE rk <
 """
 
 
+def _image_oracles() -> dict[str, str]:
+    """Oracle SQL for the synthesized image-caption queries: DuckDB VALUES
+    literals produced by the independent pandas/numpy implementation in
+    jsonschema_validator_spark/oracle.py (see its module docstring)."""
+    from jsonschema_validator_spark import oracle as o
+
+    n = _IMAGES_N
+    return {
+        "images_suite_verdicts": o.values_sql(
+            o.suite_verdict_rows(n),
+            ["family", "rule_id", "n_checked", "n_failed", "pass"],
+            ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT", "BOOLEAN"],
+        ),
+        "images_drift_shifted": o.values_sql(
+            o.drift_rows(n),
+            ["column", "ks", "psi"],
+            ["VARCHAR", "DOUBLE", "DOUBLE"],
+        ),
+        "images_decode_violations": o.values_sql(
+            o.decode_violation_rows(n),
+            ["tag", "n_violations"],
+            ["VARCHAR", "BIGINT"],
+        ),
+        "images_checkpoint_resume": o.values_sql(
+            o.merged_verdict_rows([(1000, 42), (1000, 43), (1000, 45)]),
+            ["rule_id", "tag", "n_checked", "n_failed", "pass"],
+            ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT", "BOOLEAN"],
+        ),
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        **_image_oracles(),
         "validate_lineitem_verdicts": _LINEITEM_VERDICT_SQL,
         "validate_orders_violations": _ORDERS_VIOLATIONS_SQL,
         "validate_events_verdicts": _EVENTS_VERDICT_SQL,

@@ -1,0 +1,202 @@
+"""Independent pandas/numpy oracle for the image-caption flagship queries.
+
+The driver's DuckDB oracle can only see its own TPC-H-ish views — the
+image-caption table (BASELINE.json input_hint) is synthesized. So the oracle
+SQL for image queries is a VALUES literal produced HERE by a second,
+independent implementation of every check: plain pandas/numpy over the
+generator's pandas twin (`sources.synth.generate_pandas`), no Spark, no
+engine code. Spark pipeline vs pandas oracle therefore cross-checks two
+implementations end-to-end, the same way the lineitem queries cross-check
+Spark vs DuckDB SQL.
+
+Determinism: the generator is a pure function of (seed, i) and every check
+below is exact integer arithmetic (or float with identical operation order),
+so the emitted literals are stable across runs/machines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+ID_PATTERN = r"^img-[0-9]{12}$"
+FMT_ENUM = ("png", "jpeg", "webp")
+
+
+def _fails(df: pd.DataFrame) -> dict[str, int]:
+    """Per-rule failure counts for pipeline.IMAGES_SPEC, computed with plain
+    pandas (independent of the Spark predicate compiler)."""
+    n = len(df)
+    cap = df["caption"]
+    cap_len = cap.str.len()
+    out = {
+        "required:$.image_id": int(df["image_id"].isna().sum()),
+        "required:$.bytes": int(df["bytes"].isna().sum()),
+        "required:$.phash": int(df["phash"].isna().sum()),
+        "type:$.image_id": 0,  # static dtype matches
+        "pattern:$.image_id": int(
+            (~df["image_id"].str.match(ID_PATTERN, na=False) & df["image_id"].notna()).sum()
+        ),
+        "type:$.w": 0,
+        "minimum:$.w": int((df["w"] < 1).sum()),
+        "maximum:$.w": int((df["w"] > 16384).sum()),
+        "type:$.h": 0,
+        "minimum:$.h": int((df["h"] < 1).sum()),
+        "maximum:$.h": int((df["h"] > 16384).sum()),
+        "enum:$.fmt": int((~df["fmt"].isin(FMT_ENUM) & df["fmt"].notna()).sum()),
+        "type:$.caption": 0,
+        "minLength:$.caption": int((cap_len < 1).sum()),
+        "maxLength:$.caption": int((cap_len > 200).sum()),
+    }
+    assert n  # non-empty by construction
+    return out
+
+
+def _dup_rows(s: pd.Series) -> int:
+    c = s.value_counts()
+    return int(c[c > 1].sum())
+
+
+def _decode_counts(df: pd.DataFrame) -> tuple[int, int]:
+    """(n_decode_failures, n_dim_mismatches) via the codec directly."""
+    from jsonschema_validator_spark.sources.codecs import decode_image
+
+    n_fail = 0
+    n_mism = 0
+    for _, row in df.iterrows():
+        try:
+            px = decode_image(bytes(row["bytes"]))
+        except ValueError:
+            n_fail += 1
+            continue
+        h, w, _ = px.shape
+        if pd.notna(row["w"]) and pd.notna(row["h"]) and (
+            int(row["w"]) != w or int(row["h"]) != h
+        ):
+            n_mism += 1
+    return n_fail, n_mism
+
+
+def suite_verdict_rows(n: int, seed: int = 42) -> list[tuple]:
+    """Expected (family, rule_id, n_checked, n_failed, pass) rows for
+    ImageValidationSuite.suite_verdicts() with a same-seed baseline."""
+    from jsonschema_validator_spark.sources.synth import generate_pandas
+
+    df = generate_pandas(n, seed=seed)
+    rows: list[tuple] = []
+    for rid, f in _fails(df).items():
+        rows.append(("keyword", rid, n, f, f == 0))
+
+    u_id = _dup_rows(df["image_id"])
+    u_ph = _dup_rows(df["phash"])
+    rows.append(("uniqueness", "unique:image_id", n, u_id, u_id == 0))
+    rows.append(("uniqueness", "unique:phash", n, u_ph, u_ph == 0))
+
+    orphans = int((~df["fmt"].isin(FMT_ENUM)).sum())
+    rows.append(("referential", "ref:fmt->dim_formats.fmt", n, orphans, orphans == 0))
+
+    # baseline == same generator → identical histograms → KS = 0 → pass
+    rows.append(("drift", "drift:w", None, None, True))
+    rows.append(("drift", "drift:h", None, None, True))
+
+    n_fail, n_mism = _decode_counts(df)
+    rows.append(("image", "image:decode", n, n_fail, n_fail == 0))
+    rows.append(("image", "image:dims", n, n_mism, n_mism == 0))
+    return rows
+
+
+def _bucketize(x: np.ndarray, lo: float, hi: float, nb: int) -> np.ndarray:
+    """width_bucket semantics: 1..nb in range, 0 below, nb+1 above."""
+    step = (hi - lo) / nb
+    b = np.floor((x - lo) / step).astype(np.int64) + 1
+    return np.clip(b, 0, nb + 1)
+
+
+def ks_psi(
+    a: np.ndarray, b: np.ndarray, lo: float, hi: float, nb: int, eps: float = 1e-6
+) -> tuple[float, float]:
+    """KS + PSI over bucketed histograms — mirrors operators/drift.py
+    arithmetic (coalesce-0 shares, cumsum in bucket order; PSI clamps shares
+    at eps) with numpy in the same operation order."""
+    a = a[~np.isnan(a)]
+    b = b[~np.isnan(b)]
+    buckets = sorted(
+        set(_bucketize(a, lo, hi, nb)) | set(_bucketize(b, lo, hi, nb))
+    )
+    ba = _bucketize(a, lo, hi, nb)
+    bb = _bucketize(b, lo, hi, nb)
+    pa = np.array([(ba == k).sum() / len(ba) for k in buckets])
+    pb = np.array([(bb == k).sum() / len(bb) for k in buckets])
+    ks = float(np.max(np.abs(np.cumsum(pa) - np.cumsum(pb))))
+    ca = np.maximum(pa, eps)
+    cb = np.maximum(pb, eps)
+    psi = float(np.sum((ca - cb) * np.log(ca / cb)))
+    return ks, psi
+
+
+def drift_rows(n: int, lo=0.5, hi=128.5, nb=128) -> list[tuple]:
+    """Expected (column, ks, psi) for drifted-vs-base on w and h."""
+    from jsonschema_validator_spark.sources.synth import generate_pandas
+
+    base = generate_pandas(n, seed=42)
+    drifted = generate_pandas(n, seed=43)
+    rows = []
+    for c in ("w", "h"):
+        a = base[c].to_numpy(dtype=float, na_value=np.nan)
+        d = drifted[c].to_numpy(dtype=float, na_value=np.nan)
+        d = np.floor(d / 2)  # generate_drifted_spark halves dims (int cast)
+        ks, psi = ks_psi(a, d, lo, hi, nb)
+        rows.append((c, round(ks, 6), round(psi, 6)))
+    return rows
+
+
+def decode_violation_rows(n: int, seed: int = 42) -> list[tuple]:
+    """Expected (tag, n_violations) for the decode-invariant query."""
+    from jsonschema_validator_spark.sources.synth import generate_pandas
+
+    n_fail, n_mism = _decode_counts(generate_pandas(n, seed=seed))
+    return [("decode", n_fail), ("dims", n_mism)]
+
+
+def merged_verdict_rows(runs: list[tuple[int, int]]) -> list[tuple]:
+    """Expected (rule_id, tag, n_checked, n_failed, pass) after merging
+    keyword verdicts across several snapshots [(n, seed), ...] — the
+    checkpoint store's algebraic merge is a plain sum per rule."""
+    from jsonschema_validator_spark.sources.synth import generate_pandas
+
+    totals: dict[str, int] = {}
+    n_total = 0
+    for n, seed in runs:
+        df = generate_pandas(n, seed=seed)
+        for rid, f in _fails(df).items():
+            totals[rid] = totals.get(rid, 0) + f
+        n_total += n
+    return [
+        (rid, rid.split(":", 1)[0], n_total, f, f == 0)
+        for rid, f in sorted(totals.items())
+    ]
+
+
+# ---------------------------------------------------------------------------
+# SQL literal rendering
+# ---------------------------------------------------------------------------
+
+
+def _lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def values_sql(rows: list[tuple], columns: list[str], types: list[str]) -> str:
+    """Render rows as a DuckDB VALUES table with explicit column types."""
+    body = ",\n".join("(" + ", ".join(_lit(v) for v in r) + ")" for r in rows)
+    sel = ", ".join(
+        f'CAST("{c}" AS {t}) AS "{c}"' for c, t in zip(columns, types)
+    )
+    cols = ", ".join(f'"{c}"' for c in columns)
+    return f"SELECT {sel} FROM (VALUES\n{body}\n) AS t({cols})"

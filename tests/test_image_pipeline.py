@@ -1,0 +1,110 @@
+"""End-to-end flagship: ImageValidationSuite over the deterministic synth
+table — every family's verdict asserted at EXACT injected counts
+(FIXTURES.md schedules in sources/synth.py)."""
+
+import pytest
+
+from jsonschema_validator_spark.pipeline import ImageValidationSuite
+from jsonschema_validator_spark.sources import synth
+
+N = 4000
+
+
+@pytest.fixture(scope="module")
+def suite(spark):
+    df = synth.generate_spark(spark, N, seed=42, partitions=8)
+    base = synth.generate_spark(spark, N, seed=42, partitions=8)
+    return ImageValidationSuite(
+        df, dim_formats=synth.dim_formats(spark), baseline=base
+    )
+
+
+@pytest.fixture(scope="module")
+def verdict_map(suite):
+    rows = suite.suite_verdicts().collect()
+    return {r["rule_id"]: r.asDict() for r in rows}
+
+
+def test_keyword_family_exact_counts(verdict_map):
+    v = verdict_map
+    # pattern on image_id: N/1000 malformed ("BAD i")
+    assert v["pattern:$.image_id"]["n_failed"] == N // 1000
+    # w out of range: 3 residues per 1000 → 12 at N=4000, minus overlap with
+    # null-dim schedule; w minimum counts only even-indexed (w=0) rows
+    bad_w = sum(
+        1
+        for i in range(N)
+        if (i % 1000 in (17, 18, 19)) and not (i % 1000 == 23) and i % 2 == 0
+    )
+    assert v["minimum:$.w"]["n_failed"] == bad_w
+    # fmt enum: N/200 'bmp'
+    assert v["enum:$.fmt"]["n_failed"] == N // 200
+    # caption maxLength: N/250 long (minus any that later became empty/null)
+    long_caps = sum(
+        1
+        for i in range(N)
+        if i % 250 == 5 and i % 500 != 9 and i % 1000 != 21
+    )
+    assert v["maxLength:$.caption"]["n_failed"] == long_caps
+    # caption minLength: empty captions (minus nulls)
+    empty = sum(1 for i in range(N) if i % 500 == 9 and i % 1000 != 21)
+    assert v["minLength:$.caption"]["n_failed"] == empty
+    # required caption is NOT in the spec; required phash/image_id/bytes never null
+    assert v["required:$.image_id"]["n_failed"] == 0
+    assert v["required:$.phash"]["n_failed"] == 0
+
+
+def test_uniqueness_family(verdict_map):
+    v = verdict_map
+    # image_id dups: N/200 rows duplicate the previous row's id → 2 rows per
+    # dup key involved
+    dup_ids = N // 200
+    assert v["unique:image_id"]["n_failed"] == 2 * dup_ids
+    assert not v["unique:image_id"]["pass"]
+    # phash: 8 hot values × (N/20/8) rows each + N/100 dup pairs
+    assert not v["unique:phash"]["pass"]
+    assert v["unique:phash"]["n_failed"] >= N // 20
+
+
+def test_referential_family(verdict_map):
+    v = verdict_map["ref:fmt->dim_formats.fmt"]
+    assert v["n_failed"] == N // 200  # the injected 'bmp' rows
+    assert not v["pass"]
+
+
+def test_drift_family_same_distribution_passes(verdict_map):
+    # baseline is the SAME generator seed → no drift
+    assert verdict_map["drift:w"]["pass"]
+    assert verdict_map["drift:h"]["pass"]
+
+
+def test_drift_detects_shifted_distribution(spark):
+    df = synth.generate_spark(spark, N, seed=42, partitions=8)
+    drifted = synth.generate_drifted_spark(spark, N, partitions=8)
+    s = ImageValidationSuite(drifted, baseline=df, decode=False)
+    d = {r["column"]: r.asDict() for r in s.drift().collect()}
+    assert d["w"]["ks"] > 0.2  # halved dims → strong shift
+    assert d["w"]["psi"] > 0.2
+
+
+def test_image_family_decode_and_dims(verdict_map):
+    v = verdict_map
+    assert v["image:decode"]["n_failed"] == N // 500  # truncated payloads
+    # dim mismatches come from TWO injections: the encode-dims schedule AND
+    # the out-of-range w rows (declared 0/20000 while the payload decodes to
+    # the true dims) — minus null-dim rows and truncated payloads
+    mism = sum(
+        1
+        for i in range(N)
+        if (i % 500 == 211 or i % 1000 in (17, 18, 19))
+        and i % 500 != 11
+        and i % 1000 != 23
+    )
+    assert v["image:dims"]["n_failed"] == mism
+
+
+def test_suite_shape(suite):
+    df = suite.suite_verdicts()
+    assert df.columns == ["family", "rule_id", "n_checked", "n_failed", "pass"]
+    fams = {r["family"] for r in df.select("family").distinct().collect()}
+    assert fams == {"keyword", "uniqueness", "referential", "drift", "image"}
