@@ -152,30 +152,32 @@ class ValidationResult:
             aggs.append(F.sum((~c.predicate).cast("long")).alias(f"_f{i}"))
         agged = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
 
-        # unpivot the per-rule sums: map(rule_idx -> fails) → explode
-        entries = []
-        for i, _ in enumerate(self.compiled.checks):
-            entries.append(F.lit(i))
-            entries.append(F.col(f"_f{i}"))
-        m = F.create_map(*entries)
+        # unpivot the per-rule sums: array<struct(rule_id,tag,n_failed)> →
+        # explode. rule_id/tag are literals baked into the projection — no
+        # side meta DataFrame, no broadcast join (keeps the plan small: plan
+        # ANALYSIS is a per-query driver cost, and the join bought nothing)
+        entries = [
+            F.struct(
+                F.lit(c.rule_id).alias("rule_id"),
+                F.lit(c.tag).alias("tag"),
+                F.col(f"_f{i}").alias("n_failed"),
+            )
+            for i, c in enumerate(self.compiled.checks)
+        ]
         base_cols = [c for c in (partition_by or [])] + (
             ["_pid"] if use_spark_partition_id else []
         )
         exploded = agged.select(
-            *base_cols, F.col("_n"), F.explode(m).alias("_idx", "n_failed")
+            *base_cols, F.col("_n"), F.explode(F.array(*entries)).alias("_v")
         )
-        meta = [(i, c.rule_id, c.tag) for i, c in enumerate(self.compiled.checks)]
-        spark = self.df.sparkSession
-        meta_df = spark.createDataFrame(meta, ["_idx", "rule_id", "tag"])
         warn = self.compiled.spec.mode == ValidationMode.WARN
-        out = (
-            exploded.join(F.broadcast(meta_df), "_idx")
-            .withColumn("n_checked", F.col("_n"))
-            .withColumn(
-                "pass",
-                F.lit(True) if warn else (F.col("n_failed") == 0),
-            )
-            .select(*base_cols, "rule_id", "tag", "n_checked", "n_failed", "pass")
+        out = exploded.select(
+            *base_cols,
+            F.col("_v.rule_id").alias("rule_id"),
+            F.col("_v.tag").alias("tag"),
+            F.col("_n").alias("n_checked"),
+            F.col("_v.n_failed").alias("n_failed"),
+            (F.lit(True) if warn else (F.col("_v.n_failed") == 0)).alias("pass"),
         )
         if use_spark_partition_id:
             out = out.withColumnRenamed("_pid", "partition_id")

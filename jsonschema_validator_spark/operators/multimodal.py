@@ -21,6 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Optional
 
 import numpy as np
@@ -146,39 +147,164 @@ def image_invariant_violations(
         F.col(h_col).alias("_h"),
     )
     j = _decode_with_declared(sel)
-    decode_viol = j.filter(~F.col("decode_ok")).select(
-        F.col("image_id"),
+    # BOTH violation kinds from ONE pass over the decode output: a unionAll
+    # of two filters would execute the decode UDF twice (each union branch
+    # is its own subtree — Spark does not share the common scan+UDF)
+    decode_struct = F.struct(
         F.lit("$.bytes").alias("path"),
-        F.concat(F.lit("image payload failed to decode: "), F.col("decode_error")).alias(
-            "message"
-        ),
+        F.concat(
+            F.lit("image payload failed to decode: "), F.col("decode_error")
+        ).alias("message"),
         F.lit(None).cast("string").alias("value"),
         F.lit("decode").alias("tag"),
         F.lit("").alias("param"),
     )
-    dims_viol = (
-        j.filter(
-            F.col("decode_ok")
-            & F.col("_w").isNotNull()
-            & F.col("_h").isNotNull()
-            & ((F.col("dec_w") != F.col("_w")) | (F.col("dec_h") != F.col("_h")))
-        )
-        .select(
-            F.col("image_id"),
-            F.lit("$.bytes").alias("path"),
-            F.format_string(
-                "decoded dimensions %dx%d do not match declared %dx%d",
-                F.col("dec_w"),
-                F.col("dec_h"),
-                F.col("_w"),
-                F.col("_h"),
-            ).alias("message"),
-            F.lit(None).cast("string").alias("value"),
-            F.lit("dims").alias("tag"),
-            F.lit("").alias("param"),
-        )
+    dims_struct = F.struct(
+        F.lit("$.bytes").alias("path"),
+        F.format_string(
+            "decoded dimensions %dx%d do not match declared %dx%d",
+            F.col("dec_w"),
+            F.col("dec_h"),
+            F.col("_w"),
+            F.col("_h"),
+        ).alias("message"),
+        F.lit(None).cast("string").alias("value"),
+        F.lit("dims").alias("tag"),
+        F.lit("").alias("param"),
     )
-    return decode_viol.unionAll(dims_viol)
+    dims_bad = (
+        F.col("decode_ok")
+        & F.col("_w").isNotNull()
+        & F.col("_h").isNotNull()
+        & ((F.col("dec_w") != F.col("_w")) | (F.col("dec_h") != F.col("_h")))
+    )
+    arr = F.filter(
+        F.array(
+            F.when(~F.col("decode_ok"), decode_struct),
+            F.when(dims_bad, dims_struct),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return j.select("image_id", F.explode(arr).alias("_v")).select(
+        "image_id", "_v.path", "_v.message", "_v.value", "_v.tag", "_v.param"
+    )
+
+
+# ---------------------------------------------------------------------------
+# direct-read decode: the scale path for wide binary columns
+# ---------------------------------------------------------------------------
+#
+# Shipping a multi-KB binary column from the JVM scan through the Arrow
+# socket into Python costs more than the decode itself (measured here:
+# a pure passthrough of the bytes column runs ~3x slower than reading the
+# same files directly with pyarrow C++ inside the Python task). So the
+# scale path distributes FILES as work units: each task reads its parquet
+# file(s) with pyarrow (column-pruned to exactly what the check needs) and
+# decodes zero-copy buffer slices. This is the standard architecture of
+# production multimodal pipelines (the bytes never round-trip through the
+# JVM), and on a cluster the same pattern reads from the object store; the
+# file list would come from the table's manifest (Iceberg data files).
+
+
+def _file_units(spark, path: str, files_per_task: int = 1) -> "DataFrame":
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    units = [
+        (files[i : i + files_per_task],)
+        for i in range(0, len(files), files_per_task)
+    ]
+    return spark.createDataFrame(units, "files array<string>").repartition(len(units))
+
+
+def _iter_binary_rows(table, bytes_col: str):
+    """Yield (row_index, memoryview_or_None) over a pyarrow table column —
+    zero-copy slices of the value buffer."""
+    idx = 0
+    for chunk in table.column(bytes_col).chunks:
+        if chunk.null_count:
+            for i in range(len(chunk)):
+                v = chunk[i].as_py()
+                yield idx + i, (memoryview(v) if v is not None else None)
+        else:
+            bufs = chunk.buffers()
+            off = np.frombuffer(bufs[1], dtype=np.int32, count=len(chunk) + 1)
+            # cast to unsigned so slices compare equal to bytes literals
+            # (pyarrow buffers expose signed 'b'-format memoryviews)
+            mv = memoryview(bufs[2]).cast("B")
+            for i in range(len(chunk)):
+                yield idx + i, mv[off[i] : off[i + 1]]
+        idx += len(chunk)
+
+
+def image_invariant_violations_files(
+    spark,
+    path: str,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    w_col: str = "w",
+    h_col: str = "h",
+    files_per_task: int = 1,
+) -> DataFrame:
+    """Same output as :func:`image_invariant_violations`, but each Spark
+    task reads its parquet files directly with pyarrow (see module note)."""
+    import pyarrow.parquet as pq
+
+    from jsonschema_validator_spark.sources.codecs import decode_image
+
+    units = _file_units(spark, path, files_per_task)
+    cols = [id_col, bytes_col, w_col, h_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows: dict = {
+                "image_id": [], "path": [], "message": [],
+                "value": [], "tag": [], "param": [],
+            }
+            for files in b["files"]:
+                for f in files:
+                    t = pq.read_table(f, columns=cols, use_threads=False)
+                    ids = t.column(id_col)
+                    ws = t.column(w_col).to_numpy(zero_copy_only=False)
+                    hs = t.column(h_col).to_numpy(zero_copy_only=False)
+                    for i, mv in _iter_binary_rows(t, bytes_col):
+                        try:
+                            px = decode_image(mv)
+                        except ValueError as exc:
+                            rows["image_id"].append(ids[i].as_py())
+                            rows["path"].append("$.bytes")
+                            rows["message"].append(
+                                f"image payload failed to decode: {str(exc)[:200]}"
+                            )
+                            rows["value"].append(None)
+                            rows["tag"].append("decode")
+                            rows["param"].append("")
+                            continue
+                        h, w, _ = px.shape
+                        dw, dh = ws[i], hs[i]
+                        if (
+                            not np.isnan(dw)
+                            and not np.isnan(dh)
+                            and (int(dw) != w or int(dh) != h)
+                        ):
+                            rows["image_id"].append(ids[i].as_py())
+                            rows["path"].append("$.bytes")
+                            rows["message"].append(
+                                f"decoded dimensions {w}x{h} do not match "
+                                f"declared {int(dw)}x{int(dh)}"
+                            )
+                            rows["value"].append(None)
+                            rows["tag"].append("dims")
+                            rows["param"].append("")
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "image_id string, path string, message string, value string, "
+        "tag string, param string"
+    )
+    return units.mapInPandas(run, schema=schema)
 
 
 def psnr_vs_reference(

@@ -108,3 +108,26 @@ def test_suite_shape(suite):
     assert df.columns == ["family", "rule_id", "n_checked", "n_failed", "pass"]
     fams = {r["family"] for r in df.select("family").distinct().collect()}
     assert fams == {"keyword", "uniqueness", "referential", "drift", "image"}
+
+
+def test_direct_read_decode_matches_channel(spark, tmp_path):
+    """The direct-parquet-read decode (scale path) must emit EXACTLY the
+    violations of the Arrow-channel version."""
+    from jsonschema_validator_spark.operators.multimodal import (
+        image_invariant_violations,
+        image_invariant_violations_files,
+    )
+
+    p = str(tmp_path / "imgs")
+    synth.generate_spark(spark, 2000, seed=42, partitions=4).write.parquet(p)
+    df = spark.read.parquet(p)
+    a = sorted(
+        (r["image_id"], r["tag"], r["message"])
+        for r in image_invariant_violations(df).collect()
+    )
+    b = sorted(
+        (r["image_id"], r["tag"], r["message"])
+        for r in image_invariant_violations_files(spark, p).collect()
+    )
+    assert a == b
+    assert len(a) > 0
