@@ -219,6 +219,75 @@ def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+PART_SPEC = {
+    "properties": {
+        # composite keywords (SURVEY.md §2.1 #25-30) over part
+        "p_size": {"allOf": [{"minimum": 1}, {"maximum": 25}]},
+        "p_retailprice": {"not": {"maximum": 1000}},
+        "p_brand": {"pattern": "^Brand#[0-9]$"},
+        "p_type": {"oneOf": [{"pattern": "^S"}, {"enum": ["PROMO", "ECONOMY", "SMALL"]}]},
+    },
+}
+
+CUSTOMER_COND_SPEC = {
+    "properties": {
+        # the WORKING conditional (conditional_rules.go:134-245):
+        # if acctbal >= 0 then <= 5000 else >= -500
+        "c_acctbal": {
+            "conditional": {
+                "if": {"minimum": 0},
+                "then": {"maximum": 5000},
+                "else": {"minimum": -500},
+            }
+        },
+        "c_mktsegment": {
+            "anyOf": [{"enum": ["BUILDING", "MACHINERY"]}, {"pattern": "MOB"}]
+        },
+    },
+}
+
+
+def q_validate_part_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """allOf / not / oneOf / pattern violations with reference messages."""
+    from jsonschema_validator_spark import Validator
+
+    df = _t(spark, sf_dir, "part")
+    return Validator(PART_SPEC).validate(df).violations(include=["p_partkey"])
+
+
+def q_validate_customer_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """conditional {if,then,else} + anyOf verdicts."""
+    from jsonschema_validator_spark import Validator
+
+    df = _t(spark, sf_dir, "customer")
+    return Validator(CUSTOMER_COND_SPEC).validate(df).verdicts()
+
+
+def q_events_dependencies_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dependencies (array form) at the row-object root: props ⇒ user_id."""
+    from jsonschema_validator_spark import Validator
+
+    df = _t(spark, sf_dir, "events")
+    spec = {"dependencies": {"props": ["user_id", "event_type"]}}
+    return Validator(spec).validate(df).verdicts()
+
+
+def q_violations_topk_per_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violation SAMPLING: cap emitted rows at top-5 per rule via a window
+    (SURVEY.md §2.5 'Windows/sorts/top-k')."""
+    from pyspark.sql import Window
+    from jsonschema_validator_spark import Validator
+
+    df = _t(spark, sf_dir, "orders")
+    viol = Validator(ORDERS_SPEC).validate(df).violations(include=["o_orderkey"])
+    w = Window.partitionBy("tag").orderBy("o_orderkey")
+    return (
+        viol.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("tag", "o_orderkey", "path", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # image-caption flagship (BASELINE.json north rule). The table is synthesized
 # deterministically in-query (no external data); the oracle is an independent
@@ -330,6 +399,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "simhash_neardups": q_simhash_neardups,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "validate_part_composite": q_validate_part_composite,
+        "validate_customer_conditional": q_validate_customer_conditional,
+        "events_dependencies_verdict": q_events_dependencies_verdict,
+        "violations_topk_per_rule": q_violations_topk_per_rule,
         "images_suite_verdicts": q_images_suite_verdicts,
         "images_drift_shifted": q_images_drift_shifted,
         "images_decode_violations": q_images_decode_violations,
@@ -625,6 +698,83 @@ SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rank FROM r WHERE rk <
 """
 
 
+_PART_COMPOSITE_SQL = """
+SELECT p_partkey, '$.p_size' AS path,
+       CASE WHEN p_size < 1
+            THEN 'failed to validate against schema at allOf[0] for keyword ''minimum'''
+            ELSE 'failed to validate against schema at allOf[1] for keyword ''maximum''' END AS message,
+       CAST(p_size AS VARCHAR) AS value, 'allOf' AS tag, '' AS param
+FROM part WHERE p_size IS NOT NULL AND NOT (p_size >= 1 AND p_size <= 25)
+UNION ALL
+SELECT p_partkey, '$.p_retailprice',
+       'value must not validate against the schema in not',
+       CAST(p_retailprice AS VARCHAR), 'not', ''
+FROM part WHERE p_retailprice IS NOT NULL AND p_retailprice <= 1000
+UNION ALL
+SELECT p_partkey, '$.p_brand',
+       'does not match pattern ^Brand#[0-9]$',
+       p_brand, 'pattern', '^Brand#[0-9]$'
+FROM part WHERE p_brand IS NOT NULL AND NOT regexp_matches(p_brand, '^Brand#[0-9]$')
+UNION ALL
+SELECT p_partkey, '$.p_type',
+       CASE WHEN (CASE WHEN regexp_matches(p_type, '^S') THEN 1 ELSE 0 END
+                + CASE WHEN p_type IN ('PROMO','ECONOMY','SMALL') THEN 1 ELSE 0 END) > 1
+            THEN 'value matches more than one schema in oneOf'
+            ELSE 'value does not match any schema in oneOf' END,
+       p_type, 'oneOf', ''
+FROM part
+WHERE p_type IS NOT NULL
+  AND (CASE WHEN regexp_matches(p_type, '^S') THEN 1 ELSE 0 END
+     + CASE WHEN p_type IN ('PROMO','ECONOMY','SMALL') THEN 1 ELSE 0 END) <> 1
+"""
+
+_CUSTOMER_COND_SQL = """
+SELECT 'conditional:$.c_acctbal' AS rule_id, 'conditional' AS tag,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(COALESCE(sum(CASE WHEN c_acctbal IS NOT NULL AND
+             (CASE WHEN c_acctbal >= 0 THEN c_acctbal > 5000
+                   ELSE c_acctbal < -500 END)
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_failed,
+       (COALESCE(sum(CASE WHEN c_acctbal IS NOT NULL AND
+             (CASE WHEN c_acctbal >= 0 THEN c_acctbal > 5000
+                   ELSE c_acctbal < -500 END)
+             THEN 1 ELSE 0 END), 0) = 0) AS pass
+FROM customer
+UNION ALL
+SELECT 'anyOf:$.c_mktsegment', 'anyOf',
+       CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum(CASE WHEN c_mktsegment IS NOT NULL
+             AND c_mktsegment NOT IN ('BUILDING','MACHINERY')
+             AND NOT regexp_matches(c_mktsegment, 'MOB') THEN 1 ELSE 0 END), 0) AS BIGINT),
+       (COALESCE(sum(CASE WHEN c_mktsegment IS NOT NULL
+             AND c_mktsegment NOT IN ('BUILDING','MACHINERY')
+             AND NOT regexp_matches(c_mktsegment, 'MOB') THEN 1 ELSE 0 END), 0) = 0)
+FROM customer
+"""
+
+_EVENTS_DEPS_SQL = """
+SELECT 'dependencies[props]:$' AS rule_id, 'dependencies' AS tag,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(COALESCE(sum(CASE WHEN props IS NOT NULL
+             AND (user_id IS NULL OR event_type IS NULL) THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_failed,
+       (COALESCE(sum(CASE WHEN props IS NOT NULL
+             AND (user_id IS NULL OR event_type IS NULL) THEN 1 ELSE 0 END), 0) = 0)
+           AS pass
+FROM events
+"""
+
+_TOPK_VIOL_SQL = f"""
+WITH v AS ({_ORDERS_VIOLATIONS_SQL})
+, r AS (
+  SELECT tag, o_orderkey, path,
+         row_number() OVER (PARTITION BY tag ORDER BY o_orderkey) AS rk
+  FROM v
+)
+SELECT tag, o_orderkey, path, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5
+"""
+
+
 def _image_oracles() -> dict[str, str]:
     """Oracle SQL for the synthesized image-caption queries: DuckDB VALUES
     literals produced by the independent pandas/numpy implementation in
@@ -676,6 +826,10 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_documents": _QUALITY_SQL,
         "langid_documents": _LANGID_SQL,
         "embedding_topk": _TOPK_SQL,
+        "validate_part_composite": _PART_COMPOSITE_SQL,
+        "validate_customer_conditional": _CUSTOMER_COND_SQL,
+        "events_dependencies_verdict": _EVENTS_DEPS_SQL,
+        "violations_topk_per_rule": _TOPK_VIOL_SQL,
         # minhash_candidates / simhash_neardups / ann_lsh_topk are
         # intentionally omitted: they rely on xxhash64 / seeded hyperplanes
         # not expressible in DuckDB → driver records rows-only checks.
