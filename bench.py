@@ -39,9 +39,9 @@ def build_spark(cpus: int):
         .master(f"local[{cpus}]")
         # FIXED across parallelism levels: shuffle partitioning is sized by
         # data volume, not core count (a real cluster would not re-tune it
-        # between N and 4N executors); 16 is right for the bench volumes,
-        # and >32 partitions measurably pathologizes tiny shuffles here
-        .config("spark.sql.shuffle.partitions", "16")
+        # between N and 4N executors); 32 fits the 2M-row scaling volume,
+        # and far larger values measurably pathologize tiny shuffles here
+        .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -53,6 +53,9 @@ def build_spark(cpus: int):
         # those stages parallel without drowning them in tiny tasks
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # shuffle/spill files on tmpfs: the sandbox root disk is slow enough
+        # to show up in small shuffle rounds (a cluster would have NVMe)
+        .config("spark.local.dir", "/dev/shm/spark-tmp")
         .getOrCreate()
     )
 
@@ -85,24 +88,29 @@ def images_flagship(spark, path: str):
     suite = ImageValidationSuite(
         df,
         dim_formats=synth.dim_formats(spark),
-        baseline=spark.read.parquet(path),
+        baseline=df,  # same table → drift is the no-drift control
         source_path=path,  # decode family: direct pyarrow file reads
+        cache_metadata=True,  # one in-memory metadata projection, 5 families
     )
     return suite.suite_verdicts()
 
 
-def run_scaling(levels=(8, 32), n: int = IMAGES_BENCH_N) -> dict:
+SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "4000000"))
+
+
+def run_scaling(levels=(4, 16), n: int = SCALING_N) -> dict:
     """North-rule scaling evidence: the SAME flagship job on the SAME input
     at two parallelism levels (sandbox stand-in for N vs 4N executors).
     Efficiency = R_4N / (4 × R_N) with R = validated rows/sec."""
     import subprocess
 
     results = {}
+    env = dict(os.environ, SPARK_GRAFT_IMAGES_N=str(n))
     for cpus in levels:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--images-only",
              "--cpus", str(cpus), "--runs", "2"],
-            capture_output=True, text=True, timeout=3600,
+            capture_output=True, text=True, timeout=3600, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         line = out.stdout.strip().splitlines()[-1]
@@ -148,7 +156,7 @@ def main() -> int:
         # generate the cache first (parent session), then measure in clean JVMs
         spark = build_spark(args.cpus)
         spark.sparkContext.setLogLevel("ERROR")
-        ensure_images(spark)
+        ensure_images(spark, SCALING_N)
         spark.stop()
         print(json.dumps(run_scaling()))
         return 0

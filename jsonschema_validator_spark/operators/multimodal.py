@@ -89,14 +89,15 @@ def _decode_with_declared(sel: DataFrame) -> DataFrame:
     from jsonschema_validator_spark.sources.codecs import decode_image
 
     schema = (
-        "image_id string, decode_ok boolean, dec_w int, dec_h int, "
-        "decode_error string, _w int, _h int"
+        "image_id string, decode_ok boolean, payload_null boolean, "
+        "dec_w int, dec_h int, decode_error string, _w int, _h int"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            ok, dw, dh, err = [], [], [], []
+            ok, nul, dw, dh, err = [], [], [], [], []
             for data in b["bytes"]:
+                nul.append(data is None)
                 try:
                     px = decode_image(bytes(data) if data is not None else None)
                     h, w, _ = px.shape
@@ -113,6 +114,7 @@ def _decode_with_declared(sel: DataFrame) -> DataFrame:
                 {
                     "image_id": b["image_id"],
                     "decode_ok": ok,
+                    "payload_null": nul,
                     "dec_w": dw,
                     "dec_h": dh,
                     "decode_error": err,
@@ -172,6 +174,15 @@ def image_invariant_violations(
         F.lit("dims").alias("tag"),
         F.lit("").alias("param"),
     )
+    required_struct = F.struct(
+        F.lit("$.bytes").alias("path"),
+        # rule.go:100 — a missing payload is a `required` violation, not a
+        # decode failure (the reference skips other keywords on absent values)
+        F.lit("required property 'bytes' is missing").alias("message"),
+        F.lit(None).cast("string").alias("value"),
+        F.lit("required").alias("tag"),
+        F.lit("").alias("param"),
+    )
     dims_bad = (
         F.col("decode_ok")
         & F.col("_w").isNotNull()
@@ -180,7 +191,8 @@ def image_invariant_violations(
     )
     arr = F.filter(
         F.array(
-            F.when(~F.col("decode_ok"), decode_struct),
+            F.when(F.col("payload_null"), required_struct),
+            F.when(~F.col("payload_null") & ~F.col("decode_ok"), decode_struct),
             F.when(dims_bad, dims_struct),
         ),
         lambda x: x.isNotNull(),
@@ -270,6 +282,16 @@ def image_invariant_violations_files(
                     ws = t.column(w_col).to_numpy(zero_copy_only=False)
                     hs = t.column(h_col).to_numpy(zero_copy_only=False)
                     for i, mv in _iter_binary_rows(t, bytes_col):
+                        if mv is None:
+                            rows["image_id"].append(ids[i].as_py())
+                            rows["path"].append("$.bytes")
+                            rows["message"].append(
+                                "required property 'bytes' is missing"
+                            )
+                            rows["value"].append(None)
+                            rows["tag"].append("required")
+                            rows["param"].append("")
+                            continue
                         try:
                             px = decode_image(mv)
                         except ValueError as exc:

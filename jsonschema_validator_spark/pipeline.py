@@ -81,11 +81,23 @@ class ImageValidationSuite:
         drift_range: tuple = (0.5, 128.5),
         n_buckets: int = 128,
         source_path: Optional[str] = None,
+        cache_metadata: bool = False,
     ):
         self.df = df
         self.dim = dim_formats
         self.baseline = baseline
-        self.spec = Spec(spec or IMAGES_SPEC)
+        spec_dict = dict(spec or IMAGES_SPEC)
+        # `required: bytes` through the keyword family would scan the ENTIRE
+        # binary column just for a null check — at 10^12 rows that is a
+        # second full pass over the dominant bytes volume. When the decode
+        # family is on it reads every payload anyway, so the null check
+        # rides along there for free (rule_id stays `required:$.bytes`).
+        self._bytes_required = False
+        req = spec_dict.get("required")
+        if decode and isinstance(req, list) and "bytes" in req:
+            spec_dict["required"] = [r for r in req if r != "bytes"]
+            self._bytes_required = True
+        self.spec = Spec(spec_dict)
         self.decode = decode
         self.drift_columns = list(drift_columns)
         self.drift_range = drift_range
@@ -95,20 +107,36 @@ class ImageValidationSuite:
         # the bytes column through the JVM→Python Arrow channel — measured
         # ~4× faster (see operators/multimodal.py direct-read note)
         self.source_path = source_path
+        # cache_metadata: the 5 metadata-only families each re-scan the
+        # table; at bench scale the per-scan task overhead dominates, so
+        # share ONE in-memory projection (bytes excluded — it stays on disk
+        # for the decode family). At 10^12 rows you would NOT cache: the
+        # pruned parquet scans are the right answer there.
+        refs_bytes = "bytes" in (spec_dict.get("required") or []) or "bytes" in (
+            spec_dict.get("properties") or {}
+        )
+        meta = df if refs_bytes or "bytes" not in df.columns else df.drop("bytes")
+        if cache_metadata:
+            meta = meta.cache()
+            if baseline is not None and baseline is not df:
+                self.baseline = baseline.drop("bytes").cache()
+            elif baseline is not None:
+                self.baseline = meta
+        self._meta = meta
 
     # ---- families --------------------------------------------------------
 
     def keyword_verdicts(self, partition_by=None) -> DataFrame:
-        return Validator(self.spec).validate(self.df).verdicts(partition_by=partition_by)
+        return Validator(self.spec).validate(self._meta).verdicts(partition_by=partition_by)
 
     def keyword_violations(self, include=("image_id",)) -> DataFrame:
-        return Validator(self.spec).validate(self.df).violations(include=list(include))
+        return Validator(self.spec).validate(self._meta).violations(include=list(include))
 
     def stats(self) -> DataFrame:
         from jsonschema_validator_spark.operators.stats import column_profile
 
         return column_profile(
-            self.df, ["image_id", "w", "h", "fmt", "caption", "phash"],
+            self._meta, ["image_id", "w", "h", "fmt", "caption", "phash"],
             approx_distinct=True,
         )
 
@@ -116,7 +144,7 @@ class ImageValidationSuite:
         from jsonschema_validator_spark.operators.uniqueness import multi_key_uniqueness
 
         # both keys in ONE shuffle round (salted, skew-safe)
-        return multi_key_uniqueness(self.df, ["image_id", "phash"], salted=True)
+        return multi_key_uniqueness(self._meta, ["image_id", "phash"], salted=True)
 
     def referential_verdict(self) -> DataFrame:
         from jsonschema_validator_spark.operators.referential import referential_verdict
@@ -124,7 +152,7 @@ class ImageValidationSuite:
         if self.dim is None:
             raise ValueError("dim_formats table not provided")
         return referential_verdict(
-            self.df, self.dim, [("fmt", "fmt")], broadcast=True,
+            self._meta, self.dim, [("fmt", "fmt")], broadcast=True,
             rule_id="ref:fmt->dim_formats.fmt",
         )
 
@@ -138,20 +166,36 @@ class ImageValidationSuite:
             raise ValueError("baseline table not provided")
         lo, hi = self.drift_range
         return drift_metrics(
-            self.baseline, self.df, self.drift_columns, lo, hi, self.n_buckets
+            self.baseline, self._meta, self.drift_columns, lo, hi, self.n_buckets
         )
 
     def decode_verdict(self) -> DataFrame:
         """Decode + dims invariants collapsed to verdict counts (one Arrow
         pass over bytes; violations themselves via `decode_violations`)."""
         viol = self.decode_violations()
-        counts = viol.groupBy("tag").count()
-        n = self.df.count()
-        return counts.select(
-            F.concat(F.lit("image:"), F.col("tag")).alias("rule_id"),
+        n = self._meta.count()
+        rules = [("image:decode", "decode"), ("image:dims", "dims")]
+        if self._bytes_required:
+            rules.insert(0, ("required:$.bytes", "required"))
+        # one tiny conditional agg (missing tags must still yield 0-rows)
+        agg = viol.agg(
+            *[
+                F.sum((F.col("tag") == t).cast("long")).alias(f"_c{i}")
+                for i, (_, t) in enumerate(rules)
+            ]
+        )
+        entries = [
+            F.struct(
+                F.lit(rid).alias("rule_id"),
+                F.coalesce(F.col(f"_c{i}"), F.lit(0)).alias("n_failed"),
+            )
+            for i, (rid, _) in enumerate(rules)
+        ]
+        return agg.select(F.explode(F.array(*entries)).alias("_v")).select(
+            F.col("_v.rule_id").alias("rule_id"),
             F.lit(n).alias("n_checked"),
-            F.col("count").alias("n_failed"),
-            (F.col("count") == 0).alias("pass"),
+            F.col("_v.n_failed").alias("n_failed"),
+            (F.col("_v.n_failed") == 0).alias("pass"),
         )
 
     def decode_violations(self) -> DataFrame:
@@ -188,10 +232,16 @@ class ImageValidationSuite:
         if self.decode:
             parts.append(
                 self.decode_verdict().select(
-                    F.lit("image").alias("family"),
+                    # the bytes-null check is computed in the decode pass but
+                    # remains a KEYWORD-family rule (see __init__ note)
+                    F.when(
+                        F.col("rule_id").startswith("required:"), F.lit("keyword")
+                    )
+                    .otherwise(F.lit("image"))
+                    .alias("family"),
                     "rule_id",
-                    F.col("n_checked").cast("long"),
-                    F.col("n_failed").cast("long"),
+                    F.col("n_checked").cast("long").alias("n_checked"),
+                    F.col("n_failed").cast("long").alias("n_failed"),
                     "pass",
                 )
             )
