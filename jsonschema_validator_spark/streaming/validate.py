@@ -1,0 +1,97 @@
+"""Structured-Streaming validation.
+
+The reference library has no streaming surface (callers validate values
+one at a time — which IS streaming, row-at-a-time). The Spark-native
+translation: the SAME compiled spec applied to an unbounded DataFrame.
+Because every row-level check is a stateless Column predicate, the whole
+keyword engine lifts to Structured Streaming unchanged — `annotate` and
+`violations` are per-row projections/filters (no state, no watermark
+needed); windowed verdict aggregation adds event-time grouping with a
+watermark for late data.
+
+Usage::
+
+    stream = spark.readStream.format(...).load()
+    res = StreamingValidator(spec).annotate(stream)       # adds _valid
+    bad = StreamingValidator(spec).violations(stream)     # violation rows
+    v = StreamingValidator(spec).windowed_verdicts(
+        stream, ts_col="ts", window="1 minute", watermark="2 minutes")
+    v.writeStream.outputMode("append")...
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jsonschema_validator_spark.engine import ValidationResult, Validator
+from jsonschema_validator_spark.spec import Spec
+
+
+class StreamingValidator:
+    """Compile once, apply to micro-batches forever (the spec compiles
+    against the stream's static schema — per-batch cost is zero)."""
+
+    def __init__(self, spec: Union[Spec, dict, str], stop_on_first_error: bool = False):
+        self._v = Validator(spec, stop_on_first_error=stop_on_first_error)
+
+    def _result(self, stream: DataFrame) -> ValidationResult:
+        return self._v.validate(stream)
+
+    def annotate(self, stream: DataFrame, with_checks: bool = False) -> DataFrame:
+        """Stream + `_valid` boolean (quarantine-in-line pattern)."""
+        return self._result(stream).annotate(with_checks=with_checks)
+
+    def valid_rows(self, stream: DataFrame) -> DataFrame:
+        return self._result(stream).valid_rows()
+
+    def violations(
+        self, stream: DataFrame, include: Optional[Sequence[str]] = None
+    ) -> DataFrame:
+        """Violation rows `(path, message, value, tag, param)` as a stream."""
+        return self._result(stream).violations(include=include)
+
+    def windowed_verdicts(
+        self,
+        stream: DataFrame,
+        ts_col: str,
+        window: str = "1 minute",
+        watermark: str = "2 minutes",
+    ) -> DataFrame:
+        """Per-event-time-window, per-rule verdict counts with a watermark
+        so late rows update the right window and state is bounded.
+
+        Output: `window, rule_id, tag, n_checked, n_failed, pass` —
+        the streaming analogue of ``ValidationResult.verdicts``.
+        """
+        res = self._result(stream)
+        checks = res.compiled.checks
+        wm = stream.withWatermark(ts_col, watermark)
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for i, c in enumerate(checks):
+            aggs.append(F.sum((~c.predicate).cast("long")).alias(f"_f{i}"))
+        agged = wm.groupBy(F.window(F.col(ts_col), window).alias("window")).agg(*aggs)
+        entries = [
+            F.struct(
+                F.lit(c.rule_id).alias("rule_id"),
+                F.lit(c.tag).alias("tag"),
+                F.col(f"_f{i}").alias("n_failed"),
+            )
+            for i, c in enumerate(checks)
+        ]
+        exploded = agged.select(
+            "window", F.col("_n"), F.explode(F.array(*entries)).alias("_v")
+        )
+        return exploded.select(
+            "window",
+            F.col("_v.rule_id").alias("rule_id"),
+            F.col("_v.tag").alias("tag"),
+            F.col("_n").alias("n_checked"),
+            F.col("_v.n_failed").alias("n_failed"),
+            (F.col("_v.n_failed") == 0).alias("pass"),
+        )
+
+
+__all__ = ["StreamingValidator"]

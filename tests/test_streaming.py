@@ -1,0 +1,122 @@
+"""Structured-Streaming validation: the compiled spec applied to an
+unbounded DataFrame (memory source → memory sink, processed synchronously
+via processAllAvailable)."""
+
+import time
+from datetime import datetime, timedelta
+
+import pytest
+
+from jsonschema_validator_spark.streaming.validate import StreamingValidator
+
+SPEC = {
+    "required": ["event_id"],
+    "properties": {
+        "value": {"minimum": 0, "maximum": 100},
+        "kind": {"enum": ["a", "b"]},
+    },
+}
+
+
+def _run_stream(spark, df_writer, name):
+    q = df_writer.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_violations_and_annotate(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("kind", StringType()),
+        ]
+    )
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 10.0, "a"),
+        (2, t0 + timedelta(seconds=10), 50.0, "b"),
+        (3, t0 + timedelta(seconds=20), 150.0, "a"),
+        (4, t0 + timedelta(seconds=70), 5.0, "zzz"),
+        (5, t0 + timedelta(seconds=80), 99.0, "b"),
+        (None, t0 + timedelta(seconds=90), 1.0, "a"),
+    ]
+    # file source: write fixture as json, stream it back with a fixed schema
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.json(src_dir)
+    stream = spark.readStream.schema(schema).json(src_dir)
+    assert stream.isStreaming
+
+    sv = StreamingValidator(SPEC)
+    viol = sv.violations(stream, include=["event_id"])
+    out = _run_stream(spark, viol.writeStream, "viol_sink").collect()
+    got = sorted(
+        ((r["event_id"], r["tag"]) for r in out),
+        key=lambda t: (t[0] is None, t[0], t[1]),
+    )
+    assert got == [(3, "maximum"), (4, "enum"), (None, "required")]
+    msgs = {r["tag"]: r["message"] for r in out}
+    assert msgs["maximum"] == "greater than maximum 100"
+    assert msgs["enum"] == "value must be one of: a, b"
+
+    ann = sv.annotate(stream)
+    out2 = _run_stream(spark, ann.writeStream, "ann_sink").collect()
+    assert sum(1 for r in out2 if not r["_valid"]) == 3
+
+
+def test_streaming_windowed_verdicts(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("kind", StringType()),
+        ]
+    )
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 10.0, "a"),
+        (3, t0 + timedelta(seconds=20), 150.0, "a"),
+        (4, t0 + timedelta(seconds=70), 5.0, "zzz"),
+        (5, t0 + timedelta(seconds=80), 99.0, "b"),
+    ]
+    src_dir = str(tmp_path / "src2")
+    spark.createDataFrame(rows, schema).coalesce(1).write.json(src_dir)
+    stream = spark.readStream.schema(schema).json(src_dir)
+
+    v = StreamingValidator(SPEC).windowed_verdicts(
+        stream, ts_col="ts", window="1 minute", watermark="2 minutes"
+    )
+    # append-mode windows only finalize past the watermark; use complete via
+    # memory sink update… simplest deterministic check: run with
+    # processAllAvailable + outputMode("append") emits nothing (watermark
+    # never advances past final window), so assert via update mode
+    q = (
+        v.writeStream.format("memory")
+        .queryName("wv_sink")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM wv_sink").collect()
+    per = {
+        (r["window"]["start"].second + 60 * r["window"]["start"].minute, r["tag"]): r
+        for r in out
+    }
+    # window 0: rows 1,3 → maximum fails once; window 60: rows 4,5 → enum once
+    assert per[(0, "maximum")]["n_failed"] == 1
+    assert per[(0, "maximum")]["n_checked"] == 2
+    assert not per[(0, "maximum")]["pass"]
+    assert per[(60, "enum")]["n_failed"] == 1
+    assert per[(60, "required")]["pass"]
