@@ -341,6 +341,18 @@ def q_images_decode_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return viol.groupBy("tag").agg(F.count(F.lit(1)).alias("n_violations"))
 
 
+def q_images_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column stats (null ratio / min / max / distinct) on
+    the image table; exact distinct here for oracle determinism (the scale
+    path is approx_count_distinct + mergeable HLL sketches)."""
+    from jsonschema_validator_spark.operators.stats import column_profile
+
+    df = _images(spark)
+    return column_profile(
+        df, ["w", "h", "fmt", "caption", "phash"], approx_distinct=False
+    )
+
+
 def q_images_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint/resume: validate 2 snapshots, append a 3rd, resume (only
     the new snapshot is scanned), return merged table-level verdicts."""
@@ -406,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_suite_verdicts": q_images_suite_verdicts,
         "images_drift_shifted": q_images_drift_shifted,
         "images_decode_violations": q_images_decode_violations,
+        "images_stats_profile": q_images_stats_profile,
         "images_checkpoint_resume": q_images_checkpoint_resume,
     }
 
@@ -797,6 +810,13 @@ def _image_oracles() -> dict[str, str]:
             o.decode_violation_rows(n),
             ["tag", "n_violations"],
             ["VARCHAR", "BIGINT"],
+        ),
+        "images_stats_profile": o.values_sql(
+            o.stats_profile_rows(n),
+            ["column", "n_rows", "n_null", "null_ratio",
+             "min_value", "max_value", "n_distinct"],
+            ["VARCHAR", "BIGINT", "BIGINT", "DOUBLE",
+             "VARCHAR", "VARCHAR", "BIGINT"],
         ),
         "images_checkpoint_resume": o.values_sql(
             o.merged_verdict_rows([(1000, 42), (1000, 43), (1000, 45)]),

@@ -150,6 +150,28 @@ def drift_rows(n: int, lo=0.5, hi=128.5, nb=128) -> list[tuple]:
     return rows
 
 
+def stats_profile_rows(n: int, seed: int = 42) -> list[tuple]:
+    """Expected column_profile rows (exact distinct) for w/h/fmt/caption —
+    (column, n_rows, n_null, null_ratio, min_value, max_value, n_distinct).
+    min/max stringified the way Spark casts them (ints without decimal)."""
+    from jsonschema_validator_spark.sources.synth import generate_pandas
+
+    df = generate_pandas(n, seed=seed)
+    out = []
+    for c in ("w", "h", "fmt", "caption", "phash"):
+        s = df[c]
+        n_null = int(s.isna().sum())
+        non = s.dropna()
+        if c in ("w", "h", "phash"):
+            mn, mx = str(int(non.min())), str(int(non.max()))
+        else:
+            mn, mx = str(non.min()), str(non.max())
+        out.append(
+            (c, n, n_null, n_null / n, mn, mx, int(non.nunique()))
+        )
+    return out
+
+
 def decode_violation_rows(n: int, seed: int = 42) -> list[tuple]:
     """Expected (tag, n_violations) for the decode-invariant query."""
     from jsonschema_validator_spark.sources.synth import generate_pandas
