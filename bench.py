@@ -106,6 +106,14 @@ def run_scaling(levels=(4, 16), n: int = SCALING_N) -> dict:
 
     results = {}
     env = dict(os.environ, SPARK_GRAFT_IMAGES_N=str(n))
+    # pre-warm the OS page cache so the FIRST level measured does not pay
+    # the one-time cold disk read (which would bias efficiency either way)
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(IMAGES_CACHE, f"images_n{n}", "*.parquet")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
     for cpus in levels:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--images-only",
