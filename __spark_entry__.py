@@ -272,6 +272,28 @@ def q_events_dependencies_verdict(spark: SparkSession, sf_dir: str) -> DataFrame
     return Validator(spec).validate(df).verdicts()
 
 
+def q_events_props_map_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-keyed OBJECT validation (MapType path): parse the props JSON
+    into map<string,double> and validate with patternProperties /
+    minProperties / maxProperties / required (SURVEY.md §2.1 #18-22)."""
+    from jsonschema_validator_spark import Validator
+
+    df = _t(spark, sf_dir, "events").withColumn(
+        "props_map", F.from_json(F.col("props"), "map<string,double>")
+    )
+    spec = {
+        "properties": {
+            "props_map": {
+                "minProperties": 1,
+                "maxProperties": 3,
+                "required": ["k"],
+                "patternProperties": {"^k$": {"minimum": 50}},
+            }
+        }
+    }
+    return Validator(spec).validate(df).verdicts()
+
+
 def q_violations_topk_per_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Violation SAMPLING: cap emitted rows at top-5 per rule via a window
     (SURVEY.md §2.5 'Windows/sorts/top-k')."""
@@ -414,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_part_composite": q_validate_part_composite,
         "validate_customer_conditional": q_validate_customer_conditional,
         "events_dependencies_verdict": q_events_dependencies_verdict,
+        "events_props_map_validation": q_events_props_map_validation,
         "violations_topk_per_rule": q_violations_topk_per_rule,
         "images_suite_verdicts": q_images_suite_verdicts,
         "images_drift_shifted": q_images_drift_shifted,
@@ -788,6 +811,39 @@ SELECT tag, o_orderkey, path, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5
 """
 
 
+
+_PROPS_MAP_SQL = """
+WITH e AS (
+  SELECT CAST(json_extract(props, '$.k') AS DOUBLE) AS k,
+         CASE WHEN props IS NULL THEN NULL
+              ELSE len(json_keys(props)) END AS nk
+  FROM events
+)
+SELECT 'minProperties:$.props_map' AS rule_id, 'minProperties' AS tag,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(COALESCE(sum(CASE WHEN nk IS NOT NULL AND nk < 1 THEN 1 ELSE 0 END),0) AS BIGINT) AS n_failed,
+       (COALESCE(sum(CASE WHEN nk IS NOT NULL AND nk < 1 THEN 1 ELSE 0 END),0) = 0) AS pass
+FROM e
+UNION ALL
+SELECT 'maxProperties:$.props_map', 'maxProperties',
+       CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum(CASE WHEN nk IS NOT NULL AND nk > 3 THEN 1 ELSE 0 END),0) AS BIGINT),
+       (COALESCE(sum(CASE WHEN nk IS NOT NULL AND nk > 3 THEN 1 ELSE 0 END),0) = 0)
+FROM e
+UNION ALL
+SELECT 'required:$.props_map.k', 'required',
+       CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum(CASE WHEN nk IS NOT NULL AND k IS NULL THEN 1 ELSE 0 END),0) AS BIGINT),
+       (COALESCE(sum(CASE WHEN nk IS NOT NULL AND k IS NULL THEN 1 ELSE 0 END),0) = 0)
+FROM e
+UNION ALL
+SELECT 'patternProperties[^k$].minimum:$.props_map', 'minimum',
+       CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum(CASE WHEN nk IS NOT NULL AND k IS NOT NULL AND k < 50 THEN 1 ELSE 0 END),0) AS BIGINT),
+       (COALESCE(sum(CASE WHEN nk IS NOT NULL AND k IS NOT NULL AND k < 50 THEN 1 ELSE 0 END),0) = 0)
+FROM e
+"""
+
 def _image_oracles() -> dict[str, str]:
     """Oracle SQL for the synthesized image-caption queries: DuckDB VALUES
     literals produced by the independent pandas/numpy implementation in
@@ -849,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_part_composite": _PART_COMPOSITE_SQL,
         "validate_customer_conditional": _CUSTOMER_COND_SQL,
         "events_dependencies_verdict": _EVENTS_DEPS_SQL,
+        "events_props_map_validation": _PROPS_MAP_SQL,
         "violations_topk_per_rule": _TOPK_VIOL_SQL,
         # minhash_candidates / simhash_neardups / ann_lsh_topk are
         # intentionally omitted: they rely on xxhash64 / seeded hyperplanes
