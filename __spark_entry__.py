@@ -272,6 +272,42 @@ def q_events_dependencies_verdict(spark: SparkSession, sf_dir: str) -> DataFrame
     return Validator(spec).validate(df).verdicts()
 
 
+def q_documents_token_array_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY keyword checks (items / minItems / maxItems / uniqueItems,
+    SURVEY.md §2.1 #13-17) over the whitespace-token array of each doc."""
+    from jsonschema_validator_spark import Validator
+
+    df = _t(spark, sf_dir, "documents").withColumn(
+        "tokens", F.split(F.trim(F.col("text")), "\\s+")
+    )
+    spec = {
+        "properties": {
+            "tokens": {
+                "minItems": 5,
+                "maxItems": 500,
+                "uniqueItems": True,
+                "items": {"maxLength": 25},
+            }
+        }
+    }
+    return Validator(spec).validate(df).verdicts()
+
+
+def q_lineitem_partitioned_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-PARTITION verdicts (north rule): verdict rows grouped by a
+    partition column — one agg pass, partial map-side combine."""
+    from jsonschema_validator_spark import Validator
+
+    df = _t(spark, sf_dir, "lineitem")
+    spec = {
+        "properties": {
+            "l_quantity": {"minimum": 1, "maximum": 49},
+            "l_discount": {"maximum": 0.08},
+        }
+    }
+    return Validator(spec).validate(df).verdicts(partition_by="l_returnflag")
+
+
 def q_events_props_map_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-keyed OBJECT validation (MapType path): parse the props JSON
     into map<string,double> and validate with patternProperties /
@@ -437,6 +473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_customer_conditional": q_validate_customer_conditional,
         "events_dependencies_verdict": q_events_dependencies_verdict,
         "events_props_map_validation": q_events_props_map_validation,
+        "documents_token_array_validation": q_documents_token_array_validation,
+        "lineitem_partitioned_verdicts": q_lineitem_partitioned_verdicts,
         "violations_topk_per_rule": q_violations_topk_per_rule,
         "images_suite_verdicts": q_images_suite_verdicts,
         "images_drift_shifted": q_images_drift_shifted,
@@ -844,6 +882,56 @@ SELECT 'patternProperties[^k$].minimum:$.props_map', 'minimum',
 FROM e
 """
 
+
+_TOKEN_ARRAY_SQL = """
+WITH t AS (
+  SELECT CASE WHEN text IS NULL THEN NULL
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM documents
+)
+SELECT 'minItems:$.tokens' AS rule_id, 'minItems' AS tag,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(COALESCE(sum(CASE WHEN toks IS NOT NULL AND len(toks) < 5 THEN 1 ELSE 0 END),0) AS BIGINT) AS n_failed,
+       (COALESCE(sum(CASE WHEN toks IS NOT NULL AND len(toks) < 5 THEN 1 ELSE 0 END),0) = 0) AS pass
+FROM t
+UNION ALL
+SELECT 'maxItems:$.tokens', 'maxItems', CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum(CASE WHEN toks IS NOT NULL AND len(toks) > 500 THEN 1 ELSE 0 END),0) AS BIGINT),
+       (COALESCE(sum(CASE WHEN toks IS NOT NULL AND len(toks) > 500 THEN 1 ELSE 0 END),0) = 0)
+FROM t
+UNION ALL
+SELECT 'uniqueItems:$.tokens', 'uniqueItems', CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum(CASE WHEN toks IS NOT NULL AND len(list_distinct(toks)) <> len(toks) THEN 1 ELSE 0 END),0) AS BIGINT),
+       (COALESCE(sum(CASE WHEN toks IS NOT NULL AND len(list_distinct(toks)) <> len(toks) THEN 1 ELSE 0 END),0) = 0)
+FROM t
+UNION ALL
+SELECT 'items.maxLength:$.tokens', 'maxLength', CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum(CASE WHEN toks IS NOT NULL
+             AND len(list_filter(toks, x -> length(x) > 25)) > 0 THEN 1 ELSE 0 END),0) AS BIGINT),
+       (COALESCE(sum(CASE WHEN toks IS NOT NULL
+             AND len(list_filter(toks, x -> length(x) > 25)) > 0 THEN 1 ELSE 0 END),0) = 0)
+FROM t
+"""
+
+_PARTITIONED_VERDICT_SQL = """
+SELECT l_returnflag,
+       r.rule_id, r.tag,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(COALESCE(sum(CASE
+         WHEN r.rule_id = 'minimum:$.l_quantity' THEN CASE WHEN l_quantity IS NOT NULL AND l_quantity < 1 THEN 1 ELSE 0 END
+         WHEN r.rule_id = 'maximum:$.l_quantity' THEN CASE WHEN l_quantity IS NOT NULL AND l_quantity > 49 THEN 1 ELSE 0 END
+         ELSE CASE WHEN l_discount IS NOT NULL AND l_discount > 0.08 THEN 1 ELSE 0 END END),0) AS BIGINT) AS n_failed,
+       (COALESCE(sum(CASE
+         WHEN r.rule_id = 'minimum:$.l_quantity' THEN CASE WHEN l_quantity IS NOT NULL AND l_quantity < 1 THEN 1 ELSE 0 END
+         WHEN r.rule_id = 'maximum:$.l_quantity' THEN CASE WHEN l_quantity IS NOT NULL AND l_quantity > 49 THEN 1 ELSE 0 END
+         ELSE CASE WHEN l_discount IS NOT NULL AND l_discount > 0.08 THEN 1 ELSE 0 END END),0) = 0) AS pass
+FROM lineitem
+CROSS JOIN (VALUES ('minimum:$.l_quantity','minimum'),
+                   ('maximum:$.l_quantity','maximum'),
+                   ('maximum:$.l_discount','maximum')) AS r(rule_id, tag)
+GROUP BY l_returnflag, r.rule_id, r.tag
+"""
+
 def _image_oracles() -> dict[str, str]:
     """Oracle SQL for the synthesized image-caption queries: DuckDB VALUES
     literals produced by the independent pandas/numpy implementation in
@@ -906,6 +994,8 @@ def oracle_sql() -> dict[str, str]:
         "validate_customer_conditional": _CUSTOMER_COND_SQL,
         "events_dependencies_verdict": _EVENTS_DEPS_SQL,
         "events_props_map_validation": _PROPS_MAP_SQL,
+        "documents_token_array_validation": _TOKEN_ARRAY_SQL,
+        "lineitem_partitioned_verdicts": _PARTITIONED_VERDICT_SQL,
         "violations_topk_per_rule": _TOPK_VIOL_SQL,
         # minhash_candidates / simhash_neardups / ann_lsh_topk are
         # intentionally omitted: they rely on xxhash64 / seeded hyperplanes
