@@ -59,8 +59,12 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
-    """MinHash signature: for seed s, min over shingles of
-    xxhash64(shingle, s). Pure Column algebra — array_min over transform.
+    """MinHash signature as a single Column: for seed s, min over shingles
+    of xxhash64(shingle, s). Array algebra; fine for FEW hashes. For the
+    64-hash production path use :func:`minhash_signatures` — this per-row
+    form evaluates n_hashes passes over the shingle array per row, which
+    blows past the codegen method-size limit and drops whole queries into
+    interpreted mode (measured 30× slowdown).
 
     NOTE: higher-order-function lambdas must be unary — PySpark binds a
     2-arg lambda as (element, index) — so seeds are captured via a closure
@@ -77,6 +81,33 @@ def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature via explode + grouped min-aggregates.
+
+    Shape: one scan → explode shingles → n_hashes ``min(xxhash64(s, seed))``
+    aggregates per doc. The shuffle is keyed by doc (balanced: shingle
+    counts are bounded by doc length), partial aggregation collapses it
+    map-side, and every expression stays inside whole-stage codegen —
+    unlike the per-row array form whose 64 array passes exceed the codegen
+    limits. Output: ``_id, _h0.._h{n-1}``. Docs with NULL text are dropped
+    (no content ⇒ no signature ⇒ no candidate pairs).
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_s"),
+    )
+    aggs = [
+        F.min(F.xxhash64("_s", F.lit(s))).alias(f"_h{s}") for s in range(n_hashes)
+    ]
+    return ex.groupBy("_id").agg(*aggs)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -91,8 +122,9 @@ def minhash_lsh_candidates(
     candidate pair. Output: ``id_a, id_b, n_shared_bands`` (id_a < id_b).
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(word_shingles(F.col(text_col), shingle_k), n_hashes)
-    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    with_sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    # band hash over the signature COLUMNS (post-aggregation, so the band
+    # structs are cheap column refs, not 16 copies of the signature tree)
     band_rows = with_sig.select(
         "_id",
         F.explode(
@@ -101,12 +133,14 @@ def minhash_lsh_candidates(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("_sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
+                            F.concat_ws(
                                 ",",
+                                *[
+                                    F.col(f"_h{i}").cast("string")
+                                    for i in range(
+                                        b * rows_per_band, (b + 1) * rows_per_band
+                                    )
+                                ],
                             )
                         ).alias("band_hash"),
                     )
@@ -176,20 +210,27 @@ def simhash(
     document's shingles — vectorized as 64 aggregate sums over the shingle
     array (still pure Column algebra, no UDF).
     """
-    sh = word_shingles(F.col(text_col), shingle_k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    n = F.size(hashes).cast("double")
-    def _bit_set(b: int):
-        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
-
-    bit_cols = []
-    for bit in range(64):
-        ones = F.size(F.filter(hashes, _bit_set(bit))).cast("double")
-        bit_cols.append(F.when(ones * 2 >= n, F.lit(1).cast("long")).otherwise(F.lit(0)))
+    # explode + grouped bit-sums: one pass over the shingles, 64 codegen-
+    # friendly sum aggregates per doc. (The per-row form — 64 `filter`
+    # passes over the hash array — exceeds codegen limits and drops to
+    # interpreted evaluation; measured 30×+ slower, and it double-evaluates
+    # under a self-join.)
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_s"),
+    ).select("_id", F.xxhash64("_s").alias("_h"))
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.shiftright("_h", b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    g = ex.groupBy("_id").agg(*aggs)
     out = F.lit(0).cast("long")
-    for bit, bc in enumerate(bit_cols):
+    for bit in range(64):
+        bc = F.when(F.col(f"_b{bit}") * 2 >= F.col("_n"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         out = out + F.shiftleft(bc, bit)
-    return df.select(F.col(id_col), out.alias("simhash"))
+    return g.select(F.col("_id").alias(id_col), out.alias("simhash"))
 
 
 def simhash_near_duplicates(
