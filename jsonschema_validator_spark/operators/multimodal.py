@@ -329,6 +329,57 @@ def image_invariant_violations_files(
     return units.mapInPandas(run, schema=schema)
 
 
+def caption_equality_violations(
+    df: DataFrame,
+    reference_caption_fn,
+    caption_col: str = "caption",
+    id_col: str = "image_id",
+    index_col: str = "idx",
+) -> DataFrame:
+    """Caption-equality invariant (BASELINE.json input_hint: "caption
+    equality against the reference"): rows whose stored caption differs
+    from the reference-regenerated caption for that row index.
+
+    ``reference_caption_fn(idx) -> str`` is the ground-truth caption
+    function (tests use the synth generator's pure row function). Runs in
+    ``mapInPandas`` Arrow batches — the reference fn is Python, so this is
+    the UDF-shaped check; output is violation rows
+    ``(image_id, path, message, value, tag, param)``.
+    """
+
+    sel = df.select(
+        F.col(id_col).alias("image_id"),
+        F.col(caption_col).alias("_cap"),
+        F.col(index_col).alias("_idx"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"image_id": [], "path": [], "message": [], "value": [],
+                    "tag": [], "param": []}
+            for k in range(len(b)):
+                ref = reference_caption_fn(int(b["_idx"].iloc[k]))
+                got = b["_cap"].iloc[k]
+                if got is None or got != ref:
+                    rows["image_id"].append(b["image_id"].iloc[k])
+                    rows["path"].append("$.caption")
+                    rows["message"].append(
+                        "caption does not match reference"
+                        if got is not None
+                        else "caption is missing"
+                    )
+                    rows["value"].append(got)
+                    rows["tag"].append("caption_equality")
+                    rows["param"].append("")
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "image_id string, path string, message string, value string, "
+        "tag string, param string"
+    )
+    return sel.mapInPandas(run, schema=schema)
+
+
 def psnr_vs_reference(
     df: DataFrame,
     reference_pixels_fn,

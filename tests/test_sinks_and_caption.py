@@ -1,0 +1,73 @@
+"""Sinks (quarantine split, run-stamped tables, partitioned annotate) and
+the caption-equality invariant (BASELINE.json input_hint)."""
+
+from pyspark.sql import functions as F
+
+from jsonschema_validator_spark.sources import synth
+from jsonschema_validator_spark.sources.sinks import (
+    quarantine,
+    write_annotated_partitioned,
+    write_run_table,
+)
+
+SPEC = {"properties": {"v": {"minimum": 0}}}
+
+
+def test_quarantine_split(spark, tmp_path):
+    df = spark.createDataFrame([(i, float(i - 2)) for i in range(10)], "id int, v double")
+    out = quarantine(df, SPEC, str(tmp_path / "good"), str(tmp_path / "bad"))
+    assert out == {"n_good": 8, "n_bad": 2}
+    good = spark.read.parquet(str(tmp_path / "good"))
+    assert good.count() == 8 and "_valid" not in good.columns
+
+
+def test_write_annotated_partitioned(spark, tmp_path):
+    df = spark.createDataFrame([(i, float(i - 2)) for i in range(10)], "id int, v double")
+    write_annotated_partitioned(df, SPEC, str(tmp_path / "ann"))
+    # partition pruning path: only the valid partition is read
+    good = spark.read.parquet(str(tmp_path / "ann")).filter("_valid = true")
+    assert good.count() == 8
+
+
+def test_write_run_table(spark, tmp_path):
+    df = spark.createDataFrame([("r1", 1)], "rule_id string, n int")
+    p = str(tmp_path / "runs")
+    write_run_table(df, p, "run-a")
+    write_run_table(df, p, "run-b")
+    all_runs = spark.read.parquet(p)
+    assert all_runs.count() == 2
+    assert all_runs.filter("run_id = 'run-a'").count() == 1
+
+
+def test_caption_equality_invariant(spark):
+    from jsonschema_validator_spark.operators.multimodal import (
+        caption_equality_violations,
+    )
+
+    n = 2000
+    sdf = synth.generate_spark(spark, n, seed=42, partitions=4).withColumn(
+        "idx", F.regexp_extract("image_id", r"img-(\d+)", 1).cast("int")
+    )
+    # exclude malformed/duplicated ids (their idx points at another row)
+    clean = sdf.filter(F.col("image_id").rlike("^img-[0-9]{12}$"))
+    # dedupe rows that share an id (the dup schedule copies the PREVIOUS id)
+    from pyspark.sql import Window
+
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("image_id"))
+    clean = clean.withColumn("_c", cnt).filter(F.col("_c") == 1).drop("_c")
+
+    viol = caption_equality_violations(
+        clean, lambda i: synth.make_caption(42, i), index_col="idx"
+    ).toPandas()
+    # expected: exactly the rows whose caption was altered by an injection
+    # schedule (long / empty / null), restricted to the clean id set
+    bad_ids = {
+        i
+        for i in range(n)
+        if (i % 250 == 5 or i % 500 == 9 or i % 1000 == 21)
+    }
+    clean_idx = {
+        r["idx"] for r in clean.select("idx").collect()
+    }
+    assert set(int(v[4:]) for v in viol["image_id"]) == bad_ids & clean_idx
+    assert (viol["tag"] == "caption_equality").all()
