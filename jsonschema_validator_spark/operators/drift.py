@@ -115,6 +115,7 @@ def drift_metrics(
     hi: float,
     n_buckets: int = 128,
     eps: float = 1e-6,
+    hash_columns: tuple = (),
 ) -> DataFrame:
     """KS **and** PSI for MANY columns in ONE scan per table.
 
@@ -126,17 +127,27 @@ def drift_metrics(
     operates on ≤ n_columns × (n_buckets+2) rows.
 
     Output: one row per column — ``column, ks, psi``.
+
+    ``hash_columns``: columns whose VALUES are hashes/ids (e.g. phash) —
+    numeric range bucketing is meaningless there, so they bucket by
+    ``pmod(value, n_buckets)``; the frequency histogram still detects a
+    replaced hot-set or shifted population (PSI is the meaningful stat; KS
+    over hash buckets is order-free but kept for the common output shape).
     """
+
+    hash_set = set(hash_columns)
+
+    def _bucket(c: str) -> Column:
+        if c in hash_set:
+            return F.pmod(F.col(c), F.lit(n_buckets)).cast("long")
+        return F.width_bucket(
+            F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets)
+        )
 
     def hists(df: DataFrame) -> DataFrame:
         arr = F.array(
             *[
-                F.struct(
-                    F.lit(c).alias("column"),
-                    F.width_bucket(
-                        F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets)
-                    ).alias("bucket"),
-                )
+                F.struct(F.lit(c).alias("column"), _bucket(c).alias("bucket"))
                 for c in columns
             ]
         )

@@ -98,6 +98,7 @@ def suite_verdict_rows(n: int, seed: int = 42) -> list[tuple]:
     # baseline == same generator → identical histograms → KS = 0 → pass
     rows.append(("drift", "drift:w", None, None, True))
     rows.append(("drift", "drift:h", None, None, True))
+    rows.append(("drift", "drift:phash", None, None, True))
 
     n_fail, n_mism = _decode_counts(df)
     rows.append(("image", "image:decode", n, n_fail, n_fail == 0))

@@ -77,7 +77,7 @@ class ImageValidationSuite:
         baseline: Optional[DataFrame] = None,
         spec: Optional[dict] = None,
         decode: bool = True,
-        drift_columns: Sequence[str] = ("w", "h"),
+        drift_columns: Sequence[str] = ("w", "h", "phash"),
         drift_range: tuple = (0.5, 128.5),
         n_buckets: int = 128,
         source_path: Optional[str] = None,
@@ -166,7 +166,9 @@ class ImageValidationSuite:
             raise ValueError("baseline table not provided")
         lo, hi = self.drift_range
         return drift_metrics(
-            self.baseline, self._meta, self.drift_columns, lo, hi, self.n_buckets
+            self.baseline, self._meta, self.drift_columns, lo, hi, self.n_buckets,
+            # phash values are hashes: bucket by pmod, not numeric range
+            hash_columns=tuple(c for c in self.drift_columns if c == "phash"),
         )
 
     def decode_verdict(self) -> DataFrame:
