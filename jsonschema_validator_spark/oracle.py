@@ -136,7 +136,9 @@ def ks_psi(
 
 
 def drift_rows(n: int, lo=0.5, hi=128.5, nb=128) -> list[tuple]:
-    """Expected (column, ks, psi) for drifted-vs-base on w and h."""
+    """Expected (column, ks, psi) for drifted-vs-base on w, h (numeric
+    width_bucket) and phash (pmod hash-bucketing, matching drift_metrics
+    hash_columns)."""
     from jsonschema_validator_spark.sources.synth import generate_pandas
 
     base = generate_pandas(n, seed=42)
@@ -148,6 +150,16 @@ def drift_rows(n: int, lo=0.5, hi=128.5, nb=128) -> list[tuple]:
         d = np.floor(d / 2)  # generate_drifted_spark halves dims (int cast)
         ks, psi = ks_psi(a, d, lo, hi, nb)
         rows.append((c, round(ks, 6), round(psi, 6)))
+    # phash: bucket = pmod(value, nb); replicate ks_psi over those buckets
+    pa_vals = base["phash"].to_numpy(dtype=np.int64) % nb
+    pb_vals = drifted["phash"].to_numpy(dtype=np.int64) % nb
+    buckets = sorted(set(pa_vals) | set(pb_vals))
+    pa = np.array([(pa_vals == k).sum() / len(pa_vals) for k in buckets])
+    pb = np.array([(pb_vals == k).sum() / len(pb_vals) for k in buckets])
+    ks = float(np.max(np.abs(np.cumsum(pa) - np.cumsum(pb))))
+    ca, cb = np.maximum(pa, 1e-6), np.maximum(pb, 1e-6)
+    psi = float(np.sum((ca - cb) * np.log(ca / cb)))
+    rows.append(("phash", round(ks, 6), round(psi, 6)))
     return rows
 
 
