@@ -68,3 +68,68 @@ def go_num_col(col: Column) -> Column:
 def value_str_col(col: Column) -> Column:
     """Stringified offending value for the violation row's ``value`` field."""
     return col.cast("string")
+
+
+# ---------------------------------------------------------------------------
+# error formatting modes (errors/errors.go:9-108)
+# ---------------------------------------------------------------------------
+
+SIMPLE = "simple"
+DETAILED = "detailed"
+JSON_MODE = "json"
+
+
+def _error_line(row: dict) -> str:
+    # ValidationError.Error(): "validation error: %s (path: %s)" (errors.go:43)
+    return f"validation error: {row['message']} (path: {row['path']})"
+
+
+def format_errors(rows, mode: str = DETAILED) -> str:
+    """Format violation rows (dicts or Rows with path/message/...) the way
+    the reference formats ValidationErrors (errors.go:50-108):
+
+    - simple:   messages joined with "; " (:80-91)
+    - detailed: "validation failed with the following errors:\\n[i] ..."
+      one per line, 1-based (:50-63, :94-96)
+    - json:     JSON array of {path, message, value?, tag?, param?} with
+      empty fields omitted (omitempty tags, errors.go:26-38)
+    """
+    import json as _json
+
+    rows = [r.asDict() if hasattr(r, "asDict") else dict(r) for r in rows]
+    if mode == SIMPLE:
+        return "; ".join(r["message"] for r in rows) if rows else ""
+    if mode == JSON_MODE:
+        if not rows:
+            return "[]"
+        out = []
+        for r in rows:
+            d = {"path": r.get("path") or "", "message": r.get("message") or ""}
+            for k in ("value", "tag", "param"):
+                if r.get(k):
+                    d[k] = r[k]
+            out.append(d)
+        return _json.dumps(out, separators=(",", ":"))
+    if not rows:
+        return ""
+    lines = ["validation failed with the following errors:"]
+    for i, r in enumerate(rows):
+        lines.append(f"[{i + 1}] {_error_line(r)}")
+    return "\n".join(lines) + "\n"
+
+
+def format_errors_by_field(rows) -> str:
+    """ValidationErrorMap.Error() (errors.go:119-131): per-field sections
+    keyed by path."""
+    rows = [r.asDict() if hasattr(r, "asDict") else dict(r) for r in rows]
+    if not rows:
+        return ""
+    by_field: dict[str, list[dict]] = {}
+    for r in rows:
+        by_field.setdefault(r.get("path") or "", []).append(r)
+    lines = ["validation failed for the following fields:"]
+    for field, errs in by_field.items():
+        lines.append(f"Field '{field}':")
+        for i, r in enumerate(errs):
+            lines.append(f"  [{i + 1}] {r['message']}")
+    return "\n".join(lines) + "\n"
