@@ -10,8 +10,9 @@ Runs the headline queries from ``__spark_entry__`` at
 
 - Every query is forced end-to-end with the noop sink (``format("noop")``)
   so Catalyst can't prune work that a ``count()`` wouldn't need.
-- ``value`` is the north metric: rows validated per second on the flagship
-  all-constraints validation query (validate_lineitem_verdicts).
+- ``value`` is the north metric: validated rows/sec on the image-table
+  all-constraints flagship (ImageValidationSuite over the cached synthetic
+  image-caption table).
 - ``--runs N`` repeats each query and keeps the best (JVM warm-up excluded
   by a warm-up pass over the flagship query).
 """
@@ -67,11 +68,8 @@ def ensure_images(spark, n: int = IMAGES_BENCH_N) -> str:
 
     path = os.path.join(IMAGES_CACHE, f"images_n{n}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        # 64 ~5 MB files: one parquet row-group per file -> 64 even tasks for
-        # the decode stage at BOTH parallelism levels, without drowning the
-        # metadata-only scans in per-file task-dispatch overhead
-        # one file per decode work unit: files_per_task=1 in the direct
-        # reader; ~6k rows/file keeps units balanced at both core counts
+        # one file per decode work unit (files_per_task=1 in the direct
+        # reader); ~6k rows/file keeps units balanced at both core counts
         files = max(64, n // 6250)
         synth.generate_spark(spark, n, seed=42, partitions=files).write.mode(
             "overwrite"
