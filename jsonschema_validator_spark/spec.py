@@ -137,6 +137,67 @@ class Spec:
         return CompiledSpec(self, checks)
 
 
+def parse_tag(tag: str) -> dict:
+    """Parse a struct-tag rule string into a column spec — the reference's
+    third schema front-end (``validate:"required,minimum=18,enum=admin|user"``,
+    parseTag at /root/reference/validator/validator.go:577-615).
+
+    Semantics reproduced:
+    - comma-separated directives; bare ``required`` → required flag (:585-588)
+    - ``key=value`` pairs; ``enum=a|b|c`` splits on ``|`` into a string list
+      (:606)
+    - ``minimum``/``maximum`` (and the other numeric keywords) parse as int
+      when the literal is integral, else float (:595-601)
+    - everything else is kept as the raw string value
+    """
+    out: dict = {}
+    for part in tag.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            if part == "required":
+                out["required"] = True
+            else:
+                out[part] = True
+            continue
+        key, _, value = part.partition("=")
+        key = key.strip()
+        value = value.strip()
+        if key == "enum":
+            out[key] = value.split("|")
+            continue
+        try:
+            out[key] = int(value)
+        except ValueError:
+            try:
+                out[key] = float(value)
+            except ValueError:
+                out[key] = value
+    return out
+
+
+def spec_from_tags(tags: dict[str, str], mode: Union[str, ValidationMode] = "strict") -> Spec:
+    """Build a Spec from per-column tag strings (the Struct()/Var() path,
+    validator.go:134-265): ``{"age": "required,minimum=18"}`` becomes a
+    root object spec where tag-``required`` lifts into the root required
+    list (non-zero-value check ≙ NOT NULL on a column)."""
+    required: list[str] = []
+    props: dict = {}
+    for column, tag in tags.items():
+        parsed = parse_tag(tag)
+        if parsed.pop("required", False):
+            required.append(column)
+        if parsed:
+            props[column] = parsed
+    raw: dict = {}
+    if required:
+        raw["required"] = required
+    if props:
+        raw["properties"] = props
+    return Spec(raw, mode=mode)
+
+
 class CompiledSpec:
     """Analogue of CompiledSchema (schema.go:29-33) — the physical rule plan."""
 
@@ -152,4 +213,4 @@ class CompiledSpec:
         return len(self.checks)
 
 
-__all__ = ["Spec", "CompiledSpec", "SpecError", "ValidationMode"]
+__all__ = ["Spec", "CompiledSpec", "SpecError", "ValidationMode", "parse_tag", "spec_from_tags"]
