@@ -206,6 +206,20 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5)
 
 
+def q_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all shingle-sharing pairs
+    (the verification stage of the dedup pipeline; at scale it consumes
+    MinHash-LSH candidates instead of the all-pairs path)."""
+    from jsonschema_validator_spark.operators.dedup import ngram_jaccard_pairs
+
+    # all-pairs verification bounded to a deterministic 1000-doc slice —
+    # at scale the candidates come from minhash_lsh_candidates instead of
+    # the quadratic shingle self-join
+    df = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    out = ngram_jaccard_pairs(df, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonschema_validator_spark.operators.dedup import minhash_lsh_candidates
 
@@ -461,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks_quantity": q_drift_ks_quantity,
         "drift_psi_quantity": q_drift_psi_quantity,
         "dedup_exact_documents": q_dedup_exact_documents,
+        "jaccard_neardups": q_jaccard_neardups,
         "fingerprint_documents": q_fingerprint_documents,
         "token_counts_documents": q_token_counts_documents,
         "text_quality_documents": q_text_quality_documents,
@@ -932,6 +947,36 @@ CROSS JOIN (VALUES ('minimum:$.l_quantity','minimum'),
 GROUP BY l_returnflag, r.rule_id, r.tag
 """
 
+
+_JACCARD_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents WHERE text IS NOT NULL AND doc_id < 500
+), s AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+           END) AS sh
+  FROM d
+), ex AS (
+  SELECT doc_id, unnest(sh) AS g FROM s
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand c
+JOIN s sa ON sa.doc_id = c.id_a
+JOIN s sb ON sb.doc_id = c.id_b
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+"""
+
 def _image_oracles() -> dict[str, str]:
     """Oracle SQL for the synthesized image-caption queries: DuckDB VALUES
     literals produced by the independent pandas/numpy implementation in
@@ -985,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_ks_quantity": _KS_SQL,
         "drift_psi_quantity": _PSI_SQL,
         "dedup_exact_documents": _DEDUP_EXACT_SQL,
+        "jaccard_neardups": _JACCARD_SQL,
         "fingerprint_documents": _FINGERPRINT_SQL,
         "token_counts_documents": _TOKEN_COUNTS_SQL,
         "text_quality_documents": _QUALITY_SQL,
