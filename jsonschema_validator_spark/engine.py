@@ -141,6 +141,35 @@ class ValidationResult:
         """
         if isinstance(partition_by, str):
             partition_by = [partition_by]
+        if not self.compiled.checks:
+            # zero compiled checks — mirror the violations() early-return
+            # (F.array() of no entries is array<null>, which breaks the
+            # unpivot's field extraction). Stable verdict schema, no rows.
+            from pyspark.sql.types import (
+                BooleanType,
+                IntegerType,
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            part_fields = (
+                list(self.df.select(*partition_by).schema) if partition_by else []
+            )
+            if use_spark_partition_id:
+                part_fields.append(StructField("partition_id", IntegerType()))
+            schema = StructType(
+                part_fields
+                + [
+                    StructField("rule_id", StringType()),
+                    StructField("tag", StringType()),
+                    StructField("n_checked", LongType()),
+                    StructField("n_failed", LongType()),
+                    StructField("pass", BooleanType()),
+                ]
+            )
+            return self.df.sparkSession.createDataFrame([], schema)
         group_cols = [F.col(c) for c in (partition_by or [])]
         df = self.df
         if use_spark_partition_id:

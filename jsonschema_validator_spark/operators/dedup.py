@@ -209,6 +209,12 @@ def simhash(
     For each bit position, majority vote over the xxhash64 bits of the
     document's shingles — vectorized as 64 aggregate sums over the shingle
     array (still pure Column algebra, no UDF).
+
+    Docs with NULL text are dropped from the output (no content ⇒ no
+    signature), same as :func:`minhash_signatures`. The earlier per-row
+    form emitted simhash 0 for NULL text, making all null docs mutual
+    "near-duplicates" — the drop is deliberate; left-join back to the
+    input ids if you need a row per doc.
     """
     # explode + grouped bit-sums: one pass over the shingles, 64 codegen-
     # friendly sum aggregates per doc. (The per-row form — 64 `filter`

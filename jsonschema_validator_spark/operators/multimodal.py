@@ -241,8 +241,20 @@ def _iter_binary_rows(table, bytes_col: str):
                 v = chunk[i].as_py()
                 yield idx + i, (memoryview(v) if v is not None else None)
         else:
+            import pyarrow as pa
+
+            if not pa.types.is_binary(chunk.type) and not pa.types.is_large_binary(
+                chunk.type
+            ):
+                raise TypeError(f"expected (large_)binary column, got {chunk.type}")
             bufs = chunk.buffers()
-            off = np.frombuffer(bufs[1], dtype=np.int32, count=len(chunk) + 1)
+            # offset dtype depends on the arrow type (binary=int32,
+            # large_binary=int64), and a sliced chunk's value offsets start
+            # at chunk.offset — index from there, not from 0
+            off_dtype = np.int64 if pa.types.is_large_binary(chunk.type) else np.int32
+            off = np.frombuffer(
+                bufs[1], dtype=off_dtype, count=chunk.offset + len(chunk) + 1
+            )[chunk.offset :]
             # cast to unsigned so slices compare equal to bytes literals
             # (pyarrow buffers expose signed 'b'-format memoryviews)
             mv = memoryview(bufs[2]).cast("B")
@@ -355,23 +367,26 @@ def caption_equality_violations(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = {"image_id": [], "path": [], "message": [], "value": [],
-                    "tag": [], "param": []}
-            for k in range(len(b)):
-                ref = reference_caption_fn(int(b["_idx"].iloc[k]))
-                got = b["_cap"].iloc[k]
-                if got is None or got != ref:
-                    rows["image_id"].append(b["image_id"].iloc[k])
-                    rows["path"].append("$.caption")
-                    rows["message"].append(
-                        "caption does not match reference"
-                        if got is not None
-                        else "caption is missing"
-                    )
-                    rows["value"].append(got)
-                    rows["tag"].append("caption_equality")
-                    rows["param"].append("")
-            yield pd.DataFrame(rows)
+            # vectorized compare: only the reference fn runs per row
+            ref = b["_idx"].astype("int64").map(reference_caption_fn)
+            missing = b["_cap"].isna()
+            bad = missing | (b["_cap"] != ref)
+            v = b[bad]
+            out = pd.DataFrame(
+                {
+                    "image_id": v["image_id"],
+                    "path": "$.caption",
+                    "message": np.where(
+                        missing[bad],
+                        "caption is missing",
+                        "caption does not match reference",
+                    ),
+                    "value": v["_cap"].where(~missing[bad], None),
+                    "tag": "caption_equality",
+                    "param": "",
+                }
+            )
+            yield out
 
     schema = (
         "image_id string, path string, message string, value string, "
@@ -391,8 +406,9 @@ def psnr_vs_reference(
 
     ``reference_pixels_fn(idx) -> np.ndarray`` regenerates the ground-truth
     pixels for a row (tests use the synth generator's pure row function).
-    Output: ``image_id, psnr double, caption_equal`` — the ≥40 dB / allclose
-    invariant check from BASELINE.json.
+    Output: ``image_id string, psnr double`` — the ≥40 dB / allclose
+    invariant check from BASELINE.json (caption equality is the separate
+    :func:`caption_equality_violations` operator).
     """
     from jsonschema_validator_spark.sources.codecs import decode_image, psnr
 
@@ -403,20 +419,25 @@ def psnr_vs_reference(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            ids, vals = [], []
-            for k in range(len(b)):
-                ids.append(b["image_id"].iloc[k])
+            # decode + PSNR are inherently per-image; iterate columns via
+            # zip (no per-cell .iloc), everything inside is numpy-vectorized
+            idxs = (
+                b["_idx"].astype("int64").to_numpy()
+                if "_idx" in b
+                else np.arange(len(b))
+            )
+            vals = []
+            for data, idx in zip(b["bytes"], idxs):
                 try:
-                    px = decode_image(bytes(b["bytes"].iloc[k]))
-                    idx = int(b["_idx"].iloc[k]) if "_idx" in b else k
-                    ref = reference_pixels_fn(idx)
+                    px = decode_image(bytes(data))
+                    ref = reference_pixels_fn(int(idx))
                     if ref.shape != px.shape:
-                        vals.append(float("-1.0"))
+                        vals.append(-1.0)
                     else:
                         p = psnr(ref, px)
                         vals.append(1e9 if p == float("inf") else p)
                 except ValueError:
                     vals.append(float("nan"))
-            yield pd.DataFrame({"image_id": ids, "psnr": vals})
+            yield pd.DataFrame({"image_id": b["image_id"], "psnr": vals})
 
     return sel.mapInPandas(run, schema="image_id string, psnr double")

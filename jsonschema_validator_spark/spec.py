@@ -146,9 +146,12 @@ def parse_tag(tag: str) -> dict:
     - comma-separated directives; bare ``required`` → required flag (:585-588)
     - ``key=value`` pairs; ``enum=a|b|c`` splits on ``|`` into a string list
       (:606)
-    - ``minimum``/``maximum`` (and the other numeric keywords) parse as int
-      when the literal is integral, else float (:595-601)
-    - everything else is kept as the raw string value
+    - exactly the reference's six numeric keys — ``min``, ``max``,
+      ``minLength``, ``maxLength``, ``minimum``, ``maximum`` — parse as int
+      when the literal is integral, else float, else stay the raw string
+      (:595-601); every OTHER key (``type``/``pattern``/``format``/unknown)
+      keeps the raw string value (:602-608), so ``pattern=123`` stays the
+      string ``"123"``
     """
     out: dict = {}
     for part in tag.split(","):
@@ -166,14 +169,16 @@ def parse_tag(tag: str) -> dict:
         value = value.strip()
         if key == "enum":
             out[key] = value.split("|")
-            continue
-        try:
-            out[key] = int(value)
-        except ValueError:
+        elif key in ("min", "max", "minLength", "maxLength", "minimum", "maximum"):
             try:
-                out[key] = float(value)
+                out[key] = int(value)
             except ValueError:
-                out[key] = value
+                try:
+                    out[key] = float(value)
+                except ValueError:
+                    out[key] = value
+        else:
+            out[key] = value
     return out
 
 

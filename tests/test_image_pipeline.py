@@ -131,3 +131,26 @@ def test_direct_read_decode_matches_channel(spark, tmp_path):
     )
     assert a == b
     assert len(a) > 0
+
+
+def test_iter_binary_rows_sliced_and_large_binary():
+    """_iter_binary_rows must honor chunk.offset (sliced chunks) and int64
+    offsets (large_binary); a wrong dtype raises instead of garbage."""
+    import pyarrow as pa
+
+    from jsonschema_validator_spark.operators.multimodal import _iter_binary_rows
+
+    payloads = [b"aa", b"bbbb", b"cc", b"ddddd", b"e"]
+    for typ in (pa.binary(), pa.large_binary()):
+        t = pa.table({"bytes": pa.array(payloads, type=typ)})
+        got = [bytes(mv) for _, mv in _iter_binary_rows(t, "bytes")]
+        assert got == payloads
+        sliced = t.slice(2, 3)  # nonzero chunk.offset
+        got = [bytes(mv) for _, mv in _iter_binary_rows(sliced, "bytes")]
+        assert got == payloads[2:5]
+
+    bad = pa.table({"bytes": pa.array(["not-binary"])})
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="binary"):
+        list(_iter_binary_rows(bad, "bytes"))

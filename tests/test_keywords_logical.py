@@ -135,6 +135,27 @@ def test_standalone_if_then_else_are_noops(spark):
     assert out[0] is None and out[1] is None
 
 
+def test_zero_check_spec_verdicts_and_violations_are_empty(spark):
+    # a spec compiling to ZERO checks (annotation-only keywords) must yield
+    # empty frames with stable schemas from BOTH views — verdicts()
+    # previously raised on F.array() of no entries (array<null> extraction)
+    from jsonschema_validator_spark import Validator
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "a double")
+    res = Validator({"properties": {"a": {"title": "x"}}}).validate(df)
+    assert res.violations().count() == 0
+    v = res.verdicts()
+    assert v.count() == 0
+    assert [f.name for f in v.schema] == [
+        "rule_id", "tag", "n_checked", "n_failed", "pass",
+    ]
+    vp = res.verdicts(partition_by="a", use_spark_partition_id=True)
+    assert vp.count() == 0
+    assert [f.name for f in vp.schema] == [
+        "a", "partition_id", "rule_id", "tag", "n_checked", "n_failed", "pass",
+    ]
+
+
 def test_nested_logical_composition(spark):
     # allOf of anyOf — composite predicates stay pure Column algebra
     spec = {

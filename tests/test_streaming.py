@@ -120,3 +120,42 @@ def test_streaming_windowed_verdicts(spark, tmp_path):
     assert not per[(0, "maximum")]["pass"]
     assert per[(60, "enum")]["n_failed"] == 1
     assert per[(60, "required")]["pass"]
+
+
+def test_streaming_windowed_verdicts_warn_mode_never_fails(spark, tmp_path):
+    """Warn-mode pass semantics must match batch verdicts (engine.py):
+    pass is always true even when n_failed > 0."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from jsonschema_validator_spark.spec import Spec
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("kind", StringType()),
+        ]
+    )
+    t0 = datetime(2026, 1, 1)
+    rows = [(1, t0, 150.0, "a"), (2, t0 + timedelta(seconds=10), 10.0, "zzz")]
+    src_dir = str(tmp_path / "src3")
+    spark.createDataFrame(rows, schema).coalesce(1).write.json(src_dir)
+    stream = spark.readStream.schema(schema).json(src_dir)
+
+    v = StreamingValidator(Spec(SPEC, mode="warn")).windowed_verdicts(
+        stream, ts_col="ts", window="1 minute", watermark="2 minutes"
+    )
+    q = (
+        v.writeStream.format("memory")
+        .queryName("wv_warn_sink")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM wv_warn_sink").collect()
+    assert out and all(r["pass"] for r in out)
+    assert sum(r["n_failed"] for r in out) == 2  # failures still counted

@@ -12,6 +12,20 @@ def test_parse_tag_table():
     assert parse_tag("enum=admin|user|guest") == {"enum": ["admin", "user", "guest"]}
     assert parse_tag("pattern=^a.b$") == {"pattern": "^a.b$"}
     assert parse_tag("") == {}
+    # numeric coercion applies ONLY to the six numeric keys (validator.go:
+    # 595-601); type/pattern/format/unknown keep the raw string (:602-608)
+    assert parse_tag("pattern=123") == {"pattern": "123"}
+    assert parse_tag("format=42") == {"format": "42"}
+    assert parse_tag("type=7") == {"type": "7"}
+    assert parse_tag("custom=9") == {"custom": "9"}
+    assert parse_tag("min=3,max=4.5,minLength=2,maxLength=8") == {
+        "min": 3,
+        "max": 4.5,
+        "minLength": 2,
+        "maxLength": 8,
+    }
+    # non-numeric literal for a numeric key stays the raw string (:600)
+    assert parse_tag("minimum=abc") == {"minimum": "abc"}
 
 
 def test_tag_spec_validates_dataframe(spark):
