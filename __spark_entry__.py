@@ -227,6 +227,20 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(df, n_hashes=32, bands=8)
 
 
+def q_jaccard_via_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup pipeline end-to-end: MinHash-LSH candidate
+    generation → exact n-gram Jaccard verification of only those pairs.
+    No all-pairs join anywhere — this is the shape that runs at 100 TB."""
+    from jsonschema_validator_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(df, n_hashes=32, bands=8)
+    return ngram_jaccard_pairs(df, threshold=0.5, candidates=cand)
+
+
 def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonschema_validator_spark.operators.dedup import simhash_near_duplicates
 
@@ -482,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_documents": q_langid_documents,
         "embedding_topk": q_embedding_topk,
         "minhash_candidates": q_minhash_candidates,
+        "jaccard_via_lsh": q_jaccard_via_lsh,
         "simhash_neardups": q_simhash_neardups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "validate_part_composite": q_validate_part_composite,
@@ -1015,9 +1030,50 @@ def _image_oracles() -> dict[str, str]:
     }
 
 
+_HASH_ORACLE_CACHE: dict[str, str] | None = None
+
+
+def _hash_oracles() -> dict[str, str]:
+    """Golden oracles for the xxhash64-based queries: DuckDB can't evaluate
+    Spark's xxhash64, so the expected rows come from an independent
+    pure-Python XXH64 (public spec, xxh64.py) + pandas set algebra over the
+    same parquet (oracle.py minhash/simhash/ann functions), rendered as
+    VALUES literals. Cached — the pure-Python MinHash pass costs ~6 s and
+    the contract test calls oracle_sql() once per query."""
+    global _HASH_ORACLE_CACHE
+    if _HASH_ORACLE_CACHE is None:
+        from jsonschema_validator_spark import oracle as o
+
+        mh = o.minhash_candidate_rows()
+        _HASH_ORACLE_CACHE = {
+            "minhash_candidates": o.values_sql(
+                mh,
+                ["id_a", "id_b", "n_shared_bands"],
+                ["BIGINT", "BIGINT", "BIGINT"],
+            ),
+            "jaccard_via_lsh": o.values_sql(
+                o.jaccard_rows_for_candidates(mh, threshold=0.5),
+                ["id_a", "id_b", "jaccard"],
+                ["BIGINT", "BIGINT", "DOUBLE"],
+            ),
+            "simhash_neardups": o.values_sql(
+                o.simhash_neardup_rows(),
+                ["id_a", "id_b", "hamming"],
+                ["BIGINT", "BIGINT", "INTEGER"],
+            ),
+            "ann_lsh_topk": o.values_sql(
+                o.ann_topk_rows(),
+                ["query_id", "neighbor_id", "cos_sim", "rank"],
+                ["BIGINT", "BIGINT", "DOUBLE", "INTEGER"],
+            ),
+        }
+    return _HASH_ORACLE_CACHE
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         **_image_oracles(),
+        **_hash_oracles(),
         "validate_lineitem_verdicts": _LINEITEM_VERDICT_SQL,
         "validate_orders_violations": _ORDERS_VIOLATIONS_SQL,
         "validate_events_verdicts": _EVENTS_VERDICT_SQL,
@@ -1043,7 +1099,4 @@ def oracle_sql() -> dict[str, str]:
         "documents_token_array_validation": _TOKEN_ARRAY_SQL,
         "lineitem_partitioned_verdicts": _PARTITIONED_VERDICT_SQL,
         "violations_topk_per_rule": _TOPK_VIOL_SQL,
-        # minhash_candidates / simhash_neardups / ann_lsh_topk are
-        # intentionally omitted: they rely on xxhash64 / seeded hyperplanes
-        # not expressible in DuckDB → driver records rows-only checks.
     }

@@ -170,10 +170,21 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
-    Without ``candidates`` this verifies ALL pairs sharing ≥1 shingle
-    (test-scale only — at 100 TB always feed LSH candidates). Output:
+    Without ``candidates`` this verifies ALL pairs sharing ≥1 shingle —
+    a quadratic shingle self-join that is TEST-SCALE ONLY and warns loudly.
+    The production shape feeds :func:`minhash_lsh_candidates` output as
+    ``candidates`` (see the jaccard_via_lsh driver query). Output:
     ``id_a, id_b, jaccard`` with jaccard ≥ threshold.
     """
+    if candidates is None:
+        import warnings
+
+        warnings.warn(
+            "ngram_jaccard_pairs called without candidates: falling back to "
+            "the quadratic all-pairs shingle self-join. This is test-scale "
+            "only — at scale pass minhash_lsh_candidates() output.",
+            stacklevel=2,
+        )
     sh = df.select(
         F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_k).alias("_sh")
     )

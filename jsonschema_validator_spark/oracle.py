@@ -213,6 +213,240 @@ def merged_verdict_rows(runs: list[tuple[int, int]]) -> list[tuple]:
 
 
 # ---------------------------------------------------------------------------
+# golden oracles for the hash-based dedup / ANN queries
+# ---------------------------------------------------------------------------
+#
+# These queries use Spark's xxhash64, which DuckDB cannot evaluate — so the
+# oracle is a second, independent implementation: pure-Python XXH64 from the
+# public xxHash spec (jsonschema_validator_spark/xxh64.py, parity-tested
+# against Spark's expression) + plain pandas/python set algebra over the
+# SAME parquet inputs the driver registers as views. The expected rows are
+# rendered as DuckDB VALUES literals. Everything below is deterministic:
+# fixed seeds, exact integer arithmetic, and Decimal HALF_UP rounding where
+# Spark rounds.
+
+import os as _os
+
+
+def _sf_dir() -> str:
+    """The scale-factor dir the correctness gate runs at (driver: sf0.01)."""
+    return _os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _norm_text(s: str) -> str:
+    """Mirror dedup._norm: regexp_replace(lower(trim(t)), r'\\s+', ' ').
+    Java \\s is ASCII-only; Spark trim strips 0x20 only."""
+    import re
+
+    return re.sub(r"\s+", " ", s.strip(" ").lower(), flags=re.ASCII)
+
+
+def _word_shingles(text: str, k: int) -> list[str]:
+    """Mirror dedup.word_shingles: distinct k-word joins; whole text when
+    the doc has fewer than k tokens."""
+    toks = _norm_text(text).split(" ")
+    n = len(toks)
+    if n < k:
+        out = [" ".join(toks)]
+    else:
+        out = [" ".join(toks[i : i + k]) for i in range(n - k + 1)]
+    return list(dict.fromkeys(out))
+
+
+def _docs(sf_dir: str | None) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir or _sf_dir()}/documents.parquet")
+
+
+def minhash_candidate_rows(
+    sf_dir: str | None = None,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> list[tuple]:
+    """Expected (id_a, id_b, n_shared_bands) for minhash_lsh_candidates."""
+    from jsonschema_validator_spark.xxh64 import spark_xxhash64, xxh64
+
+    rows_per_band = n_hashes // bands
+    docs = _docs(sf_dir)
+    band_buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        if text is None or (isinstance(text, float) and pd.isna(text)):
+            continue
+        sig = []
+        for s in range(n_hashes):
+            m = None
+            for sh in _word_shingles(text, shingle_k):
+                # xxhash64(shingle, lit(s)): string then int, chained seed
+                h1 = xxh64(sh.encode("utf-8"), 42)
+                v = spark_xxhash64((s, "int"), seed=h1)
+                if m is None or v < m:
+                    m = v
+            sig.append(m)
+        for b in range(bands):
+            key = ",".join(
+                str(sig[i]) for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            )
+            bh = spark_xxhash64(key)
+            band_buckets.setdefault((b, bh), []).append(int(doc_id))
+    pair_counts: dict[tuple[int, int], int] = {}
+    for ids in band_buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                p = (ids[i], ids[j])
+                pair_counts[p] = pair_counts.get(p, 0) + 1
+    return [(a, b, n) for (a, b), n in sorted(pair_counts.items())]
+
+
+def simhash_neardup_rows(
+    sf_dir: str | None = None,
+    max_hamming: int = 3,
+    shingle_k: int = 2,
+    n_slices: int = 4,
+) -> list[tuple]:
+    """Expected (id_a, id_b, hamming) for simhash_near_duplicates."""
+    from jsonschema_validator_spark.xxh64 import spark_xxhash64
+
+    docs = _docs(sf_dir)
+    M = (1 << 64) - 1
+    sigs: dict[int, int] = {}  # doc_id -> unsigned simhash
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        if text is None or (isinstance(text, float) and pd.isna(text)):
+            continue
+        hs = [spark_xxhash64(sh) & M for sh in _word_shingles(text, shingle_k)]
+        n = len(hs)
+        sig = 0
+        for b in range(64):
+            if 2 * sum((h >> b) & 1 for h in hs) >= n:
+                sig |= 1 << b
+        sigs[int(doc_id)] = sig
+    width = 64 // n_slices
+    mask = (1 << width) - 1
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for i in range(n_slices):
+            buckets.setdefault((i, (sig >> (i * width)) & mask), []).append(doc_id)
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    out = []
+    for a, b in sorted(pairs):
+        ham = bin(sigs[a] ^ sigs[b]).count("1")
+        if ham <= max_hamming:
+            out.append((a, b, ham))
+    return out
+
+
+def _round_half_up(x: float, digits: int = 6) -> float:
+    """Spark F.round on double: BigDecimal.valueOf(x).setScale(d, HALF_UP);
+    BigDecimal.valueOf uses the shortest decimal repr, same as Python repr."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(f"1e-{digits}"), ROUND_HALF_UP))
+
+
+def _hyperplane_oracle(dim: int, plane_idx: int) -> list[float]:
+    """Independent copy of the documented deterministic hyperplane
+    derivation (splitmix64-style mixing, public-domain constants)."""
+    import math
+
+    vals = []
+    for j in range(dim):
+        z = (
+            plane_idx * 0x9E3779B97F4A7C15
+            + j * 0xBF58476D1CE4E5B9
+            + 0x94D049BB133111EB
+        ) % (1 << 64)
+        z ^= z >> 31
+        z = (z * 0xD6E8FEB86659FD93) % (1 << 64)
+        z ^= z >> 27
+        vals.append((z / float(1 << 63)) - 1.0)
+    n = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / n for v in vals]
+
+
+def ann_topk_rows(
+    sf_dir: str | None = None,
+    dim: int = 64,
+    k: int = 5,
+    n_planes: int = 8,
+    query_max_id: int = 10,
+) -> list[tuple]:
+    """Expected (query_id, neighbor_id, cos_sim, rank) for ann_topk.
+
+    Float ops replicate Spark's exact evaluation order: F.aggregate is a
+    LEFT FOLD (acc+x*y sequentially), so dot/norm here are python loops,
+    not numpy reductions (pairwise summation would round differently)."""
+    import math
+
+    emb = pd.read_parquet(f"{sf_dir or _sf_dir()}/embeddings.parquet")
+    vecs = {
+        int(i): [float(x) for x in v] for i, v in zip(emb["vec_id"], emb["embedding"])
+    }
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    planes = [_hyperplane_oracle(dim, i) for i in range(n_planes)]
+
+    def bucket(v):
+        b = 0
+        for i, p in enumerate(planes):
+            if fold_dot(v, p) > 0:
+                b |= 1 << i
+        return b
+
+    buckets = {i: bucket(v) for i, v in vecs.items()}
+    norms = {i: math.sqrt(fold_dot(v, v)) for i, v in vecs.items()}
+    out = []
+    for qid in sorted(i for i in vecs if i < query_max_id):
+        cands = []
+        for nid, v in vecs.items():
+            if nid == qid or buckets[nid] != buckets[qid]:
+                continue
+            sim = _round_half_up(
+                fold_dot(vecs[qid], v) / (norms[qid] * norms[nid]), 6
+            )
+            cands.append((nid, sim))
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (nid, sim) in enumerate(cands[:k], start=1):
+            out.append((qid, nid, sim, rank))
+    return out
+
+
+def jaccard_rows_for_candidates(
+    candidates: list[tuple],
+    sf_dir: str | None = None,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> list[tuple]:
+    """Expected (id_a, id_b, jaccard) for ngram_jaccard_pairs fed with the
+    given candidate pairs (the LSH→verify production pipeline)."""
+    docs = _docs(sf_dir)
+    sh = {
+        int(i): set(_word_shingles(t, shingle_k))
+        for i, t in zip(docs["doc_id"], docs["text"])
+        if t is not None
+    }
+    out = []
+    for a, b, *_ in candidates:
+        if a not in sh or b not in sh:
+            continue
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        j = _round_half_up(inter / union, 6)
+        if j >= threshold:
+            out.append((a, b, j))
+    return sorted(out)
+
+
+# ---------------------------------------------------------------------------
 # SQL literal rendering
 # ---------------------------------------------------------------------------
 
