@@ -19,13 +19,21 @@ Layers
   synthetic image-caption data.
 """
 
-from jsonschema_validator_spark.spec import Spec, SpecError, ValidationMode, parse_tag, spec_from_tags
+from jsonschema_validator_spark.spec import (
+    Spec,
+    SpecError,
+    ValidationMode,
+    parse_tag,
+    spec_from_schema,
+    spec_from_tags,
+)
 from jsonschema_validator_spark.engine import Validator, ValidationResult
 
 __all__ = [
     "Spec",
     "parse_tag",
     "spec_from_tags",
+    "spec_from_schema",
     "SpecError",
     "ValidationMode",
     "Validator",

@@ -25,16 +25,31 @@ ValidationResult{Valid, Errors} (:557-560) becoming DataFrames.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+from dataclasses import replace as _dc_replace
+from typing import Callable, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from jsonschema_validator_spark.errors import VIOLATION_FIELDS
+from jsonschema_validator_spark.rules.base import Check, SpecError
 from jsonschema_validator_spark.spec import CompiledSpec, Spec, ValidationMode
 
 CHECKS_COL = "_checks"
 VALID_COL = "_valid"
+
+
+def _root_column(check: Check) -> Optional[str]:
+    """Root table column a compiled check targets, parsed from its rule_id
+    (``<keyword>:$.<col>[...]``). Used to scope the custom-hook guard."""
+    _, _, p = check.rule_id.partition(":")
+    if not p.startswith("$."):
+        return None
+    rest = p[2:]
+    for i, ch in enumerate(rest):
+        if ch in ".[":
+            return rest[:i]
+    return rest
 
 
 class Validator:
@@ -43,7 +58,8 @@ class Validator:
     Analogue of validator.New + Validate* (/root/reference/validator/
     validator.go:40-57, 289-316), with options mirroring options.go:
     ``stop_on_first_error`` (options.go:71-75) limits violation output to the
-    first failing check per row.
+    first failing check per row; ``enable_caching`` ≙ WithCaching
+    (options.go:57-61) memoizes spec compilation per input schema.
     """
 
     def __init__(
@@ -51,16 +67,115 @@ class Validator:
         spec: Union[Spec, dict, str],
         mode: Union[str, ValidationMode] = "strict",
         stop_on_first_error: bool = False,
+        enable_caching: bool = False,
     ):
         self.spec = spec if isinstance(spec, Spec) else Spec(spec, mode=mode)
         self.stop_on_first_error = stop_on_first_error
+        self.enable_caching = enable_caching
+        self._compile_cache: dict[str, CompiledSpec] = {}
+        self._custom_validate_func: Optional[Callable[[Column, str], Column]] = None
+        self._custom_type_func: Optional[Callable[[Column], Column]] = None
+
+    # ---- extension points (validator.go:120-131) --------------------------
+
+    def set_custom_validate_func(self, fn: Callable[[Column, str], Column]) -> None:
+        """SetCustomValidateFunc analogue (validator.go:129-131, applied at
+        :181-204): ``fn(col, path) -> boolean Column`` runs BEFORE every rule
+        predicate on each spec column. Failing rows emit a violation with the
+        reference's hardcoded message quirk ("value must start with
+        'ADMIN_'", :195) and SKIP that column's remaining checks (the Go loop
+        ``continue``s to the next field). A NULL result counts as a failure
+        (the Go fn receives nil and returns false for non-strings)."""
+        self._custom_validate_func = fn
+
+    def set_custom_type_func(self, fn: Callable[[Column], Column]) -> None:
+        """SetCustomTypeFunc analogue (validator.go:120-122, applied at
+        :176-178): a column pre-projection applied to every spec column
+        before predicates compile — the vectorized form of the reflect.Value
+        extraction override (e.g. unwrap a struct wrapper field)."""
+        self._custom_type_func = fn
+
+    def clear_cache(self) -> None:
+        """ClearCache analogue (validator.go:848-853)."""
+        self._compile_cache.clear()
+
+    # ---- compile + validate ----------------------------------------------
+
+    def _spec_columns(self) -> list[str]:
+        """Columns the spec references (properties ∪ required, spec order) —
+        the analogue of 'fields with a non-empty tag' (validator.go:161-167)."""
+        props = self.spec.raw.get("properties") or {}
+        cols = list(props.keys())
+        for r in self.spec.raw.get("required") or []:
+            if r not in props:
+                cols.append(r)
+        return cols
 
     def compile(self, df: DataFrame) -> CompiledSpec:
-        return self.spec.compile(df.schema)
+        """Compile the spec against the DataFrame's schema. With
+        ``enable_caching`` the compiled plan is memoized per input schema
+        (validator.go:296-314 caches per schema string; inverted here — one
+        Validator owns one spec and meets many schemas) and ``compile`` twice
+        on the same schema returns the SAME object (CompileSchema cache test
+        asserts pointer identity, validator_test.go:270-273)."""
+        if not self.enable_caching:
+            return self.spec.compile(df.schema)
+        key = df.schema.json()
+        hit = self._compile_cache.get(key)
+        if hit is None:
+            hit = self.spec.compile(df.schema)
+            self._compile_cache[key] = hit
+        return hit
 
     def validate(self, df: DataFrame) -> "ValidationResult":
+        if self._custom_type_func is not None:
+            projections = {
+                c: self._custom_type_func(F.col(c))
+                for c in self._spec_columns()
+                if c in df.columns
+            }
+            if projections:
+                df = df.withColumns(projections)
         compiled = self.compile(df)
+        if self._custom_validate_func is not None:
+            compiled = self._with_custom_checks(compiled, df)
         return ValidationResult(df, compiled, stop_on_first_error=self.stop_on_first_error)
+
+    def _with_custom_checks(self, compiled: CompiledSpec, df: DataFrame) -> CompiledSpec:
+        """Prepend a per-column custom check and guard every later check so a
+        custom failure suppresses it (validator.go:181-204 order)."""
+        hooked: list[Check] = []
+        fails: dict[str, Column] = {}
+        for c in self._spec_columns():
+            if c not in df.columns:
+                continue
+            path = f"$.{c}"
+            try:
+                ok = self._custom_validate_func(F.col(c), path)
+            except Exception as exc:  # the fn-returned-error branch (:183-190)
+                raise SpecError(f"custom validation failed: {exc}") from exc
+            ok = F.coalesce(ok, F.lit(False))
+            fails[c] = ~ok
+            hooked.append(
+                Check(
+                    rule_id=f"custom:{path}",
+                    tag="custom",
+                    path=path,
+                    predicate=ok,
+                    # hardcoded in the reference regardless of the hook's
+                    # actual semantics — validator.go:195
+                    message="value must start with 'ADMIN_'",
+                    value=F.col(c).cast("string"),
+                    column_name=c,
+                )
+            )
+        guarded = [
+            _dc_replace(ch, predicate=fails[col] | ch.predicate)
+            if (col := _root_column(ch)) in fails
+            else ch
+            for ch in compiled.checks
+        ]
+        return CompiledSpec(compiled.spec, hooked + guarded)
 
 
 class ValidationResult:

@@ -203,6 +203,38 @@ def spec_from_tags(tags: dict[str, str], mode: Union[str, ValidationMode] = "str
     return Spec(raw, mode=mode)
 
 
+def spec_from_schema(
+    schema: StructType,
+    tag_name: str = "validate",
+    tag_name_func=None,
+    mode: Union[str, ValidationMode] = "strict",
+) -> Spec:
+    """Tag-SOURCE adapter — the SetTagNameFunc / WithTagName analogue
+    (validator.go:124-127, :161-167; options.go:36-40).
+
+    The Go path reads each struct field's tag via ``field.Tag.Get(TagName)``
+    unless a ``tagNameFunc(field)`` override is set; empty tags skip the
+    field. The Spark field-metadata equivalent: each StructField may carry
+    its rule string in ``field.metadata[tag_name]`` (attach with
+    ``df.withMetadata(col, {"validate": "required,minimum=18"})``), and
+    ``tag_name_func(field) -> str`` overrides the lookup entirely::
+
+        spec = spec_from_schema(df.schema)                  # default tag
+        spec = spec_from_schema(df.schema, tag_name="rules")  # WithTagName
+        spec = spec_from_schema(df.schema, tag_name_func=my_fn)  # SetTagNameFunc
+    """
+    tags: dict[str, str] = {}
+    for field in schema.fields:
+        if tag_name_func is not None:
+            tag = tag_name_func(field)
+        else:
+            tag = (field.metadata or {}).get(tag_name, "")
+        if not tag:
+            continue  # validator.go:166-167
+        tags[field.name] = tag
+    return spec_from_tags(tags, mode=mode)
+
+
 class CompiledSpec:
     """Analogue of CompiledSchema (schema.go:29-33) — the physical rule plan."""
 
@@ -218,4 +250,12 @@ class CompiledSpec:
         return len(self.checks)
 
 
-__all__ = ["Spec", "CompiledSpec", "SpecError", "ValidationMode", "parse_tag", "spec_from_tags"]
+__all__ = [
+    "Spec",
+    "CompiledSpec",
+    "SpecError",
+    "ValidationMode",
+    "parse_tag",
+    "spec_from_tags",
+    "spec_from_schema",
+]
