@@ -375,6 +375,94 @@ def q_violations_topk_per_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# format keyword (SURVEY.md §2.2): 9 format predicates exercised against a
+# DuckDB regex oracle. The format-able columns are DERIVED deterministically
+# from events.user_id with injected invalids — the derivation SQL is shared
+# verbatim between the Spark query (F.expr) and the oracle CTE, so the two
+# sides differ only in the format predicates themselves (engine Column
+# predicates vs DuckDB regexp_matches/TRY_CAST).
+# ---------------------------------------------------------------------------
+
+_FMT_DERIVE: dict[str, tuple[str, str]] = {
+    # col -> (format name, shared derivation SQL)
+    "fmt_email": (
+        "email",
+        "CASE WHEN user_id IS NULL THEN NULL WHEN user_id % 7 = 0 "
+        "THEN 'user' || CAST(user_id AS STRING) || 'example.com' "
+        "ELSE 'user' || CAST(user_id AS STRING) || '@example.com' END",
+    ),
+    "fmt_date_time": (
+        "date-time",
+        "CASE WHEN user_id IS NULL THEN NULL WHEN user_id % 11 = 0 "
+        "THEN '2026-01-02 03:04:05Z' "
+        "ELSE '2026-01-02T03:04:' || lpad(CAST(user_id % 60 AS STRING), 2, '0') || 'Z' END",
+    ),
+    "fmt_date": (
+        "date",
+        "CASE WHEN user_id IS NULL THEN NULL WHEN user_id % 9 = 0 "
+        "THEN '2026-13-40' "
+        "ELSE '2026-01-' || lpad(CAST(1 + user_id % 28 AS STRING), 2, '0') END",
+    ),
+    "fmt_time": (
+        "time",
+        "CASE WHEN user_id IS NULL THEN NULL WHEN user_id % 8 = 0 "
+        "THEN '25:61:00' "
+        "ELSE lpad(CAST(user_id % 24 AS STRING), 2, '0') || ':30:00' END",
+    ),
+    "fmt_uri": (
+        "uri",
+        "CASE WHEN user_id IS NULL THEN NULL WHEN user_id % 10 = 0 "
+        "THEN 'not a uri' "
+        "ELSE 'https://example.com/' || CAST(user_id AS STRING) END",
+    ),
+    "fmt_hostname": (
+        "hostname",
+        "CASE WHEN user_id IS NULL THEN NULL WHEN user_id % 6 = 0 "
+        "THEN '-bad.example.com' "
+        "ELSE 'host-' || CAST(user_id AS STRING) || '.example.com' END",
+    ),
+    "fmt_ipv4": (
+        "ipv4",
+        "CASE WHEN user_id IS NULL THEN NULL WHEN user_id % 13 = 0 "
+        "THEN '10.0.0.256' "
+        "ELSE '10.0.' || CAST(user_id % 256 AS STRING) || '.1' END",
+    ),
+    "fmt_ipv6": (
+        "ipv6",
+        "CASE WHEN user_id IS NULL THEN NULL WHEN user_id % 4 = 0 "
+        "THEN 'fe80:::1' "
+        "ELSE '2001:db8::' || CAST(user_id % 10 AS STRING) END",
+    ),
+    "fmt_uuid": (
+        "uuid",
+        "CASE WHEN user_id IS NULL THEN NULL WHEN user_id % 5 = 0 "
+        "THEN substr(md5(CAST(user_id AS STRING)), 1, 8) || '-' || "
+        "substr(md5(CAST(user_id AS STRING)), 9, 4) || '-' || "
+        "substr(md5(CAST(user_id AS STRING)), 13, 4) || '-' || "
+        "substr(md5(CAST(user_id AS STRING)), 17, 4) || '-' || "
+        "substr(md5(CAST(user_id AS STRING)), 21, 11) "
+        "ELSE substr(md5(CAST(user_id AS STRING)), 1, 8) || '-' || "
+        "substr(md5(CAST(user_id AS STRING)), 9, 4) || '-' || "
+        "substr(md5(CAST(user_id AS STRING)), 13, 4) || '-' || "
+        "substr(md5(CAST(user_id AS STRING)), 17, 4) || '-' || "
+        "substr(md5(CAST(user_id AS STRING)), 21, 12) END",
+    ),
+}
+
+
+def q_format_validation_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 9 built-in format predicates (SURVEY.md §2.2) as one verdicts
+    table over format columns derived from events.user_id."""
+    from jsonschema_validator_spark import Validator
+
+    df = _t(spark, sf_dir, "events").select(
+        *[F.expr(sql).alias(col) for col, (_, sql) in _FMT_DERIVE.items()]
+    )
+    spec = {"properties": {col: {"format": fmt} for col, (fmt, _) in _FMT_DERIVE.items()}}
+    return Validator(spec).validate(df).verdicts()
+
+
+# ---------------------------------------------------------------------------
 # image-caption flagship (BASELINE.json north rule). The table is synthesized
 # deterministically in-query (no external data); the oracle is an independent
 # pandas/numpy re-implementation rendered as DuckDB VALUES literals
@@ -504,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dependencies_verdict": q_events_dependencies_verdict,
         "events_props_map_validation": q_events_props_map_validation,
         "documents_token_array_validation": q_documents_token_array_validation,
+        "format_validation_derived": q_format_validation_derived,
         "lineitem_partitioned_verdicts": q_lineitem_partitioned_verdicts,
         "violations_topk_per_rule": q_violations_topk_per_rule,
         "images_suite_verdicts": q_images_suite_verdicts,
@@ -943,6 +1032,77 @@ SELECT 'items.maxLength:$.tokens', 'maxLength', CAST(count(*) AS BIGINT),
 FROM t
 """
 
+# DuckDB reimplementation of the 9 format predicates (RE2 regexes mirror
+# rules/formats.py, which itself mirrors reference rules/utils.go:151-210;
+# date/date-time add the TRY_CAST range check like try_to_date/_timestamp)
+_FMT_VALID_DUCK: dict[str, str] = {
+    "fmt_email": r"regexp_matches(fmt_email, '^[^@\s]+@[^@\s]+$')",
+    "fmt_date_time": (
+        r"regexp_matches(fmt_date_time, "
+        r"'^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|z|[+-]\d{2}:\d{2})$') "
+        r"AND TRY_CAST(regexp_replace(fmt_date_time, '(Z|z|[+-]\d{2}:\d{2})$', '') "
+        r"AS TIMESTAMP) IS NOT NULL"
+    ),
+    "fmt_date": (
+        r"regexp_matches(fmt_date, '^\d{4}-\d{2}-\d{2}$') "
+        r"AND TRY_CAST(fmt_date AS DATE) IS NOT NULL"
+    ),
+    "fmt_time": r"regexp_matches(fmt_time, '^([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9]$')",
+    "fmt_uri": (
+        r"regexp_matches(fmt_uri, "
+        r"'^[a-zA-Z][a-zA-Z0-9+.\-]*:[^ \t\r\n]*$|^/[^ \t\r\n]*$')"
+    ),
+    "fmt_hostname": (
+        r"strlen(fmt_hostname) <= 255 AND strlen(fmt_hostname) > 0 "
+        r"AND regexp_matches(fmt_hostname, "
+        r"'^([a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9\-]{0,61}[a-zA-Z0-9])"
+        r"(\.([a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9\-]{0,61}[a-zA-Z0-9]))*$')"
+    ),
+    "fmt_ipv4": (
+        r"regexp_matches(fmt_ipv4, "
+        r"'^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+        r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')"
+    ),
+    "fmt_ipv6": (
+        r"regexp_matches(fmt_ipv6, "
+        r"'^([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}$"
+        r"|^([0-9a-fA-F]{1,4}:){1,7}:$"
+        r"|^:((:[0-9a-fA-F]{1,4}){1,7}|:)$"
+        r"|^([0-9a-fA-F]{1,4}:){1,6}:[0-9a-fA-F]{1,4}$"
+        r"|^([0-9a-fA-F]{1,4}:){1,5}(:[0-9a-fA-F]{1,4}){2}$"
+        r"|^([0-9a-fA-F]{1,4}:){1,4}(:[0-9a-fA-F]{1,4}){3}$"
+        r"|^([0-9a-fA-F]{1,4}:){1,3}(:[0-9a-fA-F]{1,4}){4}$"
+        r"|^([0-9a-fA-F]{1,4}:){1,2}(:[0-9a-fA-F]{1,4}){5}$"
+        r"|^[0-9a-fA-F]{1,4}:(:[0-9a-fA-F]{1,4}){6}$"
+        r"|^::([fF]{4}:)?((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+        r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+        r"|^([0-9a-fA-F]{1,4}:){1,4}:((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+        r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')"
+    ),
+    "fmt_uuid": (
+        r"regexp_matches(lower(fmt_uuid), "
+        r"'^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$')"
+    ),
+}
+
+
+def _format_oracle_sql() -> str:
+    derive = "SELECT " + ", ".join(
+        f"{sql} AS {col}" for col, (_, sql) in _FMT_DERIVE.items()
+    ) + " FROM events"
+    members = []
+    for col, (_, _sql) in _FMT_DERIVE.items():
+        fail = f"{col} IS NOT NULL AND NOT ({_FMT_VALID_DUCK[col]})"
+        members.append(
+            f"SELECT 'format:$.{col}' AS rule_id, 'format' AS tag,\n"
+            f"       CAST(count(*) AS BIGINT) AS n_checked,\n"
+            f"       CAST(COALESCE(sum(CASE WHEN {fail} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_failed,\n"
+            f"       (COALESCE(sum(CASE WHEN {fail} THEN 1 ELSE 0 END), 0) = 0) AS pass\n"
+            f"FROM ({derive}) d"
+        )
+    return "\nUNION ALL\n".join(members)
+
+
 _PARTITIONED_VERDICT_SQL = """
 SELECT l_returnflag,
        r.rule_id, r.tag,
@@ -1097,6 +1257,7 @@ def oracle_sql() -> dict[str, str]:
         "events_dependencies_verdict": _EVENTS_DEPS_SQL,
         "events_props_map_validation": _PROPS_MAP_SQL,
         "documents_token_array_validation": _TOKEN_ARRAY_SQL,
+        "format_validation_derived": _format_oracle_sql(),
         "lineitem_partitioned_verdicts": _PARTITIONED_VERDICT_SQL,
         "violations_topk_per_rule": _TOPK_VIOL_SQL,
     }
