@@ -1,9 +1,11 @@
 """Minimal deterministic image codecs (no external image libraries).
 
 The sandbox has no PIL/opencv, so the image payloads use:
-- **PNG**: a real, spec-compliant subset (8-bit RGB, zlib, filter 0) —
-  encodable AND decodable here; any standards-compliant reader can decode
-  our output (verified against the PNG spec, public knowledge).
+- **PNG**: a real, spec-compliant subset — every 8-bit non-interlaced,
+  non-palette variant: color types 0/2/4/6 and all five scanline filters
+  (None/Sub/Up/Average/Paeth). Encodable AND decodable here; any
+  standards-compliant reader can decode our output (implemented from the
+  public PNG specification).
 - **fake-JPEG** (``FJPG``): a deterministic stand-in for a lossy codec —
   quantizes each channel to 6 bits (max error ±2/255 ⇒ PSNR ≈ 44 dB,
   satisfying the ≥40 dB lossy invariant from BASELINE.json input_hint).
@@ -34,13 +36,57 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """RGB uint8 array (h, w, 3) → PNG bytes (8-bit truecolor, filter 0)."""
+# PNG 8-bit color types (spec §11.2.2): value -> samples per pixel
+_CTYPE_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §9.4), elementwise over channel vectors."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(
+    pixels: np.ndarray, color_type: int = 2, filter_type: int = 0
+) -> bytes:
+    """uint8 array → PNG bytes (8-bit, no interlace).
+
+    ``color_type``: 0 grayscale (h,w,1|h,w), 2 RGB (h,w,3), 4 gray+alpha
+    (h,w,2), 6 RGBA (h,w,4). ``filter_type`` 0-4 applies that filter to
+    every scanline (spec §9: None/Sub/Up/Average/Paeth)."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
     h, w, c = pixels.shape
-    assert c == 3 and pixels.dtype == np.uint8
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    assert pixels.dtype == np.uint8 and c == _CTYPE_CHANNELS[color_type]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    flat = pixels.reshape(h, w * c).astype(np.int32)
+    if filter_type == 0:
+        filtered = flat
+    else:
+        filtered = np.empty_like(flat)
+        prev = np.zeros(w * c, dtype=np.int32)
+        for y in range(h):
+            rec = flat[y].reshape(w, c)
+            prow = prev.reshape(w, c)
+            if filter_type == 1:  # Sub
+                left = np.vstack([np.zeros((1, c), np.int32), rec[:-1]])
+                filtered[y] = ((rec - left) % 256).reshape(-1)
+            elif filter_type == 2:  # Up
+                filtered[y] = ((flat[y] - prev) % 256)
+            elif filter_type == 3:  # Average
+                left = np.vstack([np.zeros((1, c), np.int32), rec[:-1]])
+                filtered[y] = ((rec - (left + prow) // 2) % 256).reshape(-1)
+            elif filter_type == 4:  # Paeth
+                left = np.vstack([np.zeros((1, c), np.int32), rec[:-1]])
+                upleft = np.vstack([np.zeros((1, c), np.int32), prow[:-1]])
+                filtered[y] = ((rec - _paeth(left, prow, upleft)) % 256).reshape(-1)
+            else:
+                raise ValueError(f"unsupported PNG filter {filter_type}")
+            prev = flat[y]
     raw = np.concatenate(
-        [np.zeros((h, 1), dtype=np.uint8), pixels.reshape(h, w * 3)], axis=1
+        [np.full((h, 1), filter_type, dtype=np.uint8),
+         filtered.astype(np.uint8)], axis=1
     ).tobytes()
     return (
         PNG_MAGIC
@@ -51,12 +97,17 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → RGB uint8 (h, w, 3). Supports the encode_png subset plus
-    filters 0-2 (None/Sub/Up) — raises ValueError on anything else."""
+    """PNG bytes → RGB uint8 (h, w, 3).
+
+    Supports every 8-bit non-interlaced, non-palette variant: color types
+    0/2/4/6 (grayscale, RGB, gray+alpha, RGBA) and scanline filters 0-4
+    (None/Sub/Up/Average/Paeth, spec §9). Grayscale replicates to RGB;
+    alpha is dropped. Raises ValueError on 16-bit, palette, or interlaced
+    payloads."""
     if data[:8] != PNG_MAGIC:
         raise ValueError("not a PNG")
     pos = 8
-    w = h = None
+    w = h = ctype = None
     idat = b""
     while pos < len(data):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
@@ -64,7 +115,7 @@ def decode_png(data: bytes) -> np.ndarray:
         payload = data[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
             w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
-            if depth != 8 or ctype != 2 or interlace != 0:
+            if depth != 8 or ctype not in _CTYPE_CHANNELS or interlace != 0:
                 raise ValueError("unsupported PNG variant")
         elif tag == b"IDAT":
             idat += payload
@@ -73,27 +124,57 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + ln
     if w is None:
         raise ValueError("missing IHDR")
+    ch = _CTYPE_CHANNELS[ctype]
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    stride = w * 3 + 1
+    stride = w * ch + 1
     if raw.size != h * stride:
         raise ValueError("corrupt PNG payload")
     rows = raw.reshape(h, stride)
     filters = rows[:, 0]
-    out = rows[:, 1:].astype(np.int16).copy()
+    out = np.empty((h, w * ch), dtype=np.uint8)
+    prev = np.zeros(w * ch, dtype=np.int32)
     for y in range(h):
+        cur = rows[y, 1:].astype(np.int32)
         f = filters[y]
         if f == 0:
-            pass
-        elif f == 1:  # Sub
-            line = out[y].reshape(w, 3)
-            np.cumsum(line, axis=0, out=line)
-            line %= 256
+            rec = cur
+        elif f == 1:  # Sub: left-neighbor cumulative per channel
+            rec = np.cumsum(cur.reshape(w, ch), axis=0).reshape(-1) % 256
         elif f == 2:  # Up
-            if y > 0:
-                out[y] = (out[y] + out[y - 1]) % 256
+            rec = (cur + prev) % 256
+        elif f == 3:  # Average: sequential in x (left is reconstructed)
+            curp = cur.reshape(w, ch)
+            prow = prev.reshape(w, ch)
+            recp = np.empty((w, ch), dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                left = (curp[x] + (left + prow[x]) // 2) % 256
+                recp[x] = left
+            rec = recp.reshape(-1)
+        elif f == 4:  # Paeth: sequential in x
+            curp = cur.reshape(w, ch)
+            prow = prev.reshape(w, ch)
+            recp = np.empty((w, ch), dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            upleft = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                up = prow[x]
+                left = (curp[x] + _paeth(left, up, upleft)) % 256
+                recp[x] = left
+                upleft = up
+            rec = recp.reshape(-1)
         else:
             raise ValueError(f"unsupported PNG filter {f}")
-    return out.astype(np.uint8).reshape(h, w, 3)
+        out[y] = rec
+        prev = rec.astype(np.int32)
+    px = out.reshape(h, w, ch)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if ctype == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    return px
 
 
 def encode_fjpg(pixels: np.ndarray) -> bytes:

@@ -177,3 +177,72 @@ def test_salted_uniqueness_on_skewed_phash(spark):
     hot_counts = {k: n for k, n in plain if k in synth.HOT_PHASHES}
     assert len(hot_counts) == 8
     assert sum(hot_counts.values()) == N // 20
+
+
+def test_png_all_color_types_and_filters_roundtrip():
+    """Full 8-bit PNG matrix: color types 0/2/4/6 x filters 0-4 roundtrip
+    through encode_png/decode_png; decoded output is always RGB (h,w,3)
+    with grayscale replicated and alpha dropped (PNG spec SS9, SS11.2.2)."""
+    import numpy as np
+
+    from jsonschema_validator_spark.sources.codecs import (
+        _CTYPE_CHANNELS,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    h, w = 13, 17  # odd sizes catch stride bugs
+    for ctype, ch in _CTYPE_CHANNELS.items():
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        if ctype == 0:
+            expected = np.repeat(px, 3, axis=2)
+        elif ctype == 2:
+            expected = px
+        elif ctype == 4:
+            expected = np.repeat(px[:, :, :1], 3, axis=2)
+        else:
+            expected = px[:, :, :3]
+        for f in range(5):
+            data = encode_png(px, color_type=ctype, filter_type=f)
+            got = decode_png(data)
+            assert got.shape == (h, w, 3), (ctype, f)
+            assert np.array_equal(got, expected), (ctype, f)
+
+
+def test_png_gradient_filters_exact():
+    """Filters 3/4 on smooth gradients (their motivating case) — catches
+    off-by-one in the sequential left/up-left reconstruction."""
+    import numpy as np
+
+    from jsonschema_validator_spark.sources.codecs import decode_png, encode_png
+
+    y, x = np.mgrid[0:32, 0:48]
+    px = np.stack(
+        [(x * 3) % 256, (y * 5) % 256, (x + y) % 256], axis=2
+    ).astype(np.uint8)
+    for f in (3, 4):
+        assert np.array_equal(decode_png(encode_png(px, filter_type=f)), px)
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from jsonschema_validator_spark.sources.codecs import (
+        PNG_MAGIC,
+        decode_png,
+        encode_png,
+    )
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    data = bytearray(encode_png(px))
+    # IHDR payload starts at byte 16; depth at +8, ctype +9, interlace +12
+    for off, val in ((16 + 8, 16), (16 + 9, 3), (16 + 12, 1)):
+        bad = bytearray(data)
+        bad[off] = val
+        with pytest.raises(ValueError, match="unsupported PNG variant"):
+            decode_png(bytes(bad))
+    assert data[:8] == PNG_MAGIC
