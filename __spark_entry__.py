@@ -555,6 +555,59 @@ def q_images_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_streaming_windowed_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming evidence (SURVEY.md §2.5): the SAME compiled
+    spec applied to an unbounded source — events re-staged as a file-source
+    stream → watermarked 1-day windowed verdicts → memory sink, drained with
+    processAllAvailable. The oracle is the identical windowed aggregation in
+    DuckDB over the same rows, so stream and batch semantics are value-hash
+    compared (windows keyed by epoch seconds of the window start)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsonschema_validator_spark.streaming.validate import StreamingValidator
+
+    # events.ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP. Pin the
+    # session to UTC for the cast so the NTZ wall time maps to the same
+    # epoch DuckDB's epoch(ts) computes, independent of the host timezone.
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    ).filter(F.col("ts").isNotNull())
+    root = tempfile.mkdtemp(prefix="jsv_stream_")
+    name = "sv_" + uuid.uuid4().hex[:8]
+    try:
+        path = os.path.join(root, "src")
+        src.coalesce(1).write.parquet(path)
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).parquet(path)
+        v = StreamingValidator(EVENTS_SPEC).windowed_verdicts(
+            stream, ts_col="ts", window="1 day", watermark="1 minute"
+        )
+        q = (
+            v.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.sql(
+            f"SELECT CAST(window.start AS LONG) AS window_start, rule_id, tag, "
+            f"n_checked, n_failed, pass FROM {name}"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)  # detach from sink
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonschema_validator_spark.operators.similarity import ann_topk
 
@@ -595,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_validation_derived": q_format_validation_derived,
         "lineitem_partitioned_verdicts": q_lineitem_partitioned_verdicts,
         "violations_topk_per_rule": q_violations_topk_per_rule,
+        "streaming_windowed_verdicts": q_streaming_windowed_verdicts,
         "images_suite_verdicts": q_images_suite_verdicts,
         "images_drift_shifted": q_images_drift_shifted,
         "images_decode_violations": q_images_decode_violations,
@@ -1032,6 +1086,38 @@ SELECT 'items.maxLength:$.tokens', 'maxLength', CAST(count(*) AS BIGINT),
 FROM t
 """
 
+_STREAMING_VERDICT_SQL = """
+SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS window_start,
+       r.rule_id, r.tag,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(COALESCE(sum(CASE
+         WHEN r.rule_id = 'required:$.event_id' THEN CASE WHEN event_id IS NULL THEN 1 ELSE 0 END
+         WHEN r.rule_id = 'required:$.ts' THEN 0
+         WHEN r.rule_id = 'required:$.user_id' THEN CASE WHEN user_id IS NULL THEN 1 ELSE 0 END
+         WHEN r.rule_id = 'enum:$.event_type' THEN CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase') THEN 1 ELSE 0 END
+         WHEN r.rule_id = 'type:$.value' THEN 0
+         WHEN r.rule_id = 'minimum:$.value' THEN CASE WHEN value IS NOT NULL AND value < 0 THEN 1 ELSE 0 END
+         ELSE CASE WHEN value IS NOT NULL AND value > 400 THEN 1 ELSE 0 END END), 0) AS BIGINT) AS n_failed,
+       (COALESCE(sum(CASE
+         WHEN r.rule_id = 'required:$.event_id' THEN CASE WHEN event_id IS NULL THEN 1 ELSE 0 END
+         WHEN r.rule_id = 'required:$.ts' THEN 0
+         WHEN r.rule_id = 'required:$.user_id' THEN CASE WHEN user_id IS NULL THEN 1 ELSE 0 END
+         WHEN r.rule_id = 'enum:$.event_type' THEN CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase') THEN 1 ELSE 0 END
+         WHEN r.rule_id = 'type:$.value' THEN 0
+         WHEN r.rule_id = 'minimum:$.value' THEN CASE WHEN value IS NOT NULL AND value < 0 THEN 1 ELSE 0 END
+         ELSE CASE WHEN value IS NOT NULL AND value > 400 THEN 1 ELSE 0 END END), 0) = 0) AS pass
+FROM events
+CROSS JOIN (VALUES ('required:$.event_id','required'),
+                   ('required:$.ts','required'),
+                   ('required:$.user_id','required'),
+                   ('enum:$.event_type','enum'),
+                   ('type:$.value','type'),
+                   ('minimum:$.value','minimum'),
+                   ('maximum:$.value','maximum')) AS r(rule_id, tag)
+WHERE ts IS NOT NULL
+GROUP BY 1, r.rule_id, r.tag
+"""
+
 # DuckDB reimplementation of the 9 format predicates (RE2 regexes mirror
 # rules/formats.py, which itself mirrors reference rules/utils.go:151-210;
 # date/date-time add the TRY_CAST range check like try_to_date/_timestamp)
@@ -1260,4 +1346,5 @@ def oracle_sql() -> dict[str, str]:
         "format_validation_derived": _format_oracle_sql(),
         "lineitem_partitioned_verdicts": _PARTITIONED_VERDICT_SQL,
         "violations_topk_per_rule": _TOPK_VIOL_SQL,
+        "streaming_windowed_verdicts": _STREAMING_VERDICT_SQL,
     }
