@@ -616,6 +616,19 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, queries, dim=64, k=5, n_planes=8)
 
 
+def q_embedding_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucketing (dedup family).
+    The synthetic embeddings are near-orthogonal (max in-bucket cosine
+    ≈0.46), so the driver threshold is 0.3 to keep the output non-empty —
+    production near-dup thresholds (0.9+) use the same plan."""
+    from jsonschema_validator_spark.operators.similarity import (
+        embedding_cosine_neardups,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_neardups(emb, dim=64, threshold=0.3, n_planes=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem_verdicts": q_validate_lineitem_verdicts,
@@ -640,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_via_lsh": q_jaccard_via_lsh,
         "simhash_neardups": q_simhash_neardups,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_cosine_neardups": q_embedding_cosine_neardups,
         "validate_part_composite": q_validate_part_composite,
         "validate_customer_conditional": q_validate_customer_conditional,
         "events_dependencies_verdict": q_events_dependencies_verdict,
@@ -1311,6 +1325,11 @@ def _hash_oracles() -> dict[str, str]:
                 o.ann_topk_rows(),
                 ["query_id", "neighbor_id", "cos_sim", "rank"],
                 ["BIGINT", "BIGINT", "DOUBLE", "INTEGER"],
+            ),
+            "embedding_cosine_neardups": o.values_sql(
+                o.embedding_neardup_rows(),
+                ["id_a", "id_b", "cos_sim"],
+                ["BIGINT", "BIGINT", "DOUBLE"],
             ),
         }
     return _HASH_ORACLE_CACHE

@@ -115,6 +115,48 @@ def lsh_index(
     return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
+def embedding_cosine_neardups(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    all_pairs: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup-family use of the
+    similarity machinery): ``id_a, id_b, cos_sim`` with cos_sim ≥ threshold
+    and id_a < id_b.
+
+    Default path buckets by hyperplane LSH first (same deterministic planes
+    as :func:`ann_topk`) so only same-bucket pairs are scored — the shape
+    that survives 100 TB (recall < 1 single-probe; lower ``n_planes`` for
+    bigger buckets / higher recall). ``all_pairs=True`` scores the full
+    quadratic join — test-scale verification only.
+    """
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    if all_pairs:
+        a, b = v.alias("a"), v.alias("b")
+        paired = a.crossJoin(b).filter(F.col("a._id") < F.col("b._id"))
+    else:
+        bk = lsh_index(df, dim, n_planes, id_col, vec_col)
+        vb = v.join(bk.withColumnRenamed("id", "_id"), "_id")
+        a, b = vb.alias("a"), vb.alias("b")
+        paired = a.join(b, "bucket").filter(F.col("a._id") < F.col("b._id"))
+    sim = F.round(cosine(F.col("a._v"), F.col("b._v")), 6)
+    return (
+        paired.select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

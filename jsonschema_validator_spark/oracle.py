@@ -420,6 +420,54 @@ def ann_topk_rows(
     return out
 
 
+def embedding_neardup_rows(
+    sf_dir: str | None = None,
+    dim: int = 64,
+    threshold: float = 0.3,
+    n_planes: int = 8,
+) -> list[tuple]:
+    """Expected (id_a, id_b, cos_sim) for embedding_cosine_neardups:
+    same-LSH-bucket pairs with rounded cosine ≥ threshold."""
+    import math
+
+    emb = pd.read_parquet(f"{sf_dir or _sf_dir()}/embeddings.parquet")
+    vecs = {
+        int(i): [float(x) for x in v] for i, v in zip(emb["vec_id"], emb["embedding"])
+    }
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    planes = [_hyperplane_oracle(dim, i) for i in range(n_planes)]
+
+    def bucket(v):
+        b = 0
+        for i, p in enumerate(planes):
+            if fold_dot(v, p) > 0:
+                b |= 1 << i
+        return b
+
+    buckets: dict[int, list[int]] = {}
+    for i, v in vecs.items():
+        buckets.setdefault(bucket(v), []).append(i)
+    norms = {i: math.sqrt(fold_dot(v, v)) for i, v in vecs.items()}
+    out = []
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                sim = _round_half_up(
+                    fold_dot(vecs[a], vecs[b]) / (norms[a] * norms[b]), 6
+                )
+                if sim >= threshold:
+                    out.append((a, b, sim))
+    return sorted(out)
+
+
 def jaccard_rows_for_candidates(
     candidates: list[tuple],
     sf_dir: str | None = None,

@@ -154,3 +154,26 @@ def test_iter_binary_rows_sliced_and_large_binary():
 
     with _pytest.raises(TypeError, match="binary"):
         list(_iter_binary_rows(bad, "bytes"))
+
+
+def test_embedding_cosine_neardups_lsh_subset_of_all_pairs(spark):
+    """The LSH-bucketed near-dup pairs must be a subset of the all-pairs
+    result at the same threshold (single-probe recall < 1 is expected; false
+    positives are not)."""
+    from jsonschema_validator_spark.operators.similarity import (
+        embedding_cosine_neardups,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_cosine_neardups(emb, dim=64, threshold=0.3).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_cosine_neardups(
+            emb, dim=64, threshold=0.3, all_pairs=True
+        ).collect()
+    }
+    assert lsh <= full
+    assert full  # threshold chosen so the all-pairs set is non-empty
