@@ -181,6 +181,21 @@ def main() -> int:
     qs = {}
     if not args.images_only:
         qs.update(entry_mod.queries())
+
+        # bench-only: the SCALE path for quantiles (the driver query uses
+        # exact=True purely for oracle determinism; this times the
+        # percentile_approx sketch that actually runs at 100 TB)
+        def _quantiles_approx(s, d):
+            from pyspark.sql import functions as F
+
+            from jsonschema_validator_spark.operators.stats import numeric_quantiles
+
+            df = s.read.parquet(f"{d}/lineitem.parquet")
+            return numeric_quantiles(
+                df, ["l_extendedprice"], (0.25, 0.5, 0.75), exact=False
+            )
+
+        qs["quantiles_extendedprice_approx"] = _quantiles_approx
     qs["images_validate_all_constraints"] = lambda s, _d: images_flagship(s, images_path)
     if args.queries:
         subset = args.queries.split(",")
@@ -208,6 +223,28 @@ def main() -> int:
     flagship = timings["images_validate_all_constraints"]
     rows_per_sec = round(IMAGES_BENCH_N / flagship, 1)
 
+    # large-scale flagship (the 4M-row north-metric evidence) — run inline
+    # when the cached table already exists so per-round numbers don't
+    # understate the engine via small-scale fixed overheads. Never generates
+    # (generation is ~30 min; --scaling owns that path).
+    large = None
+    if not args.images_only and os.environ.get("SPARK_GRAFT_BENCH_LARGE", "1") != "0":
+        lpath = os.path.join(IMAGES_CACHE, f"images_n{SCALING_N}")
+        if os.path.exists(os.path.join(lpath, "_SUCCESS")):
+            ldf = images_flagship(spark, lpath)
+            force(ldf)  # warm
+            lbest = None
+            for _ in range(max(args.runs, 1)):
+                t0 = time.perf_counter()
+                force(ldf)
+                dt = time.perf_counter() - t0
+                lbest = dt if lbest is None else min(lbest, dt)
+            large = {
+                "rows": SCALING_N,
+                "sec": round(lbest, 4),
+                "rows_per_sec": round(SCALING_N / lbest, 1),
+            }
+
     out = {
         "metric": "validated_rows_per_sec_images_all_constraints",
         "value": rows_per_sec,
@@ -218,6 +255,8 @@ def main() -> int:
         "total_sec": round(sum(timings.values()), 3),
         "flagship_rows": IMAGES_BENCH_N,
     }
+    if large is not None:
+        out["large_scale"] = large
     print(json.dumps(out))
     spark.stop()
     return 0

@@ -26,6 +26,20 @@ def _norm(t: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Parallelism guard for the shingle-heavy operators: a small input
+    (e.g. one sub-128MB parquet file → ONE scan split) serializes the whole
+    explode+hash pipeline on a single core (measured 3.0 s of a 3.4 s
+    simhash run at 5k docs). When the incoming partition count is below the
+    session's default parallelism, round-robin repartition the (id, text)
+    projection — a trivial shuffle at small scale. At production scale the
+    scan already yields ≥ that many splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -98,7 +112,7 @@ def minhash_signatures(
     limits. Output: ``_id, _h0.._h{n-1}``. Docs with NULL text are dropped
     (no content ⇒ no signature ⇒ no candidate pairs).
     """
-    ex = df.select(
+    ex = _spread_small_input(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_s"),
     )
@@ -185,7 +199,7 @@ def ngram_jaccard_pairs(
             "only — at scale pass minhash_lsh_candidates() output.",
             stacklevel=2,
         )
-    sh = df.select(
+    sh = _spread_small_input(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_k).alias("_sh")
     )
     if candidates is None:
@@ -232,7 +246,7 @@ def simhash(
     # passes over the hash array — exceeds codegen limits and drops to
     # interpreted evaluation; measured 30×+ slower, and it double-evaluates
     # under a self-join.)
-    ex = df.select(
+    ex = _spread_small_input(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_s"),
     ).select("_id", F.xxhash64("_s").alias("_h"))
