@@ -22,7 +22,7 @@ from typing import Iterator, Optional
 import numpy as np
 import pandas as pd
 
-from jsonschema_validator_spark.sources.codecs import encode_fjpg, encode_png
+from jsonschema_validator_spark.sources.codecs import encode_fdct, encode_png
 
 SCHEMA = (
     "image_id string, bytes binary, w int, h int, fmt string, "
@@ -108,8 +108,9 @@ def make_row(seed: int, i: int) -> dict:
     # ---- payload -------------------------------------------------------
     enc_w, enc_h = (w + 3, h + 2) if _hit(i, _DIM_MISMATCH) else (w, h)
     px = _pixels(seed, i, enc_w, enc_h)
-    # webp payloads use the stub lossy codec too (no real webp encoder)
-    data = encode_png(px) if fmt == "png" else encode_fjpg(px)
+    # jpeg/webp payloads use the DCT-quantization lossy codec (real
+    # frequency-domain loss; no libjpeg/libwebp container in this runtime)
+    data = encode_png(px) if fmt == "png" else encode_fdct(px)
     if _hit(i, _TRUNC_BYTES):
         data = data[: max(4, len(data) // 3)]
 

@@ -6,9 +6,11 @@ import pytest
 
 from jsonschema_validator_spark.sources import synth
 from jsonschema_validator_spark.sources.codecs import (
+    decode_fdct,
     decode_fjpg,
     decode_image,
     decode_png,
+    encode_fdct,
     encode_fjpg,
     encode_png,
     psnr,
@@ -23,11 +25,29 @@ def test_png_roundtrip_lossless():
 
 
 def test_fjpg_lossy_psnr_above_40():
+    # legacy 6-bit stub kept for payloads already on disk
     px = synth._pixels(42, 2, 32, 32)
     dec = decode_fjpg(encode_fjpg(px))
     p = psnr(px, dec)
     assert p >= 40.0, f"stub lossy codec PSNR {p} < 40 dB"
     assert np.allclose(px.astype(int), dec.astype(int), atol=3)
+
+
+def test_fdct_lossy_psnr_above_40():
+    """The DCT-quantization codec (the corpus lossy path) must clear the
+    40 dB gate on corpus patterns AND on pure noise (DCT-hostile)."""
+    for i in range(20):
+        w, h = synth.true_dims(42, i)
+        px = synth._pixels(42, i, w, h)
+        dec = decode_fdct(encode_fdct(px))
+        assert dec.shape == px.shape
+        assert psnr(px, dec) >= 40.0
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    assert psnr(noise, decode_fdct(encode_fdct(noise))) >= 40.0
+    # genuinely lossy + genuinely compressed
+    assert not np.array_equal(decode_fdct(encode_fdct(noise)), noise)
+    assert len(encode_fdct(px)) < px.size // 2
 
 
 def test_corrupt_payload_raises():
