@@ -1,0 +1,77 @@
+"""Stateful streaming deduplication — ``applyInPandasWithState``.
+
+The batch dedup operators (operators/dedup.py) see the whole corpus at
+once; a streaming ingest pipeline must suppress duplicates ACROSS
+micro-batches. This is the custom-stateful-operator shape from the build
+brief (``applyInPandasWithState`` over a keyed stream): state is one
+counter per content fingerprint, so a document whose canonicalized text was
+ever seen before is dropped, and only the first occurrence (lowest id
+within its arrival batch) is emitted downstream.
+
+Scale notes:
+- State size is O(distinct fingerprints) × ~24 bytes — at 100 TB use the
+  RocksDB state store provider and (optionally) a processing-time timeout
+  to bound retention to the dedup horizon.
+- The fingerprint groupBy is the same 64-bit md5-prefix key as
+  ``operators.dedup.exact_duplicates`` — balanced shuffle, and batch vs
+  stream results agree (first-occurrence-wins, ties by id).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from jsonschema_validator_spark.operators.dedup import _norm
+
+_FP_COL = "_fp"
+
+
+def streaming_exact_dedup(
+    stream: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """First-seen-only pass-through of a document stream.
+
+    Emits each content fingerprint's first row (lowest ``id_col`` in its
+    first arrival batch); every later row with the same canonicalized text
+    — same batch or any later batch — is suppressed via per-key state.
+    Output schema == input schema.
+    """
+    cols = list(stream.columns)
+    out_schema = stream.schema
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        prior = state.get[0] if state.exists else 0
+        total = prior
+        best = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            total += len(pdf)
+            if prior == 0:
+                cand = pdf.loc[[pdf[id_col].idxmin()]]
+                if best is None or cand[id_col].iloc[0] < best[id_col].iloc[0]:
+                    best = cand
+        state.update((total,))
+        if prior == 0 and best is not None:
+            yield best[cols]
+
+    keyed = stream.withColumn(
+        _FP_COL, F.substring(F.md5(_norm(F.col(text_col))), 1, 16)
+    )
+    return keyed.groupBy(_FP_COL).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="n_seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+__all__ = ["streaming_exact_dedup"]

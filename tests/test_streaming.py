@@ -159,3 +159,54 @@ def test_streaming_windowed_verdicts_warn_mode_never_fails(spark, tmp_path):
     out = spark.sql("SELECT * FROM wv_warn_sink").collect()
     assert out and all(r["pass"] for r in out)
     assert sum(r["n_failed"] for r in out) == 2  # failures still counted
+
+
+def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates are suppressed WITHIN a
+    micro-batch (lowest id wins) and ACROSS micro-batches (state), and the
+    surviving set equals the batch first-occurrence-per-fingerprint rule."""
+    import os
+
+    from jsonschema_validator_spark.streaming.dedup import streaming_exact_dedup
+
+    schema = "doc_id long, text string"
+    src_dir = str(tmp_path / "docs")
+    os.makedirs(src_dir)
+    # batch 1: 1 and 2 share text (2 suppressed in-batch); 3 unique
+    b1 = [(1, "alpha beta gamma"), (2, "alpha  beta gamma "), (3, "delta")]
+    # batch 2: 4 repeats batch-1 text (cross-batch suppressed); 5 new;
+    #          6 repeats 5's text in the same batch
+    b2 = [(4, "ALPHA beta gamma"), (5, "epsilon zeta"), (6, "epsilon zeta")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src_dir + "/f1")
+    # two separate dirs won't stream; write files into ONE dir sequentially
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    n = 0
+    for batch_dir, rows in ((src_dir + "/f1", b1), (None, b2)):
+        if rows is b2:
+            batch_dir = src_dir + "/f2"
+            spark.createDataFrame(b2, schema).coalesce(1).write.parquet(batch_dir)
+        for f in sorted(os.listdir(batch_dir)):
+            if f.endswith(".parquet"):
+                n += 1
+                shutil.copy(os.path.join(batch_dir, f), os.path.join(flat, f"{n:02d}.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    out = streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in spark.sql("SELECT * FROM dedup_sink").collect()
+    )
+    assert got == [(1, "alpha beta gamma"), (3, "delta"), (5, "epsilon zeta")]
