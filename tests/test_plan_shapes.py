@@ -1,0 +1,113 @@
+"""Physical-plan regression tests — lock the scale-critical plan shapes
+recorded in PLANS.md so a future change can't silently regress them:
+column pruning (the 100 TB ``bytes`` column must never be scanned unless an
+image check needs it), single-scan operator fusion for verdicts, and join
+strategy selection for referential checks."""
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import functions as F
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _op_count(plan: str, op: str) -> int:
+    """Count physical operators via their numbered detail headers — the
+    formatted tree prints each operator twice (tree + details)."""
+    return len(re.findall(rf"\(\d+\) {re.escape(op)}\b", plan))
+
+
+def test_verdicts_single_scan_pruned_columns(spark):
+    """Verdicts = ONE pruned scan + partial/final agg (PLANS.md §1)."""
+    from jsonschema_validator_spark import Validator
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    spec = {
+        "required": ["l_orderkey"],
+        "properties": {"l_quantity": {"minimum": 1, "maximum": 50}},
+    }
+    plan = _plan(Validator(spec).validate(df).verdicts())
+    assert _op_count(plan, "Scan parquet") == 1
+    # ReadSchema carries only the referenced columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    for unread in ("l_comment", "l_extendedprice", "l_shipdate"):
+        assert unread not in read_schema, f"{unread} should be pruned"
+    # exactly one shuffle: the partial->final aggregate exchange
+    assert _op_count(plan, "Exchange") - _op_count(plan, "BroadcastExchange") <= 1
+
+
+def test_violations_scan_prunes_everything_else(spark):
+    from jsonschema_validator_spark import Validator
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    spec = {"properties": {"l_quantity": {"maximum": 50}}}
+    plan = _plan(Validator(spec).validate(df).violations(include=["l_orderkey"]))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_quantity" in read_schema and "l_orderkey" in read_schema
+    assert "l_comment" not in read_schema
+
+
+def test_metadata_spec_never_scans_bytes(spark, tmp_path):
+    """A spec that doesn't reference the payload column must leave it in
+    parquet — the property that makes metadata-only validation free at
+    100 TB (PLANS.md §1)."""
+    from jsonschema_validator_spark import Validator
+    from jsonschema_validator_spark.sources import synth
+
+    p = str(tmp_path / "imgs")
+    synth.generate_spark(spark, 200, seed=42, partitions=2).write.parquet(p)
+    df = spark.read.parquet(p)
+    spec = {
+        "required": ["image_id"],
+        "properties": {"w": {"minimum": 1}, "caption": {"minLength": 1}},
+    }
+    plan = _plan(Validator(spec).validate(df).verdicts())
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "bytes" not in read_schema
+    assert "phash" not in read_schema
+
+
+def test_referential_join_strategies(spark):
+    """broadcast=True must produce a broadcast anti-join; broadcast=False a
+    shuffle-based anti-join (PLANS.md §3)."""
+    from jsonschema_validator_spark.operators.referential import orphan_rows
+
+    customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    region = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    bplan = _plan(
+        orphan_rows(customer, region, [("c_nationkey", "r_regionkey")], broadcast=True)
+    )
+    assert "BroadcastHashJoin" in bplan and "LeftAnti" in bplan
+    # broadcast=False delegates to Catalyst, which still broadcasts a tiny
+    # dim; disable the auto threshold to observe the large-dim shuffle path
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        splan = _plan(
+            orphan_rows(
+                customer, region, [("c_nationkey", "r_regionkey")], broadcast=False
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "LeftAnti" in splan and "BroadcastHashJoin" not in splan
+    assert "SortMergeJoin" in splan or "ShuffledHashJoin" in splan
+
+
+def test_minhash_banding_is_equi_join_not_cross(spark):
+    """The LSH candidate join must be an equi-join on (band, band_hash) —
+    never a cartesian/nested-loop product (PLANS.md §9)."""
+    from jsonschema_validator_spark.operators.dedup import minhash_lsh_candidates
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(minhash_lsh_candidates(df, n_hashes=32, bands=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
