@@ -137,6 +137,50 @@ def q_ref_verdict_lineitem_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL scale path under the driver gate: both approx_count_distinct
+    AND the mergeable per-partition sketch→union→estimate pipeline
+    (checkpoint/resume's state algebra) must land within 10% of the exact
+    distinct count (rsd ≤2%, so 10% is ~5σ). HLL sketches are hash-based
+    and deterministic for fixed input, so the boolean verdicts are stable
+    and the oracle is a plain VALUES table."""
+    from jsonschema_validator_spark.operators.stats import (
+        hll_sketches,
+        merge_hll_sketches,
+    )
+
+    df = _t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_suppkey"]
+    merged = merge_hll_sketches(
+        hll_sketches(df, cols, partition_col="l_returnflag")
+    )
+    aggs = [F.approx_count_distinct(c, 0.02).alias(f"_a_{c}") for c in cols]
+    aggs += [F.count_distinct(F.col(c)).alias(f"_e_{c}") for c in cols]
+    flat = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"_a_{c}").alias("_approx"),
+            F.col(f"_e_{c}").alias("_exact"),
+        )
+        for c in cols
+    ]
+    wide = flat.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    tol = 0.10
+    return (
+        wide.join(merged, "column")
+        .select(
+            "column",
+            (F.abs(F.col("_approx") - F.col("_exact")) / F.col("_exact") <= tol).alias(
+                "approx_within_tol"
+            ),
+            (
+                F.abs(F.col("n_distinct") - F.col("_exact")) / F.col("_exact") <= tol
+            ).alias("merged_sketch_within_tol"),
+        )
+    )
+
+
 def _halves(spark, sf_dir):
     df = _t(spark, sf_dir, "lineitem")
     return df.filter(F.col("l_orderkey") % 2 == 0), df.filter(F.col("l_orderkey") % 2 == 1)
@@ -636,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_events_verdicts": q_validate_events_verdicts,
         "column_stats_lineitem": q_column_stats_lineitem,
         "quantiles_extendedprice": q_quantiles_extendedprice,
+        "hll_distinct_accuracy": q_hll_distinct_accuracy,
         "duplicate_orderkeys": q_duplicate_orderkeys,
         "uniqueness_salted_verdict": q_uniqueness_salted_verdict,
         "ref_orphans_nationkey": q_ref_orphans_nationkey,
@@ -1344,6 +1389,10 @@ def oracle_sql() -> dict[str, str]:
         "validate_events_verdicts": _EVENTS_VERDICT_SQL,
         "column_stats_lineitem": _STATS_SQL,
         "quantiles_extendedprice": _QUANTILES_SQL,
+        "hll_distinct_accuracy": """
+SELECT "column", TRUE AS approx_within_tol, TRUE AS merged_sketch_within_tol
+FROM (VALUES ('l_orderkey'), ('l_partkey'), ('l_suppkey')) AS t("column")
+""",
         "duplicate_orderkeys": _DUP_KEYS_SQL,
         "uniqueness_salted_verdict": _UNIQ_VERDICT_SQL,
         "ref_orphans_nationkey": _REF_ORPHANS_SQL,
