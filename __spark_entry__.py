@@ -137,6 +137,29 @@ def q_ref_verdict_lineitem_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantiles_approx_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The percentile_approx scale path under the driver gate: each approx
+    quantile must land within 0.5% relative error of the exact percentile
+    (accuracy=10000 ⇒ rank error ≤1e-4; both are deterministic for fixed
+    input, so the booleans are oracle-stable as a VALUES table)."""
+    from jsonschema_validator_spark.operators.stats import numeric_quantiles
+
+    df = _t(spark, sf_dir, "lineitem")
+    probs = (0.25, 0.5, 0.75)
+    approx = numeric_quantiles(df, ["l_extendedprice"], probs, exact=False)
+    exact = numeric_quantiles(df, ["l_extendedprice"], probs, exact=True)
+    j = approx.withColumnRenamed("value", "_a").join(
+        exact.withColumnRenamed("value", "_e"), ["column", "p"]
+    )
+    return j.select(
+        "column",
+        "p",
+        (F.abs(F.col("_a") - F.col("_e")) / F.abs(F.col("_e")) <= 0.005).alias(
+            "within_tol"
+        ),
+    )
+
+
 def q_hll_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HLL scale path under the driver gate: both approx_count_distinct
     AND the mergeable per-partition sketch→union→estimate pipeline
@@ -681,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_stats_lineitem": q_column_stats_lineitem,
         "quantiles_extendedprice": q_quantiles_extendedprice,
         "hll_distinct_accuracy": q_hll_distinct_accuracy,
+        "quantiles_approx_accuracy": q_quantiles_approx_accuracy,
         "duplicate_orderkeys": q_duplicate_orderkeys,
         "uniqueness_salted_verdict": q_uniqueness_salted_verdict,
         "ref_orphans_nationkey": q_ref_orphans_nationkey,
@@ -1392,6 +1416,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_accuracy": """
 SELECT "column", TRUE AS approx_within_tol, TRUE AS merged_sketch_within_tol
 FROM (VALUES ('l_orderkey'), ('l_partkey'), ('l_suppkey')) AS t("column")
+""",
+        "quantiles_approx_accuracy": """
+SELECT 'l_extendedprice' AS "column", CAST(p AS DOUBLE) AS p, TRUE AS within_tol
+FROM (VALUES (0.25), (0.5), (0.75)) AS t(p)
 """,
         "duplicate_orderkeys": _DUP_KEYS_SQL,
         "uniqueness_salted_verdict": _UNIQ_VERDICT_SQL,
