@@ -425,6 +425,46 @@ def q_events_props_map_validation(spark: SparkSession, sf_dir: str) -> DataFrame
     return Validator(spec).validate(df).verdicts()
 
 
+def q_events_keyword_gaps_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining tests-only object/numeric keywords under the oracle
+    gate: exclusiveMaximum, map-typed nested properties + maximum,
+    additionalProperties (bool form over a MapType column), and
+    schema-form dependencies (validate the object when the prop is
+    present)."""
+    from jsonschema_validator_spark import Validator
+
+    df = _t(spark, sf_dir, "events").withColumn(
+        "props_map", F.from_json(F.col("props"), "map<string,double>")
+    )
+    spec = {
+        "properties": {
+            "value": {"exclusiveMaximum": 400},
+            "props_map": {
+                "properties": {"k": {"maximum": 90}},
+                "additionalProperties": False,
+            },
+        },
+        "dependencies": {"props": {"required": ["user_id"]}},
+    }
+    return Validator(spec).validate(df).verdicts()
+
+
+def q_documents_tuple_items_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """items TUPLE form (SURVEY §2.1 #14): element i validated against
+    schema i, extra elements ignored, missing elements skipped."""
+    from jsonschema_validator_spark import Validator
+
+    df = _t(spark, sf_dir, "documents").withColumn(
+        "tokens", F.split(F.trim(F.col("text")), "\\s+")
+    )
+    spec = {
+        "properties": {
+            "tokens": {"items": [{"minLength": 3}, {"pattern": "^[a-z]{4,}$"}]}
+        }
+    }
+    return Validator(spec).validate(df).verdicts()
+
+
 def q_violations_topk_per_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Violation SAMPLING: cap emitted rows at top-5 per rule via a window
     (SURVEY.md §2.5 'Windows/sorts/top-k')."""
@@ -729,6 +769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_map_validation": q_events_props_map_validation,
         "documents_token_array_validation": q_documents_token_array_validation,
         "format_validation_derived": q_format_validation_derived,
+        "events_keyword_gaps_verdicts": q_events_keyword_gaps_verdicts,
+        "documents_tuple_items_verdicts": q_documents_tuple_items_verdicts,
         "lineitem_partitioned_verdicts": q_lineitem_partitioned_verdicts,
         "violations_topk_per_rule": q_violations_topk_per_rule,
         "streaming_windowed_verdicts": q_streaming_windowed_verdicts,
@@ -1169,6 +1211,59 @@ SELECT 'items.maxLength:$.tokens', 'maxLength', CAST(count(*) AS BIGINT),
 FROM t
 """
 
+_KEYWORD_GAPS_SQL = """
+WITH e AS (
+  SELECT value, user_id, props,
+         CAST(json_extract(props, '$.k') AS DOUBLE) AS k,
+         CASE WHEN props IS NULL THEN NULL ELSE json_keys(props) END AS keys
+  FROM events
+)
+SELECT 'exclusiveMaximum:$.value' AS rule_id, 'exclusiveMaximum' AS tag,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(COALESCE(sum(CASE WHEN value IS NOT NULL AND value >= 400 THEN 1 ELSE 0 END),0) AS BIGINT) AS n_failed,
+       (COALESCE(sum(CASE WHEN value IS NOT NULL AND value >= 400 THEN 1 ELSE 0 END),0) = 0) AS pass
+FROM e
+UNION ALL
+SELECT 'maximum:$.props_map.k', 'maximum', CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum(CASE WHEN keys IS NOT NULL AND k IS NOT NULL AND k > 90 THEN 1 ELSE 0 END),0) AS BIGINT),
+       (COALESCE(sum(CASE WHEN keys IS NOT NULL AND k IS NOT NULL AND k > 90 THEN 1 ELSE 0 END),0) = 0)
+FROM e
+UNION ALL
+SELECT 'additionalProperties:$.props_map', 'additionalProperties', CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum(CASE WHEN keys IS NOT NULL
+             AND len(list_filter(keys, x -> x <> 'k')) > 0 THEN 1 ELSE 0 END),0) AS BIGINT),
+       (COALESCE(sum(CASE WHEN keys IS NOT NULL
+             AND len(list_filter(keys, x -> x <> 'k')) > 0 THEN 1 ELSE 0 END),0) = 0)
+FROM e
+UNION ALL
+SELECT 'dependencies[props].required:$', 'dependencies', CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum(CASE WHEN props IS NOT NULL AND user_id IS NULL THEN 1 ELSE 0 END),0) AS BIGINT),
+       (COALESCE(sum(CASE WHEN props IS NOT NULL AND user_id IS NULL THEN 1 ELSE 0 END),0) = 0)
+FROM e
+"""
+
+_TUPLE_ITEMS_SQL = """
+WITH t AS (
+  SELECT CASE WHEN text IS NULL THEN NULL
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM documents
+)
+SELECT 'items[0].minLength:$.tokens' AS rule_id, 'minLength' AS tag,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(COALESCE(sum(CASE WHEN toks IS NOT NULL AND len(toks) >= 1
+             AND strlen(toks[1]) < 3 THEN 1 ELSE 0 END),0) AS BIGINT) AS n_failed,
+       (COALESCE(sum(CASE WHEN toks IS NOT NULL AND len(toks) >= 1
+             AND strlen(toks[1]) < 3 THEN 1 ELSE 0 END),0) = 0) AS pass
+FROM t
+UNION ALL
+SELECT 'items[1].pattern:$.tokens', 'pattern', CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum(CASE WHEN toks IS NOT NULL AND len(toks) >= 2
+             AND NOT regexp_matches(toks[2], '^[a-z]{4,}$') THEN 1 ELSE 0 END),0) AS BIGINT),
+       (COALESCE(sum(CASE WHEN toks IS NOT NULL AND len(toks) >= 2
+             AND NOT regexp_matches(toks[2], '^[a-z]{4,}$') THEN 1 ELSE 0 END),0) = 0)
+FROM t
+"""
+
 _STREAMING_VERDICT_SQL = """
 SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS window_start,
        r.rule_id, r.tag,
@@ -1440,6 +1535,8 @@ FROM (VALUES (0.25), (0.5), (0.75)) AS t(p)
         "events_props_map_validation": _PROPS_MAP_SQL,
         "documents_token_array_validation": _TOKEN_ARRAY_SQL,
         "format_validation_derived": _format_oracle_sql(),
+        "events_keyword_gaps_verdicts": _KEYWORD_GAPS_SQL,
+        "documents_tuple_items_verdicts": _TUPLE_ITEMS_SQL,
         "lineitem_partitioned_verdicts": _PARTITIONED_VERDICT_SQL,
         "violations_topk_per_rule": _TOPK_VIOL_SQL,
         "streaming_windowed_verdicts": _STREAMING_VERDICT_SQL,
