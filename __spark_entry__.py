@@ -228,6 +228,16 @@ def q_drift_psi_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("column", F.round("psi", 6).alias("psi"))
 
 
+def q_drift_js_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence drift stat (symmetric, smoothing-free
+    companion to KS/PSI) over the same even/odd halves."""
+    from jsonschema_validator_spark.operators.drift import js_divergence
+
+    a, b = _halves(spark, sf_dir)
+    out = js_divergence(a, b, "l_quantity", 0.5, 50.5, 50)
+    return out.select("column", F.round("js", 6).alias("js"))
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonschema_validator_spark.operators.dedup import exact_duplicates
 
@@ -754,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_verdict_lineitem_part": q_ref_verdict_lineitem_part,
         "drift_ks_quantity": q_drift_ks_quantity,
         "drift_psi_quantity": q_drift_psi_quantity,
+        "drift_js_quantity": q_drift_js_quantity,
         "dedup_exact_documents": q_dedup_exact_documents,
         "jaccard_neardups": q_jaccard_neardups,
         "fingerprint_documents": q_fingerprint_documents,
@@ -967,6 +978,16 @@ _PSI_SQL = (
 SELECT 'l_quantity' AS "column",
        round(sum((greatest(pa, 1e-6) - greatest(pb, 1e-6))
                  * ln(greatest(pa, 1e-6) / greatest(pb, 1e-6))), 6) AS psi
+FROM j
+"""
+)
+
+_JS_SQL = (
+    _HIST_CTE
+    + """
+SELECT 'l_quantity' AS "column",
+       round(0.5 * sum(CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb)/2)) ELSE 0 END)
+           + 0.5 * sum(CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb)/2)) ELSE 0 END), 6) AS js
 FROM j
 """
 )
@@ -1525,6 +1546,7 @@ FROM (VALUES (0.25), (0.5), (0.75)) AS t(p)
         "ref_verdict_lineitem_part": _REF_VERDICT_SQL,
         "drift_ks_quantity": _KS_SQL,
         "drift_psi_quantity": _PSI_SQL,
+        "drift_js_quantity": _JS_SQL,
         "dedup_exact_documents": _DEDUP_EXACT_SQL,
         "jaccard_neardups": _JACCARD_SQL,
         "fingerprint_documents": _FINGERPRINT_SQL,

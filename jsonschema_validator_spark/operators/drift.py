@@ -107,6 +107,40 @@ def psi(
     ).select(F.lit(column).alias("column"), "psi")
 
 
+def js_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Jensen–Shannon divergence between bucketized distributions.
+
+    Output: one row ``column, js``. Symmetric and finite even on disjoint
+    support (each zero-share term contributes 0, so no ε-smoothing is
+    needed, unlike PSI); natural-log convention, bounded by ln 2. Same
+    plan shape as :func:`psi` — one scan per side, everything downstream on
+    ≤ n_buckets rows.
+    """
+    ha = _with_share(histogram(df_a, column, lo, hi, n_buckets), "a")
+    hb = _with_share(histogram(df_b, column, lo, hi, n_buckets), "b")
+    joined = ha.join(hb, "bucket", "full_outer").select(
+        F.coalesce("share_a", F.lit(0.0)).alias("pa"),
+        F.coalesce("share_b", F.lit(0.0)).alias("pb"),
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    term_a = F.when(F.col("pa") > 0, F.col("pa") * F.log(F.col("pa") / m)).otherwise(
+        F.lit(0.0)
+    )
+    term_b = F.when(F.col("pb") > 0, F.col("pb") * F.log(F.col("pb") / m)).otherwise(
+        F.lit(0.0)
+    )
+    return joined.agg(
+        F.round(0.5 * F.sum(term_a) + 0.5 * F.sum(term_b), 9).alias("js")
+    ).select(F.lit(column).alias("column"), "js")
+
+
 def drift_metrics(
     df_a: DataFrame,
     df_b: DataFrame,
