@@ -622,7 +622,10 @@ def q_images_drift_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
     drifted = synth.generate_drifted_spark(spark, _IMAGES_N, partitions=8)
     s = ImageValidationSuite(drifted, baseline=base, decode=False)
     return s.drift().select(
-        "column", F.round("ks", 6).alias("ks"), F.round("psi", 6).alias("psi")
+        "column",
+        F.round("ks", 6).alias("ks"),
+        F.round("psi", 6).alias("psi"),
+        F.round("js", 6).alias("js"),
     )
 
 
@@ -1455,8 +1458,8 @@ def _image_oracles() -> dict[str, str]:
         ),
         "images_drift_shifted": o.values_sql(
             o.drift_rows(n),
-            ["column", "ks", "psi"],
-            ["VARCHAR", "DOUBLE", "DOUBLE"],
+            ["column", "ks", "psi", "js"],
+            ["VARCHAR", "DOUBLE", "DOUBLE", "DOUBLE"],
         ),
         "images_decode_violations": o.values_sql(
             o.decode_violation_rows(n),

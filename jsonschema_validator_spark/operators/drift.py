@@ -151,7 +151,7 @@ def drift_metrics(
     eps: float = 1e-6,
     hash_columns: tuple = (),
 ) -> DataFrame:
-    """KS **and** PSI for MANY columns in ONE scan per table.
+    """KS, PSI **and** JS divergence for MANY columns in ONE scan per table.
 
     The naive composition (``ks_statistic`` + ``psi`` per column) costs
     2 × n_columns scans per table; at 100 TB that multiplies the dominant
@@ -160,7 +160,7 @@ def drift_metrics(
     columns), one groupBy builds ALL histograms, and everything downstream
     operates on ≤ n_columns × (n_buckets+2) rows.
 
-    Output: one row per column — ``column, ks, psi``.
+    Output: one row per column — ``column, ks, psi, js``.
 
     ``hash_columns``: columns whose VALUES are hashes/ids (e.g. phash) —
     numeric range bucketing is meaningless there, so they bucket by
@@ -214,18 +214,26 @@ def drift_metrics(
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    m = (F.col("pa") + F.col("pb")) / 2
     cdf = joined.select(
         "column",
         F.sum("pa").over(w).alias("cdf_a"),
         F.sum("pb").over(w).alias("cdf_b"),
         F.greatest(F.col("pa"), F.lit(eps)).alias("ca"),
         F.greatest(F.col("pb"), F.lit(eps)).alias("cb"),
+        F.when(F.col("pa") > 0, F.col("pa") * F.log(F.col("pa") / m))
+        .otherwise(F.lit(0.0))
+        .alias("_js_a"),
+        F.when(F.col("pb") > 0, F.col("pb") * F.log(F.col("pb") / m))
+        .otherwise(F.lit(0.0))
+        .alias("_js_b"),
     )
     return cdf.groupBy("column").agg(
         F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 9).alias("ks"),
         F.round(
             F.sum((F.col("ca") - F.col("cb")) * F.log(F.col("ca") / F.col("cb"))), 9
         ).alias("psi"),
+        F.round(0.5 * F.sum("_js_a") + 0.5 * F.sum("_js_b"), 9).alias("js"),
     )
 
 

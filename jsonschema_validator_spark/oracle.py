@@ -113,12 +113,28 @@ def _bucketize(x: np.ndarray, lo: float, hi: float, nb: int) -> np.ndarray:
     return np.clip(b, 0, nb + 1)
 
 
+def _ks_psi_js_from_shares(
+    pa: np.ndarray, pb: np.ndarray, eps: float = 1e-6
+) -> tuple[float, float, float]:
+    ks = float(np.max(np.abs(np.cumsum(pa) - np.cumsum(pb))))
+    ca = np.maximum(pa, eps)
+    cb = np.maximum(pb, eps)
+    psi = float(np.sum((ca - cb) * np.log(ca / cb)))
+    m = (pa + pb) / 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ta = np.where(pa > 0, pa * np.log(np.where(pa > 0, pa / m, 1.0)), 0.0)
+        tb = np.where(pb > 0, pb * np.log(np.where(pb > 0, pb / m, 1.0)), 0.0)
+    js = float(0.5 * np.sum(ta) + 0.5 * np.sum(tb))
+    return ks, psi, js
+
+
 def ks_psi(
     a: np.ndarray, b: np.ndarray, lo: float, hi: float, nb: int, eps: float = 1e-6
-) -> tuple[float, float]:
-    """KS + PSI over bucketed histograms — mirrors operators/drift.py
+) -> tuple[float, float, float]:
+    """KS + PSI + JS over bucketed histograms — mirrors operators/drift.py
     arithmetic (coalesce-0 shares, cumsum in bucket order; PSI clamps shares
-    at eps) with numpy in the same operation order."""
+    at eps; JS zero-share terms contribute 0) with numpy in the same
+    operation order."""
     a = a[~np.isnan(a)]
     b = b[~np.isnan(b)]
     buckets = sorted(
@@ -128,15 +144,11 @@ def ks_psi(
     bb = _bucketize(b, lo, hi, nb)
     pa = np.array([(ba == k).sum() / len(ba) for k in buckets])
     pb = np.array([(bb == k).sum() / len(bb) for k in buckets])
-    ks = float(np.max(np.abs(np.cumsum(pa) - np.cumsum(pb))))
-    ca = np.maximum(pa, eps)
-    cb = np.maximum(pb, eps)
-    psi = float(np.sum((ca - cb) * np.log(ca / cb)))
-    return ks, psi
+    return _ks_psi_js_from_shares(pa, pb, eps)
 
 
 def drift_rows(n: int, lo=0.5, hi=128.5, nb=128) -> list[tuple]:
-    """Expected (column, ks, psi) for drifted-vs-base on w, h (numeric
+    """Expected (column, ks, psi, js) for drifted-vs-base on w, h (numeric
     width_bucket) and phash (pmod hash-bucketing, matching drift_metrics
     hash_columns)."""
     from jsonschema_validator_spark.sources.synth import generate_pandas
@@ -148,18 +160,16 @@ def drift_rows(n: int, lo=0.5, hi=128.5, nb=128) -> list[tuple]:
         a = base[c].to_numpy(dtype=float, na_value=np.nan)
         d = drifted[c].to_numpy(dtype=float, na_value=np.nan)
         d = np.floor(d / 2)  # generate_drifted_spark halves dims (int cast)
-        ks, psi = ks_psi(a, d, lo, hi, nb)
-        rows.append((c, round(ks, 6), round(psi, 6)))
-    # phash: bucket = pmod(value, nb); replicate ks_psi over those buckets
+        ks, psi, js = ks_psi(a, d, lo, hi, nb)
+        rows.append((c, round(ks, 6), round(psi, 6), round(js, 6)))
+    # phash: bucket = pmod(value, nb); same stats over those buckets
     pa_vals = base["phash"].to_numpy(dtype=np.int64) % nb
     pb_vals = drifted["phash"].to_numpy(dtype=np.int64) % nb
     buckets = sorted(set(pa_vals) | set(pb_vals))
     pa = np.array([(pa_vals == k).sum() / len(pa_vals) for k in buckets])
     pb = np.array([(pb_vals == k).sum() / len(pb_vals) for k in buckets])
-    ks = float(np.max(np.abs(np.cumsum(pa) - np.cumsum(pb))))
-    ca, cb = np.maximum(pa, 1e-6), np.maximum(pb, 1e-6)
-    psi = float(np.sum((ca - cb) * np.log(ca / cb)))
-    rows.append(("phash", round(ks, 6), round(psi, 6)))
+    ks, psi, js = _ks_psi_js_from_shares(pa, pb)
+    rows.append(("phash", round(ks, 6), round(psi, 6), round(js, 6)))
     return rows
 
 
