@@ -334,7 +334,11 @@ class ValidationResult:
         row = (
             self.df.agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum((~self.row_valid()).cast("long")).alias("bad"),
+                # coalesce: F.sum over zero rows is NULL, which would flip
+                # "valid" to False for an empty (vacuously valid) table
+                F.coalesce(
+                    F.sum((~self.row_valid()).cast("long")), F.lit(0)
+                ).alias("bad"),
             )
         ).collect()[0]
         return {

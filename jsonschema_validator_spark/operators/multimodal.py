@@ -409,7 +409,17 @@ def psnr_vs_reference(
     Output: ``image_id string, psnr double`` — the ≥40 dB / allclose
     invariant check from BASELINE.json (caption equality is the separate
     :func:`caption_equality_violations` operator).
+
+    ``index_col`` is REQUIRED: without a per-row index the Arrow batch
+    offsets would restart at 0 per partition and rows would be compared
+    against the wrong ground truth on multi-batch input.
     """
+    if not index_col:
+        raise ValueError(
+            "psnr_vs_reference requires index_col: reference_pixels_fn is "
+            "keyed by a global row index, and Arrow batch offsets are not "
+            "globally meaningful"
+        )
     from jsonschema_validator_spark.sources.codecs import decode_image, psnr
 
     cols = [F.col(id_col).alias("image_id"), F.col(bytes_col).alias("bytes")]
@@ -421,11 +431,7 @@ def psnr_vs_reference(
         for b in batches:
             # decode + PSNR are inherently per-image; iterate columns via
             # zip (no per-cell .iloc), everything inside is numpy-vectorized
-            idxs = (
-                b["_idx"].astype("int64").to_numpy()
-                if "_idx" in b
-                else np.arange(len(b))
-            )
+            idxs = b["_idx"].astype("int64").to_numpy()
             vals = []
             for data, idx in zip(b["bytes"], idxs):
                 try:

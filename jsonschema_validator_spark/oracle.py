@@ -490,7 +490,7 @@ def jaccard_rows_for_candidates(
     sh = {
         int(i): set(_word_shingles(t, shingle_k))
         for i, t in zip(docs["doc_id"], docs["text"])
-        if t is not None
+        if not (t is None or (isinstance(t, float) and pd.isna(t)))
     }
     out = []
     for a, b, *_ in candidates:

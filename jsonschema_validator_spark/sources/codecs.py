@@ -251,7 +251,7 @@ def encode_fdct(pixels: np.ndarray) -> bytes:
     for ch in range(3):
         blocks, H, W = _blockify(pixels[:, :, ch].astype(np.float64) - 128.0)
         d = _DCT_M @ blocks @ _DCT_M.T  # batched 2-D DCT-II
-        q = np.round(d / _QTABLE).astype(np.int16)
+        q = np.round(d / _QTABLE).astype("<i2")  # pinned little-endian
         coeffs.append(q)
     raw = np.concatenate(coeffs).tobytes()
     return FDCT_MAGIC + struct.pack(">II", w, h) + zlib.compress(raw, 6)
@@ -263,7 +263,7 @@ def decode_fdct(data: bytes) -> np.ndarray:
     w, h = struct.unpack(">II", data[4:12])
     H, W = h + ((-h) % 8), w + ((-w) % 8)
     nb = (H // 8) * (W // 8)
-    q = np.frombuffer(zlib.decompress(data[12:]), dtype=np.int16)
+    q = np.frombuffer(zlib.decompress(data[12:]), dtype="<i2")
     if q.size != nb * 64 * 3:
         raise ValueError("corrupt FDCT payload")
     q = q.reshape(3, nb, 8, 8).astype(np.float64)

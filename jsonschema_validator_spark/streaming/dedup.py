@@ -13,8 +13,11 @@ Scale notes:
   RocksDB state store provider and (optionally) a processing-time timeout
   to bound retention to the dedup horizon.
 - The fingerprint groupBy is the same 64-bit md5-prefix key as
-  ``operators.dedup.exact_duplicates`` — balanced shuffle, and batch vs
-  stream results agree (first-occurrence-wins, ties by id).
+  ``operators.dedup.exact_duplicates`` — balanced shuffle. Batch vs stream
+  results agree when ingestion is ordered (ids monotone with arrival): the
+  stream emits the lowest id within the key's FIRST micro-batch, while
+  batch semantics pick the global minimum id — a lower id arriving in a
+  later batch would win under batch but has already been suppressed here.
 """
 
 from __future__ import annotations
