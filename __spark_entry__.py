@@ -296,7 +296,7 @@ def q_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at scale the candidates come from minhash_lsh_candidates instead of
     # the quadratic shingle self-join
     df = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    out = ngram_jaccard_pairs(df, threshold=0.5)
+    out = ngram_jaccard_pairs(df, threshold=0.5, all_pairs=True)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

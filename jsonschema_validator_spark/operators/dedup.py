@@ -181,23 +181,24 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    all_pairs: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
-    Without ``candidates`` this verifies ALL pairs sharing ≥1 shingle —
-    a quadratic shingle self-join that is TEST-SCALE ONLY and warns loudly.
     The production shape feeds :func:`minhash_lsh_candidates` output as
-    ``candidates`` (see the jaccard_via_lsh driver query). Output:
+    ``candidates`` (see the jaccard_via_lsh driver query). The quadratic
+    all-pairs shingle self-join (every pair sharing ≥1 shingle) is
+    TEST-SCALE ONLY and must be opted into explicitly via
+    ``all_pairs=True`` — calling without either raises, so a copy-pasted
+    call can never silently run the quadratic path on a large corpus
+    (mirrors ``embedding_cosine_neardups``'s opt-in). Output:
     ``id_a, id_b, jaccard`` with jaccard ≥ threshold.
     """
-    if candidates is None:
-        import warnings
-
-        warnings.warn(
-            "ngram_jaccard_pairs called without candidates: falling back to "
-            "the quadratic all-pairs shingle self-join. This is test-scale "
-            "only — at scale pass minhash_lsh_candidates() output.",
-            stacklevel=2,
+    if candidates is None and not all_pairs:
+        raise ValueError(
+            "ngram_jaccard_pairs requires candidates (the LSH production "
+            "path, see minhash_lsh_candidates) or an explicit "
+            "all_pairs=True opt-in to the quadratic test-scale self-join"
         )
     sh = _spread_small_input(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_k).alias("_sh")

@@ -111,3 +111,19 @@ def test_minhash_banding_is_equi_join_not_cross(spark):
     plan = _plan(minhash_lsh_candidates(df, n_hashes=32, bands=8))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_all_pairs_requires_opt_in(spark):
+    """The quadratic all-pairs self-join must be unreachable by default:
+    no candidates and no all_pairs=True ⇒ raise, never a silent
+    job-killing fallback at scale."""
+    import pytest
+
+    from jsonschema_validator_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError, match="all_pairs=True"):
+        ngram_jaccard_pairs(df)
+    # the explicit opt-in still works (plan builds; no cartesian product)
+    plan = _plan(ngram_jaccard_pairs(df, all_pairs=True))
+    assert "CartesianProduct" not in plan

@@ -80,3 +80,16 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
         f"SELECT count(DISTINCT l_returnflag) FROM '{out_dir}/verdicts/*.parquet'"
     ).fetchone()[0]
     assert flags == 3
+
+
+def test_empty_table_summary_is_valid(spark):
+    """F.sum over zero rows is NULL; summary() must coalesce so a vacuously
+    valid empty table reports valid=True (exit-code-0 contract)."""
+    from jsonschema_validator_spark import Validator
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").filter(
+        "l_orderkey < 0"
+    )
+    s = Validator({"properties": {"l_quantity": {"minimum": 1}}}).validate(df).summary()
+    assert s["valid"] is True
+    assert s["n_rows"] == 0 and s["n_invalid_rows"] == 0
