@@ -104,15 +104,95 @@ def lsh_index(
     """Random-hyperplane LSH bucket per vector: ``id, bucket``.
 
     bucket = sign bits of <v, h_i> packed into a long. Deterministic
-    hyperplanes ⇒ stable index across runs (resume-friendly).
+    hyperplanes ⇒ stable index across runs (resume-friendly). Equal to
+    table 0 of the multi-table index.
     """
+    return lsh_probe_buckets(df, dim, n_planes, 1, id_col, vec_col).select(
+        "id", "bucket"
+    )
+
+
+def _probe_structs(
+    vec_col: str, dim: int, n_planes: int, n_probes: int, n_tables: int
+) -> Column:
+    """``array<struct<table:int, bucket:long>>`` of probe buckets — the
+    exact sign-bit bucket of each of ``n_tables`` independent plane sets,
+    plus (per table) Hamming-1 flips of the ``n_probes - 1``
+    LEAST-CONFIDENT bits — the planes with the smallest |<v, h_i>| margin,
+    where the sign was closest to flipping — which is where a true
+    near-neighbor most likely landed on the other side (the multi-probe
+    LSH idea of Lv et al., VLDB'07). Everything is JVM Column algebra: the
+    per-plane dots are computed once, margins ranked with ``array_sort``
+    over (|margin|, bit) structs, and flipped buckets generated via
+    ``bitwiseXOR`` with a literal power-of-two lookup — no UDFs.
+
+    Table ``t`` uses plane indices ``t*n_planes .. t*n_planes+n_planes-1``
+    of the deterministic hyperplane stream, so tables are independent and
+    table 0 reproduces the single-table index bit-for-bit.
+    """
+    if not 1 <= n_probes <= n_planes + 1:
+        raise ValueError("n_probes must be in [1, n_planes+1]")
+    if n_tables < 1:
+        raise ValueError("n_tables must be >= 1")
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bucket = F.lit(0).cast("long")
-    for i in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, i)])
-        bit = (dot(v, plane) > 0).cast("long")
-        bucket = bucket + F.shiftleft(bit, i)
-    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)])
+    per_table = []
+    for t in range(n_tables):
+        dots = [
+            dot(v, F.array(*[F.lit(x) for x in _hyperplane(dim, t * n_planes + i)]))
+            for i in range(n_planes)
+        ]
+        bucket = F.lit(0).cast("long")
+        for i, d in enumerate(dots):
+            bucket = bucket + F.shiftleft((d > 0).cast("long"), i)
+        if n_probes == 1:
+            probes = F.array(bucket)
+        else:
+            margins = F.array(
+                *[
+                    F.struct(F.abs(d).alias("m"), F.lit(i).alias("i"))
+                    for i, d in enumerate(dots)
+                ]
+            )
+            flips = F.slice(F.array_sort(margins), 1, n_probes - 1)
+            probes = F.concat(
+                F.array(bucket),
+                F.transform(
+                    flips,
+                    lambda s: bucket.bitwiseXOR(F.element_at(powers, s["i"] + 1)),
+                ),
+            )
+        per_table.append(
+            F.transform(
+                probes,
+                lambda b: F.struct(
+                    F.lit(t).alias("table"), b.alias("bucket")
+                ),
+            )
+        )
+    return per_table[0] if n_tables == 1 else F.concat(*per_table)
+
+
+def lsh_probe_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 1,
+) -> DataFrame:
+    """Multi-probe, multi-table LSH buckets per vector:
+    ``id, table, bucket`` — one row per probe per table
+    (``n_tables × n_probes`` rows per vector).
+
+    One projection + one explode — a single scan regardless of table or
+    probe count; see :func:`_probe_structs` for the probe construction.
+    """
+    probes = _probe_structs(vec_col, dim, n_planes, n_probes, n_tables)
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(probes).alias("_p")
+    ).select("id", F.col("_p.table").alias("table"), F.col("_p.bucket").alias("bucket"))
 
 
 def embedding_cosine_neardups(
@@ -123,6 +203,8 @@ def embedding_cosine_neardups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     all_pairs: bool = False,
+    n_probes: int = 1,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (the dedup-family use of the
     similarity machinery): ``id_a, id_b, cos_sim`` with cos_sim ≥ threshold
@@ -130,9 +212,14 @@ def embedding_cosine_neardups(
 
     Default path buckets by hyperplane LSH first (same deterministic planes
     as :func:`ann_topk`) so only same-bucket pairs are scored — the shape
-    that survives 100 TB (recall < 1 single-probe; lower ``n_planes`` for
-    bigger buckets / higher recall). ``all_pairs=True`` scores the full
-    quadratic join — test-scale verification only.
+    that survives 100 TB. Raise recall with lower ``n_planes`` (bigger
+    buckets), ``n_probes > 1`` (multi-probe: one side of the self-join
+    also probes Hamming-1 neighbor buckets across its least-confident
+    bits, so a pair split by exactly one marginal plane is still found) or
+    ``n_tables > 1`` (union of candidates across independent plane sets);
+    candidate pairs are distinct-ed before scoring so the fan-out never
+    scores a pair twice. ``all_pairs=True`` scores the full quadratic
+    join — test-scale verification only.
     """
     v = df.select(
         F.col(id_col).alias("_id"),
@@ -141,19 +228,36 @@ def embedding_cosine_neardups(
     if all_pairs:
         a, b = v.alias("a"), v.alias("b")
         paired = a.crossJoin(b).filter(F.col("a._id") < F.col("b._id"))
-    else:
-        bk = lsh_index(df, dim, n_planes, id_col, vec_col)
-        vb = v.join(bk.withColumnRenamed("id", "_id"), "_id")
-        a, b = vb.alias("a"), vb.alias("b")
-        paired = a.join(b, "bucket").filter(F.col("a._id") < F.col("b._id"))
-    sim = F.round(cosine(F.col("a._v"), F.col("b._v")), 6)
-    return (
-        paired.select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            sim.alias("cos_sim"),
+        cand = paired.select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
         )
-        .filter(F.col("cos_sim") >= threshold)
+    else:
+        exact = lsh_probe_buckets(df, dim, n_planes, 1, id_col, vec_col, n_tables)
+        probed = lsh_probe_buckets(
+            df, dim, n_planes, n_probes, id_col, vec_col, n_tables
+        )
+        # pair (x, y) is a candidate iff bucket_t(x) ∈ probes_t(y) for any
+        # table t — covers both directions of the symmetric relation since
+        # either member may be the exact-bucket side
+        pairs = (
+            exact.alias("x")
+            .join(probed.alias("y"), ["table", "bucket"])
+            .filter(F.col("x.id") != F.col("y.id"))
+        )
+        cand = pairs.select(
+            F.least("x.id", "y.id").alias("id_a"),
+            F.greatest("x.id", "y.id").alias("id_b"),
+        ).dropDuplicates(["id_a", "id_b"])
+    scored = (
+        cand.join(
+            v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va")), "id_a"
+        ).join(
+            v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb")), "id_b"
+        )
+    )
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    return scored.select("id_a", "id_b", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
     )
 
 
@@ -165,28 +269,47 @@ def ann_topk(
     n_planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: brute-force cosine WITHIN matching LSH buckets.
 
-    Recall < 1.0 by construction (single probe); raise recall with fewer
-    planes (bigger buckets) or multi-probe. Output shape matches
-    :func:`brute_force_topk`.
+    Single-table single-probe recall < 1.0 by construction; raise recall
+    with fewer planes (bigger buckets), ``n_probes > 1`` (multi-probe: the
+    query side also probes the Hamming-1 buckets across its
+    least-confident sign bits — see :func:`lsh_probe_buckets`) and/or
+    ``n_tables > 1`` (classic LSH table union: candidates are collected
+    across L independent plane sets, so a miss needs to miss in EVERY
+    table — recall 1-(1-p^k)^L). The corpus is indexed into exactly one
+    bucket per table (storage ×L — the standard LSH trade); only the
+    query side fans out ×probes. The join stays an equi-join on
+    (table, bucket); candidate pairs are distinct-ed before scoring so a
+    pair found by several tables/probes is scored once. Output shape
+    matches :func:`brute_force_topk`; recall@k vs that baseline is gated
+    by the ann_recall_floor driver query.
     """
-    cb = lsh_index(corpus, dim, n_planes, id_col, vec_col).withColumnRenamed(
-        "id", "neighbor_id"
+    cb = lsh_probe_buckets(
+        corpus, dim, n_planes, 1, id_col, vec_col, n_tables
+    ).withColumnRenamed("id", "neighbor_id")
+    qb = lsh_probe_buckets(
+        queries, dim, n_planes, n_probes, id_col, vec_col, n_tables
+    ).withColumnRenamed("id", "query_id")
+    cand = (
+        qb.join(cb, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
     )
-    qb = lsh_index(queries, dim, n_planes, id_col, vec_col).withColumnRenamed(
-        "id", "query_id"
-    )
+    if n_tables > 1 or n_probes > 1:
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv"),
-    ).join(cb, "neighbor_id")
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
-    ).join(qb, "query_id")
-    paired = q.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    paired = cand.join(q, "query_id").join(c, "neighbor_id")
     sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -177,3 +177,48 @@ def test_embedding_cosine_neardups_lsh_subset_of_all_pairs(spark):
     }
     assert lsh <= full
     assert full  # threshold chosen so the all-pairs set is non-empty
+
+
+def test_multiprobe_multitable_lsh_monotone_recall(spark):
+    """lsh_probe_buckets emits n_tables x n_probes rows per vector with the
+    exact bucket first per table; adding probes/tables only ADDS candidate
+    pairs (recall is monotone), and every multi-probe near-dup pair is
+    still a subset of the all-pairs truth (no false positives)."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.similarity import (
+        embedding_cosine_neardups,
+        lsh_index,
+        lsh_probe_buckets,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    pb = lsh_probe_buckets(emb, dim=64, n_planes=4, n_probes=3, n_tables=2)
+    assert pb.count() == n * 3 * 2
+    # probe buckets per (id, table) are distinct (Hamming-1 flips of
+    # distinct bits can't collide with each other or the exact bucket)
+    assert pb.distinct().count() == n * 3 * 2
+    # table 0 single-probe == the plain index
+    t0 = pb.filter("table = 0").groupBy("id").agg(F.min("bucket"))
+    assert t0.count() == n
+    idx = {(r["id"], r["bucket"]) for r in lsh_index(emb, dim=64, n_planes=4).collect()}
+    exact0 = {
+        (r["id"], r["bucket"])
+        for r in lsh_probe_buckets(emb, dim=64, n_planes=4).filter("table = 0").collect()
+    }
+    assert idx == exact0
+
+    def pairs(**kw):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in embedding_cosine_neardups(
+                emb, dim=64, threshold=0.3, n_planes=4, **kw
+            ).collect()
+        }
+
+    single = pairs()
+    probed = pairs(n_probes=3)
+    tabled = pairs(n_probes=3, n_tables=4)
+    full = pairs(all_pairs=True)
+    assert single <= probed <= tabled <= full
