@@ -731,6 +731,75 @@ def q_streaming_windowed_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_streaming_dedup_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup under the driver gate (the one capability
+    that was tests-only in round 2): documents re-staged as a THREE
+    micro-batch file stream (maxFilesPerTrigger=1) with injected
+    cross-batch duplicates — batch 2 repeats four batch-1 texts under ids
+    +1000, batch 3 repeats six batch-1/2 texts under ids +2000 — drained
+    through ``streaming_exact_dedup`` (applyInPandasWithState) to a memory
+    sink. Every injected duplicate has a higher id than its original AND
+    arrives in a strictly later micro-batch, so streaming first-seen-wins
+    and batch min-id-per-fingerprint provably coincide; the oracle is the
+    batch rule in DuckDB over the identical union."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsonschema_validator_spark.streaming.dedup import streaming_exact_dedup
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    b0 = base.filter("doc_id < 200")
+    b1 = base.filter("doc_id >= 200 AND doc_id < 400").unionAll(
+        base.filter("doc_id % 50 = 0 AND doc_id < 200").select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        )
+    )
+    b2 = base.filter("doc_id >= 400").unionAll(
+        base.filter("doc_id % 70 = 0 AND doc_id < 400").select(
+            (F.col("doc_id") + 2000).alias("doc_id"), "text"
+        )
+    )
+    root = tempfile.mkdtemp(prefix="jsv_sdedup_")
+    name = "sd_" + uuid.uuid4().hex[:8]
+    try:
+        flat = os.path.join(root, "flat")
+        os.makedirs(flat)
+        n = 0
+        for b in (b0, b1, b2):
+            tmp = os.path.join(root, f"stage{n}")
+            b.coalesce(1).write.parquet(tmp)
+            for f in sorted(os.listdir(tmp)):
+                if f.endswith(".parquet"):
+                    n += 1
+                    shutil.copy(
+                        os.path.join(tmp, f), os.path.join(flat, f"{n:02d}.parquet")
+                    )
+        schema = spark.read.parquet(flat).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat)
+        )
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.sql(f"SELECT doc_id, text FROM {name}")
+        return spark.createDataFrame(out.collect(), out.schema)  # detach
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonschema_validator_spark.operators.similarity import ann_topk
 
@@ -863,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_partitioned_verdicts": q_lineitem_partitioned_verdicts,
         "violations_topk_per_rule": q_violations_topk_per_rule,
         "streaming_windowed_verdicts": q_streaming_windowed_verdicts,
+        "streaming_dedup_firstseen": q_streaming_dedup_firstseen,
         "images_suite_verdicts": q_images_suite_verdicts,
         "images_drift_shifted": q_images_drift_shifted,
         "images_decode_violations": q_images_decode_violations,
@@ -1076,6 +1146,24 @@ WHERE fp IN (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1)
 """
 
 _FINGERPRINT_SQL = f"SELECT doc_id, {_FP_EXPR} AS fingerprint FROM documents"
+
+_STREAM_DEDUP_SQL = f"""
+WITH inp AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 1000, text FROM documents
+  WHERE text IS NOT NULL AND doc_id % 50 = 0 AND doc_id < 200
+  UNION ALL
+  SELECT doc_id + 2000, text FROM documents
+  WHERE text IS NOT NULL AND doc_id % 70 = 0 AND doc_id < 400
+),
+r AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY {_FP_EXPR} ORDER BY doc_id) AS rn
+  FROM inp
+)
+SELECT doc_id, text FROM r WHERE rn = 1
+"""
 
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
@@ -1647,4 +1735,5 @@ ORDER BY config
         "lineitem_partitioned_verdicts": _PARTITIONED_VERDICT_SQL,
         "violations_topk_per_rule": _TOPK_VIOL_SQL,
         "streaming_windowed_verdicts": _STREAMING_VERDICT_SQL,
+        "streaming_dedup_firstseen": _STREAM_DEDUP_SQL,
     }

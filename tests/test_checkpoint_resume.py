@@ -89,3 +89,59 @@ def test_snapshot_isolation_and_as_of(spark, tmp_path, table):
     assert table.read(spark).count() == N1 + N2
     with pytest.raises(ValueError, match="already exists"):
         table.append(synth.generate_spark(spark, 10, seed=42), "snap_a")
+
+
+def test_crash_between_metrics_write_and_lineage_append(spark, tmp_path, table):
+    """The lineage-append-LAST protocol (checkpoint.py record): kill the
+    run after the metrics/sketches parquet writes but BEFORE the lineage
+    append, then resume. The crashed snapshot must (a) not be marked
+    complete, (b) be re-validated on resume, and (c) leave merged verdicts
+    identical to a never-crashed run — the orphaned metrics partition is
+    overwritten, never double-counted."""
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    validate_resumable(spark, table, SPEC, store, sketch_columns=["image_id"])
+    table.append(
+        synth.generate_spark(spark, N2, seed=42, start=N1, partitions=4), "snap_b"
+    )
+
+    class Boom(RuntimeError):
+        pass
+
+    real_save = CheckpointStore._save_lineage
+
+    def crash_save(self, rows):
+        # metrics + sketches for snap_b are on disk at this point; the
+        # lineage append is the atomic commit we kill
+        raise Boom("injected crash before lineage append")
+
+    CheckpointStore._save_lineage = crash_save
+    try:
+        with pytest.raises(Boom):
+            validate_resumable(
+                spark, table, SPEC, store, sketch_columns=["image_id"]
+            )
+    finally:
+        CheckpointStore._save_lineage = real_save
+
+    # orphaned metrics exist on disk, but the snapshot is NOT complete
+    assert "snap_b" in {
+        r["snapshot_id"] for r in store.metrics(spark).select("snapshot_id").distinct().collect()
+    }
+    assert store.completed_snapshots() == {"snap_a"}
+
+    # resume re-validates ONLY the crashed snapshot
+    r = validate_resumable(spark, table, SPEC, store, sketch_columns=["image_id"])
+    assert r["validated_snapshots"] == ["snap_b"]
+    assert store.completed_snapshots() == {"snap_a", "snap_b"}
+
+    # merged verdicts match a from-scratch validation (no double count)
+    merged = {
+        r["rule_id"]: (r["n_checked"], r["n_failed"], r["pass"])
+        for r in store.merged_verdicts(spark).collect()
+    }
+    scratch = {
+        r["rule_id"]: (r["n_checked"], r["n_failed"], r["pass"])
+        for r in Validator(SPEC).validate(table.read(spark)).verdicts().collect()
+    }
+    assert merged == scratch
+    assert merged["required:$.image_id"][0] == N1 + N2
