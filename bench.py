@@ -13,8 +13,10 @@ Runs the headline queries from ``__spark_entry__`` at
 - ``value`` is the north metric: validated rows/sec on the image-table
   all-constraints flagship (ImageValidationSuite over the cached synthetic
   image-caption table).
-- ``--runs N`` repeats each query and keeps the best (JVM warm-up excluded
-  by a warm-up pass over the flagship query).
+- ``--runs N`` repeats each query and reports the MEDIAN plus min/max
+  spread (JVM warm-up excluded by a warm-up pass over the flagship query);
+  queries whose runs spread >1.5x are automatically re-measured so one
+  noisy run cannot define the reported number.
 """
 
 from __future__ import annotations
@@ -115,7 +117,7 @@ def run_scaling(levels=(4, 16), n: int = SCALING_N) -> dict:
     for cpus in levels:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--images-only",
-             "--cpus", str(cpus), "--runs", "2"],
+             "--cpus", str(cpus), "--runs", "3"],
             capture_output=True, text=True, timeout=3600, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
@@ -142,11 +144,104 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def time_executions(df, runs: int) -> list[float]:
+    ts = []
+    for _ in range(max(runs, 1)):
+        t0 = time.perf_counter()
+        force(df)
+        ts.append(time.perf_counter() - t0)
+    return ts
+
+
+def measure(df, runs: int) -> tuple[float, dict]:
+    """Median-of-N timing with spread reporting (bench hygiene: BENCH_r02's
+    1.6-1.9x phantom regressions on sub-second queries were best-of-2 noise).
+    If the spread across the first N runs exceeds 1.5x, the query is
+    re-measured with two extra runs and the median is taken over all of
+    them — a single noisy run can no longer define the reported number."""
+    import statistics
+
+    ts = time_executions(df, runs)
+    if len(ts) > 1 and min(ts) > 0 and max(ts) / min(ts) > 1.5:
+        ts += time_executions(df, 2)
+    return (
+        round(statistics.median(ts), 4),
+        {
+            "min": round(min(ts), 4),
+            "max": round(max(ts), 4),
+            "n": len(ts),
+        },
+    )
+
+
+def bench_ref_skew(spark, n: int = 2_000_000, runs: int = 3) -> dict:
+    """Skewed-FK referential join evidence: a fact table with ~40% of rows
+    on one hot nationkey, anti-joined to the nation dim on the sort-merge
+    path with AQE skew-join thresholds sized for the data volume. Reports
+    the timing AND whether the executed plan engaged the skew split —
+    the north rule's skew story for joins (aggregation is covered by the
+    salted uniqueness path)."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.referential import orphan_rows
+
+    fact = (
+        spark.range(n)
+        .withColumn(
+            "c_nationkey",
+            F.when(F.rand(42) < 0.4, F.lit(7)).otherwise(
+                (F.rand(43) * 25).cast("int")
+            ),
+        )
+        .withColumn(
+            "pad",
+            F.concat(
+                F.md5(F.col("id").cast("string")),
+                F.md5((F.col("id") + 1).cast("string")),
+            ),
+        )
+    )
+    dim = spark.range(25).filter("id != 13").select(F.col("id").alias("n_nationkey"))
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4MB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        out = orphan_rows(fact, dim, [("c_nationkey", "n_nationkey")], broadcast=False)
+        ts = []
+        for _ in range(max(runs, 1)):
+            t0 = time.perf_counter()
+            out.write.format("noop").mode("overwrite").save()
+            ts.append(time.perf_counter() - t0)
+        # noop write finalizes its own AQE plan; confirm via a collected run
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        return {
+            "rows": n,
+            "sec": round(statistics.median(ts), 4),
+            "skew_split_engaged": "SortMergeJoin(skew=true)" in plan,
+        }
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     parser.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    parser.add_argument("--runs", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    parser.add_argument("--runs", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     parser.add_argument("--queries", default="", help="comma-separated subset")
     parser.add_argument(
         "--images-only", action="store_true",
@@ -206,18 +301,13 @@ def main() -> int:
     force(qs.get(warm, next(iter(qs.values())))(spark, sf_dir))
 
     timings: dict[str, float] = {}
+    spreads: dict[str, dict] = {}
     for name, fn in qs.items():
         # build the plan ONCE per query (driver-side spec-compile + Catalyst
         # analysis is a per-query constant, irrelevant at the target scale);
-        # time the forced end-to-end EXECUTIONS
+        # time the forced end-to-end EXECUTIONS, median-of-N with spread
         df = fn(spark, sf_dir)
-        best = None
-        for _ in range(max(args.runs, 1)):
-            t0 = time.perf_counter()
-            force(df)
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 4)
+        timings[name], spreads[name] = measure(df, args.runs)
 
     # north metric: validated rows/sec on the image-table all-constraints job
     flagship = timings["images_validate_all_constraints"]
@@ -233,16 +323,12 @@ def main() -> int:
         if os.path.exists(os.path.join(lpath, "_SUCCESS")):
             ldf = images_flagship(spark, lpath)
             force(ldf)  # warm
-            lbest = None
-            for _ in range(max(args.runs, 1)):
-                t0 = time.perf_counter()
-                force(ldf)
-                dt = time.perf_counter() - t0
-                lbest = dt if lbest is None else min(lbest, dt)
+            lmed, lspread = measure(ldf, args.runs)
             large = {
                 "rows": SCALING_N,
-                "sec": round(lbest, 4),
-                "rows_per_sec": round(SCALING_N / lbest, 1),
+                "sec": lmed,
+                "rows_per_sec": round(SCALING_N / lmed, 1),
+                "spread": lspread,
             }
 
     out = {
@@ -250,6 +336,7 @@ def main() -> int:
         "value": rows_per_sec,
         "unit": "rows/sec",
         "queries": timings,
+        "spread": spreads,
         "sf": sf,
         "cpus": args.cpus,
         "total_sec": round(sum(timings.values()), 3),
@@ -257,6 +344,8 @@ def main() -> int:
     }
     if large is not None:
         out["large_scale"] = large
+    if not args.images_only:
+        out["ref_skew"] = bench_ref_skew(spark, runs=args.runs)
     print(json.dumps(out))
     spark.stop()
     return 0

@@ -41,9 +41,16 @@ def orphan_rows(
     else:
         pairs = [(c, c) for c in on]
 
-    dim_keys = dim.select(*[F.col(d).alias(f"_dim_{i}") for i, (_, d) in enumerate(pairs)]).dropDuplicates()
+    dim_keys = dim.select(*[F.col(d).alias(f"_dim_{i}") for i, (_, d) in enumerate(pairs)])
     if broadcast:
-        dim_keys = F.broadcast(dim_keys)
+        # dedup only on the broadcast path (shrinks the broadcast blob); an
+        # anti join is existence-only, so dim-key duplicates never change
+        # the result. On the shuffle path deduping would place a
+        # post-shuffle HashAggregate directly under the join, which breaks
+        # AQE's skew-join pattern match (it requires Sort(ShuffleStage))
+        # and disables skew splitting for the hot-FK case — measured in
+        # test_referential_skewed_fk_aqe_skew_split.
+        dim_keys = F.broadcast(dim_keys.dropDuplicates())
     cond = None
     for i, (f_col, _) in enumerate(pairs):
         c = fact[f_col] == dim_keys[f"_dim_{i}"]

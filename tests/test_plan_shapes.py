@@ -127,3 +127,62 @@ def test_ngram_jaccard_all_pairs_requires_opt_in(spark):
     # the explicit opt-in still works (plan builds; no cartesian product)
     plan = _plan(ngram_jaccard_pairs(df, all_pairs=True))
     assert "CartesianProduct" not in plan
+
+
+def test_referential_skewed_fk_aqe_skew_split(spark):
+    """Skew story for JOINS (the salted path covers aggregation): a fact
+    table with one hot nationkey (~30-40% of all rows) against the nation
+    dim on the sort-merge anti-join path must engage AQE's skew-join
+    splitting — the executed plan shows SortMergeJoin(skew=true) with an
+    'AQEShuffleRead skewed' on the fact side. Thresholds are scaled down
+    to test-size data; at production scale the defaults (256MB/5x) hit the
+    same code path."""
+    from jsonschema_validator_spark.operators.referential import orphan_rows
+
+    n = 200_000
+    fact = (
+        spark.range(n)
+        .withColumn(
+            "c_nationkey",
+            F.when(F.rand(42) < 0.4, F.lit(7)).otherwise(
+                (F.rand(43) * 25).cast("int")
+            ),
+        )
+        .withColumn(
+            "pad",
+            F.concat(
+                F.md5(F.col("id").cast("string")),
+                F.md5((F.col("id") + 1).cast("string")),
+            ),
+        )
+    )
+    dim = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {}
+    for k, v in overrides.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        out = orphan_rows(fact, dim, [("c_nationkey", "n_nationkey")], broadcast=False)
+        out.collect()  # AQE finalizes the plan only on execution
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "isFinalPlan=true" in plan
+    assert "SortMergeJoin(skew=true)" in plan
+    assert "AQEShuffleRead skewed" in plan
