@@ -7,11 +7,14 @@ The sandbox has no PIL/opencv, so the image payloads use:
   standards-compliant reader can decode our output (implemented from the
   public PNG specification).
 - **FDCT**: a REAL lossy transform codec — blockwise 8×8 DCT-II with a
-  JPEG Annex-K quantization matrix (the JPEG compression model without the
-  JPEG bitstream container, which needs libjpeg/PIL this runtime lacks).
-  Measured ≥40 dB PSNR even on pure-noise input, ~4.7× compression on the
-  corpus. Real libjpeg decode would slot in behind the same interface when
-  the runtime gains an image library.
+  JPEG Annex-K quantization matrix (the JPEG compression model in a
+  trivial container). Measured ≥40 dB PSNR even on pure-noise input,
+  ~4.7× compression on the corpus.
+- **JPEG**: the REAL ITU-T T.81 baseline bitstream (SOF0 + Huffman) is
+  implemented in pure numpy in ``sources/jpeg.py`` and dispatched here by
+  its SOI marker. The bulk bench corpus stays on FDCT because JPEG's
+  entropy layer is inherently bit-serial (a Python loop per coefficient);
+  FDCT shares the same DCT-quantization loss model with vectorized I/O.
 - **fake-JPEG** (``FJPG``): the round-1 6-bit-quantization stand-in, kept
   decodable for payloads already on disk.
 
@@ -309,6 +312,10 @@ def decode_image(data: bytes) -> np.ndarray:
             return decode_fdct(data)
         if data[:4] == FJPG_MAGIC:
             return decode_fjpg(data)
+        if data[:2] == b"\xff\xd8":  # JPEG SOI — real T.81 bitstream
+            from jsonschema_validator_spark.sources.jpeg import decode_jpeg
+
+            return decode_jpeg(data)
     except (zlib.error, struct.error, IndexError) as exc:
         raise ValueError(f"corrupt payload: {exc}") from exc
     raise ValueError("unknown image format")

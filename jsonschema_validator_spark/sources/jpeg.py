@@ -1,0 +1,649 @@
+"""Baseline JPEG (ITU-T T.81 SOF0, sequential DCT, Huffman) in pure numpy.
+
+The runtime has no libjpeg/PIL, so this module implements the real JPEG
+bitstream from the PUBLIC specification (ITU-T T.81 / ISO 10918-1):
+
+- **decode_jpeg**: full marker parse (APPn/COM/DQT/DHT/SOF0/SOF1/DRI/SOS/
+  RSTn), canonical-Huffman entropy decode (spec F.2.2), byte-unstuffing,
+  restart-marker handling, dequantization from the stream's own DQT
+  tables, batched inverse DCT (numpy matmul over all blocks at once),
+  chroma upsampling for arbitrary (h, v) sampling factors, JFIF BT.601
+  YCbCr→RGB. Grayscale (1-component) scans decode to replicated RGB.
+  Progressive (SOF2) and arithmetic-coded streams raise ``ValueError``.
+- **encode_jpeg**: SOF0 baseline encoder — JFIF RGB→YCbCr, optional 4:2:0
+  box-filter chroma subsampling, Annex-K quantization tables scaled by the
+  libjpeg quality formula, Annex-K standard Huffman tables, differential
+  DC + run-length/size AC coding, byte stuffing, optional restart
+  intervals. Output decodes in any standards-compliant reader.
+
+The DCT/IDCT reuse the orthonormal 8×8 basis from ``codecs`` (JPEG's FDCT
+normalization — T.81 A.3.3 — equals the orthonormal DCT-II). Entropy
+coding is inherently bit-serial, so encode/decode of the COEFFICIENT
+stream is a Python loop; everything block-shaped (DCT, quantization,
+color transforms, up/downsampling) is vectorized numpy. This codec backs
+real-JPEG test vectors and the ``decode_image`` dispatch; the bulk bench
+corpus keeps the FDCT container (same compression model, no bit-serial
+tax) — see sources/codecs.py.
+
+Reference parity target: the reference Go library validates payload
+metadata only (no image decode anywhere in /root/reference); this module
+serves the build brief's multimodal decode invariant instead.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from jsonschema_validator_spark.sources.codecs import _DCT_M, _JPEG_Q
+
+# ---------------------------------------------------------------------------
+# Tables (ITU-T T.81 Annex K — public specification constants)
+# ---------------------------------------------------------------------------
+
+# K.2 chrominance quantization
+_JPEG_QC = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.float64,
+)
+
+# K.3 typical Huffman tables: (bits[1..16], values)
+_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _zigzag_indices() -> np.ndarray:
+    """Flat indices (row*8+col) in zigzag scan order (T.81 Figure 5)."""
+    out = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(s, 7) + 1)
+        rows = rng if s % 2 == 1 else reversed(list(rng))
+        for r in rows:
+            out.append(r * 8 + (s - r))
+    return np.array(out, dtype=np.int64)
+
+
+_ZZ = _zigzag_indices()
+_UNZZ = np.argsort(_ZZ)
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling of a base quantization table (public
+    jpeg_quality_scaling formula)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = np.floor((table * scale + 50) / 100)
+    return np.clip(t, 1, 255)
+
+
+# ---------------------------------------------------------------------------
+# Canonical Huffman code construction (T.81 Annex C)
+# ---------------------------------------------------------------------------
+
+
+def _build_encode_table(bits, values) -> dict:
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _HuffDecoder:
+    """MINCODE/MAXCODE/VALPTR decoding tables (T.81 F.2.2.3)."""
+
+    def __init__(self, bits, values):
+        self.values = list(values)
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += n
+                k += n
+                self.maxcode[length] = code - 1
+            else:
+                self.maxcode[length] = -1
+            code <<= 1
+
+    def decode(self, reader) -> int:
+        code = reader.read_bit()
+        length = 1
+        while length <= 16:
+            mc = self.maxcode[length]
+            if mc >= 0 and code <= mc:
+                return self.values[self.valptr[length] + code - self.mincode[length]]
+            code = (code << 1) | reader.read_bit()
+            length += 1
+        raise ValueError("invalid Huffman code in scan")
+
+
+# ---------------------------------------------------------------------------
+# Bit I/O with byte stuffing and restart markers
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing (T.81 B.1.1.5)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def pad_to_byte(self) -> None:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker = None  # non-RST marker seen mid-scan
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG scan data")
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed 0xFF data byte
+                else:
+                    # a real marker inside entropy data — scan is over/corrupt
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} inside scan"
+                        if nxt is not None
+                        else "truncated JPEG scan data"
+                    )
+            else:
+                self.pos += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self, expected: int) -> None:
+        """Byte-align and consume the RSTn marker (T.81 F.2.1.3.1)."""
+        self.n = 0
+        if self.pos + 1 >= len(self.data) or self.data[self.pos] != 0xFF:
+            raise ValueError("missing restart marker")
+        m = self.data[self.pos + 1]
+        if not 0xD0 <= m <= 0xD7 or (m & 7) != (expected & 7):
+            raise ValueError(f"bad restart marker 0xFF{m:02X}")
+        self.pos += 2
+
+
+def _extend(v: int, size: int) -> int:
+    """Sign-extend a JPEG magnitude category value (T.81 F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category size, appended bits) for a coefficient value (T.81 F.1.2)."""
+    size = int(abs(v)).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+# ---------------------------------------------------------------------------
+# Color transforms (JFIF / BT.601 full range)
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _blockify_plane(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Pad (edge-replicate) to (bh*8, bw*8) and split into (bh*bw, 8, 8)
+    row-major blocks."""
+    h, w = plane.shape
+    ph, pw = bh * 8 - h, bw * 8 - w
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return (
+        plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _unblockify_plane(blocks: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    return blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """RGB uint8 (h, w, 3) → baseline JFIF/JPEG bytes.
+
+    ``subsampling``: "444" (no chroma subsampling) or "420" (2×2 box).
+    ``restart_interval``: emit DRI + RSTn every N MCUs when > 0.
+    """
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8 RGB (h, w, 3)")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w = pixels.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("invalid image dimensions")
+    ycc = _rgb_to_ycbcr(pixels)
+    hmax, vmax = (2, 2) if subsampling == "420" else (1, 1)
+    samp = [(hmax, vmax), (1, 1), (1, 1)]
+
+    qt = [
+        _quality_scale(_JPEG_Q, quality),
+        _quality_scale(_JPEG_QC, quality),
+    ]
+    comp_q = [0, 1, 1]
+
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # per-component quantized zigzag coefficient blocks (row-major grids)
+    comp_blocks = []
+    comp_grid = []
+    for ci in range(3):
+        hi, vi = samp[ci]
+        plane = ycc[..., ci]
+        if (hi, vi) != (hmax, vmax):
+            # box-filter downsample by (vmax//vi, hmax//hi); pad to even first
+            fy, fx = vmax // vi, hmax // hi
+            ph, pw = (-h) % fy, (-w) % fx
+            if ph or pw:
+                plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+            plane = plane.reshape(
+                plane.shape[0] // fy, fy, plane.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+        bh, bw = mcuy * vi, mcux * hi
+        blocks = _blockify_plane(plane - 128.0, bh, bw)
+        d = _DCT_M @ blocks @ _DCT_M.T
+        q = np.round(d / qt[comp_q[ci]]).astype(np.int32)
+        comp_blocks.append(q.reshape(-1, 64)[:, _ZZ])  # zigzag vectors
+        comp_grid.append((bh, bw, hi, vi))
+
+    enc_dc = [_build_encode_table(*_DC_LUM), _build_encode_table(*_DC_CHR)]
+    enc_ac = [_build_encode_table(*_AC_LUM), _build_encode_table(*_AC_CHR)]
+    comp_h = [0, 1, 1]
+
+    bw_ = _BitWriter()
+    pred = [0, 0, 0]
+    rst_count = 0
+    next_rst = 0
+
+    def write_block(zz: np.ndarray, ci: int) -> None:
+        dc_t, ac_t = enc_dc[comp_h[ci]], enc_ac[comp_h[ci]]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        size, bits = _magnitude(diff)
+        code, length = dc_t[size]
+        bw_.write(code, length)
+        bw_.write(bits, size)
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_t[0xF0]  # ZRL
+                bw_.write(code, length)
+                run -= 16
+            size, bits = _magnitude(v)
+            code, length = ac_t[(run << 4) | size]
+            bw_.write(code, length)
+            bw_.write(bits, size)
+            run = 0
+        if last < 63:
+            code, length = ac_t[0x00]  # EOB
+            bw_.write(code, length)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and rst_count == restart_interval:
+                bw_.pad_to_byte()
+                bw_.buf += bytes([0xFF, 0xD0 + (next_rst & 7)])
+                next_rst += 1
+                rst_count = 0
+                pred = [0, 0, 0]
+            for ci in range(3):
+                bh, bwid, hi, vi = comp_grid[ci]
+                for v in range(vi):
+                    for hh in range(hi):
+                        bi = (my * vi + v) * bwid + (mx * hi + hh)
+                        write_block(comp_blocks[ci][bi], ci)
+            rst_count += 1
+    bw_.pad_to_byte()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for tq, table in enumerate(qt):
+        zzt = table.reshape(-1)[_ZZ].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + zzt
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 9, 8, h, w, 3)
+    for ci in range(3):
+        hi, vi = samp[ci]
+        out += bytes([ci + 1, (hi << 4) | vi, comp_q[ci]])
+    for cls, tid, (bits, values) in (
+        (0, 0, _DC_LUM),
+        (0, 1, _DC_CHR),
+        (1, 0, _AC_LUM),
+        (1, 1, _AC_CHR),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), (cls << 4) | tid)
+        out += bytes(bits) + bytes(values)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 6, 3)
+    for ci in range(3):
+        out += bytes([ci + 1, (comp_h[ci] << 4) | comp_h[ci]])
+    out += bytes([0, 63, 0])
+    out += bw_.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → RGB uint8 (h, w, 3).
+
+    Accepts SOF0/SOF1 scans (1 or 3 components, any sampling factors that
+    divide the max factor), reads quantization and Huffman tables from the
+    stream, honors DRI/RSTn. Raises ValueError for progressive,
+    arithmetic-coded, truncated, or otherwise unsupported streams.
+    """
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    restart_interval = 0
+    frame = None  # (h, w, [(cid, hi, vi, tq)])
+
+    def u16(p):
+        return struct.unpack(">H", data[p : p + 2])[0]
+
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG (no SOS)")
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue  # standalone markers
+        seg_len = u16(pos)
+        seg_end = pos + seg_len
+        if seg_end > len(data):
+            raise ValueError("truncated JPEG segment")
+        body = data[pos + 2 : seg_end]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                p += 1
+                n = 64 * (2 if pq else 1)
+                raw = body[p : p + n]
+                if len(raw) < n:
+                    raise ValueError("truncated DQT")
+                vals = (
+                    np.frombuffer(raw, dtype=">u2")
+                    if pq
+                    else np.frombuffer(raw, dtype=np.uint8)
+                ).astype(np.float64)
+                t = np.empty(64, dtype=np.float64)
+                t[_ZZ] = vals  # stream order is zigzag
+                qtables[tq] = t.reshape(8, 8)
+                p += n
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                nv = sum(bits)
+                values = list(body[p + 17 : p + 17 + nv])
+                if len(values) < nv:
+                    raise ValueError("truncated DHT")
+                (huff_ac if cls else huff_dc)[tid] = _HuffDecoder(bits, values)
+                p += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            prec, fh, fw, nc = body[0], u16(pos + 2 + 1) , u16(pos + 2 + 3), body[5]
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG mode (progressive/arithmetic)")
+        elif marker == 0xDD:  # DRI
+            restart_interval = u16(pos + 2)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan_tabs = {}
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan_tabs[cid] = (tt >> 4, tt & 0x0F)
+            pos = seg_end
+            break
+        # APPn, COM, everything else: skip
+        pos = seg_end
+
+    fh, fw, comps = frame
+    if fh == 0 or fw == 0:
+        raise ValueError("zero image dimension")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+
+    grids = []
+    coeffs = []
+    for cid, hi, vi, tq in comps:
+        bh, bw = mcuy * vi, mcux * hi
+        grids.append((bh, bw, hi, vi, tq, cid))
+        coeffs.append(np.zeros((bh * bw, 64), dtype=np.int32))
+
+    reader = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    rst_count = 0
+    next_rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and rst_count == restart_interval:
+                reader.sync_restart(next_rst)
+                next_rst += 1
+                rst_count = 0
+                pred = [0] * len(comps)
+            for ci, (bh, bw, hi, vi, tq, cid) in enumerate(grids):
+                if cid not in scan_tabs:
+                    raise ValueError("component missing from scan")
+                dct_i, act_i = scan_tabs[cid]
+                try:
+                    dc_t, ac_t = huff_dc[dct_i], huff_ac[act_i]
+                except KeyError as exc:
+                    raise ValueError("scan references undefined DHT") from exc
+                for v in range(vi):
+                    for hh in range(hi):
+                        bi = (my * vi + v) * bw + (mx * hi + hh)
+                        blk = coeffs[ci][bi]
+                        size = dc_t.decode(reader)
+                        if size > 11:
+                            raise ValueError("invalid DC category")
+                        diff = _extend(reader.receive(size), size)
+                        pred[ci] += diff
+                        blk[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = ac_t.decode(reader)
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            blk[k] = _extend(reader.receive(size), size)
+                            k += 1
+            rst_count += 1
+
+    # dequantize + batched IDCT + reassemble each component plane
+    planes = []
+    for ci, (bh, bw, hi, vi, tq, cid) in enumerate(grids):
+        if tq not in qtables:
+            raise ValueError("frame references undefined DQT")
+        d = np.empty((bh * bw, 64), dtype=np.float64)
+        d[:, _ZZ] = coeffs[ci] * qtables[tq].reshape(-1)[_ZZ]
+        blocks = d.reshape(-1, 8, 8)
+        px = _DCT_M.T @ blocks @ _DCT_M + 128.0
+        plane = _unblockify_plane(px, bh, bw)
+        # crop to the component's true size, then replicate-upsample
+        ch = -(-fh * vi // vmax)
+        cw = -(-fw * hi // hmax)
+        plane = plane[:ch, :cw]
+        if (hi, vi) != (hmax, vmax):
+            plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+        planes.append(plane[:fh, :fw])
+
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    if len(planes) != 3:
+        raise ValueError(f"unsupported component count {len(planes)}")
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+__all__ = ["encode_jpeg", "decode_jpeg"]
