@@ -800,6 +800,42 @@ def q_streaming_dedup_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_images_jpeg_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG bitstream decode through the distributed plumbing: 12
+    deterministic synth images are encoded as actual ITU-T T.81 baseline
+    JPEGs (sources/jpeg.py, quality 98, 4:4:4), shipped as a binary
+    column, and decoded back INSIDE the Arrow-batched mapInPandas operator
+    (operators/multimodal.psnr_vs_reference → decode_image SOI dispatch →
+    canonical-Huffman decode on executors). Gate: every decoded image
+    matches its ground-truth pixels at ≥40 dB — the BASELINE.json lossy
+    invariant, measured 43.9 dB worst-case on this corpus. Fully
+    deterministic ⇒ plain VALUES oracle."""
+    from jsonschema_validator_spark.operators.multimodal import psnr_vs_reference
+    from jsonschema_validator_spark.sources import synth
+    from jsonschema_validator_spark.sources.jpeg import encode_jpeg
+
+    rows = []
+    for i in range(12):
+        w, h = synth.true_dims(42, i)
+        payload = encode_jpeg(
+            synth._pixels(42, i, w, h), quality=98, subsampling="444"
+        )
+        rows.append((f"jpg_{i:04d}", bytearray(payload), i))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, idx int"
+    ).repartition(4)
+
+    def ref(i: int):
+        w, h = synth.true_dims(42, i)
+        return synth._pixels(42, i, w, h)
+
+    out = psnr_vs_reference(df, ref, index_col="idx")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        (F.min("psnr") >= 40.0).alias("all_above_floor"),
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonschema_validator_spark.operators.similarity import ann_topk
 
@@ -933,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violations_topk_per_rule": q_violations_topk_per_rule,
         "streaming_windowed_verdicts": q_streaming_windowed_verdicts,
         "streaming_dedup_firstseen": q_streaming_dedup_firstseen,
+        "images_jpeg_decode_gate": q_images_jpeg_decode_gate,
         "images_suite_verdicts": q_images_suite_verdicts,
         "images_drift_shifted": q_images_drift_shifted,
         "images_decode_violations": q_images_decode_violations,
@@ -1736,4 +1773,7 @@ ORDER BY config
         "violations_topk_per_rule": _TOPK_VIOL_SQL,
         "streaming_windowed_verdicts": _STREAMING_VERDICT_SQL,
         "streaming_dedup_firstseen": _STREAM_DEDUP_SQL,
+        "images_jpeg_decode_gate": """
+SELECT CAST(12 AS BIGINT) AS n_images, TRUE AS all_above_floor
+""",
     }
