@@ -7,9 +7,15 @@
   derived deterministically from seeded xxhash64 bit patterns, so the same
   index is produced on every run with no RNG state to ship.
 
+- IVF (inverted-file) ANN: the second scale path the build brief names —
+  a deterministic spherical k-means coarse quantizer trained driver-side
+  on a bounded sample (the faiss train-on-sample pattern), corpus
+  assigned to cells distributed, queries probing their n_probe nearest
+  cells. Same bucketed equi-join shape as LSH, but data-adaptive cells.
+
 At 100 TB: brute force is O(n·q) — only for small query sets against a
-broadcast query table; the LSH path buckets the corpus once (one shuffle),
-then probes only matching buckets.
+broadcast query table; the LSH/IVF paths bucket the corpus once (one
+shuffle), then probe only matching buckets/cells.
 """
 
 from __future__ import annotations
@@ -258,6 +264,121 @@ def embedding_cosine_neardups(
     sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
     return scored.select("id_a", "id_b", sim.alias("cos_sim")).filter(
         F.col("cos_sim") >= threshold
+    )
+
+
+def ivf_train(sample: "np.ndarray", n_cells: int, n_iters: int = 10):
+    """Deterministic spherical k-means over a driver-side SAMPLE — the IVF
+    coarse quantizer (the faiss pattern: train on a bounded sample, assign
+    the full corpus distributed). Pure numpy, fixed iteration order, no
+    RNG: initial centroids are the first ``n_cells`` sample rows (callers
+    pass samples sorted by id), so the same input always yields the same
+    cells. At 10^12 scale the sample stays O(10^5) rows — training cost is
+    constant, independent of corpus size.
+
+    Returns (n_cells, dim) float64 centroids, L2-normalized.
+    """
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)
+    if x.ndim != 2 or len(x) < n_cells:
+        raise ValueError("sample must be (n >= n_cells, dim)")
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    c = xn[:n_cells].copy()
+    for _ in range(n_iters):
+        sims = xn @ c.T  # cosine on normalized vectors
+        assign = np.argmax(sims, axis=1)
+        for j in range(n_cells):
+            members = xn[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return c
+
+
+def _cell_sims(vec_col: str, centroids) -> list[Column]:
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vn = norm(v)
+    return [
+        dot(v, F.array(*[F.lit(float(x)) for x in c])) / vn for c in centroids
+    ]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """``id, cell`` rows: each vector's ``n_probe`` nearest IVF cells
+    (by cosine to the trained centroids), one row per probe.
+
+    Pure Column algebra: one dot product per centroid against literal
+    arrays (same shape as the LSH hyperplane dots), argmin via
+    ``array_sort`` over (-sim, cell) structs — deterministic, lower cell
+    id wins ties. ``n_probe=1`` is the corpus-indexing side; queries probe
+    several cells to trade compute for recall.
+    """
+    sims = _cell_sims(vec_col, centroids)
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct((-s).alias("d"), F.lit(i).alias("cell"))
+                for i, s in enumerate(sims)
+            ]
+        )
+    )
+    probes = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(probes).alias("cell")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = 10,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine WITHIN the query's ``n_probe``
+    nearest inverted-list cells. Same output shape as
+    :func:`brute_force_topk`; same scale shape as :func:`ann_topk` — the
+    corpus is partitioned into cells once (one shuffle on the cell
+    equi-join), the query side fans out ×n_probe, candidates are
+    distinct by construction (corpus vectors live in exactly one cell).
+    """
+    cb = ivf_assign(corpus, centroids, id_col, vec_col, 1).withColumnRenamed(
+        "id", "neighbor_id"
+    )
+    qb = ivf_assign(queries, centroids, id_col, vec_col, n_probe).withColumnRenamed(
+        "id", "query_id"
+    )
+    cand = (
+        qb.join(cb, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
+    )
+    paired = cand.join(q, "query_id").join(c, "neighbor_id")
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        paired.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 

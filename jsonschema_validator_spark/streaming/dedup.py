@@ -35,7 +35,10 @@ _FP_COL = "_fp"
 
 
 def streaming_exact_dedup(
-    stream: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    state_ttl_ms: int = 0,
 ) -> DataFrame:
     """First-seen-only pass-through of a document stream.
 
@@ -43,13 +46,32 @@ def streaming_exact_dedup(
     first arrival batch); every later row with the same canonicalized text
     — same batch or any later batch — is suppressed via per-key state.
     Output schema == input schema.
+
+    ``state_ttl_ms``: when > 0, per-key state expires after that many ms
+    of processing-time inactivity (``GroupStateTimeout.ProcessingTimeTimeout``)
+    — the dedup horizon. At 10^12-row scale unbounded state is the one
+    thing that can kill this operator; a TTL bounds the state store to
+    O(distinct fingerprints within the horizon) at the cost of re-admitting
+    a duplicate that recurs after the horizon (the standard trade —
+    combine with the RocksDB state store provider for large horizons).
+    A key whose state expired behaves exactly like a never-seen key.
+
+    CAUTION: with a TTL the engine continuously schedules state-cleanup
+    micro-batches, so ``processAllAvailable()`` never settles on an idle
+    stream — drain with ``awaitTermination`` or poll the sink (see
+    tests/test_streaming.py::test_streaming_dedup_state_ttl).
     """
     cols = list(stream.columns)
     out_schema = stream.schema
+    use_ttl = state_ttl_ms > 0
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if use_ttl and state.hasTimedOut:
+            # horizon passed with no new arrivals: drop the fingerprint
+            state.remove()
+            return
         prior = state.get[0] if state.exists else 0
         total = prior
         best = None
@@ -62,6 +84,8 @@ def streaming_exact_dedup(
                 if best is None or cand[id_col].iloc[0] < best[id_col].iloc[0]:
                     best = cand
         state.update((total,))
+        if use_ttl:
+            state.setTimeoutDuration(state_ttl_ms)
         if prior == 0 and best is not None:
             yield best[cols]
 
@@ -73,7 +97,11 @@ def streaming_exact_dedup(
         outputStructType=out_schema,
         stateStructType="n_seen long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

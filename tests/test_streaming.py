@@ -210,3 +210,70 @@ def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
         (r["doc_id"], r["text"]) for r in spark.sql("SELECT * FROM dedup_sink").collect()
     )
     assert got == [(1, "alpha beta gamma"), (3, "delta"), (5, "epsilon zeta")]
+
+
+def test_streaming_dedup_state_ttl(spark, tmp_path):
+    """state_ttl_ms bounds the dedup horizon: a fingerprint whose state
+    expires (ProcessingTimeTimeout) is re-admitted as if never seen, while
+    within-horizon duplicates stay suppressed.
+
+    NOTE: with a processing-time timeout the engine continuously schedules
+    state-cleanup batches, so processAllAvailable() never settles — the
+    sink is POLLED with a deadline instead (the documented drain pattern
+    for TTL'd stateful queries)."""
+    import os
+    import time
+
+    from jsonschema_validator_spark.streaming.dedup import streaming_exact_dedup
+
+    schema = "doc_id long, text string"
+    flat = str(tmp_path / "ttl_src")
+    os.makedirs(flat)
+
+    def put(n, rows):
+        tmp = str(tmp_path / f"stage{n}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+        import shutil
+
+        for f in sorted(os.listdir(tmp)):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(tmp, f), os.path.join(flat, f"{n:02d}.parquet"))
+
+    def wait_rows(n_expected, timeout_s=60):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) FROM ttl_sink").first()[0] >= n_expected:
+                return
+            time.sleep(0.25)
+        raise AssertionError(
+            f"sink never reached {n_expected} rows: "
+            + str(spark.sql("SELECT * FROM ttl_sink").collect())
+        )
+
+    put(1, [(1, "alpha"), (2, "beta"), (2000, "alpha")])  # in-batch dup suppressed
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    out = streaming_exact_dedup(stream, state_ttl_ms=400)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ttl_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        wait_rows(2)
+        time.sleep(1.5)  # let alpha/beta state pass the 400 ms horizon
+        # cleanup batches fire automatically; expired keys are removed.
+        # beyond the horizon: alpha must be re-admitted; gamma is new
+        put(2, [(3, "gamma")])
+        wait_rows(3)
+        time.sleep(1.5)
+        put(3, [(4, "alpha"), (5, "beta")])
+        wait_rows(5)
+    finally:
+        q.stop()
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in spark.sql("SELECT * FROM ttl_sink").collect()
+    )
+    assert got == [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "alpha"), (5, "beta")]
