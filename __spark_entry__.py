@@ -160,6 +160,40 @@ def q_quantiles_approx_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tdigest_quantiles_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABLE quantile path under the driver gate (the north star
+    names t-digest explicitly): per-(l_returnflag, column) digests built
+    batch-wise in mapInPandas → algebraic merge (the same resume shape as
+    HLL sketch→union) → quantile estimates within 0.5% of the exact
+    percentile. Unlike percentile_approx, the persisted digest rows let a
+    resumed run fold yesterday's summary with today's increment without a
+    rescan (operators/tdigest.py). Tolerance booleans are stable across
+    partitionings (measured ≤0.022% on this column — 20x margin), so the
+    oracle is a VALUES table like hll_distinct_accuracy."""
+    from jsonschema_validator_spark.operators.stats import numeric_quantiles
+    from jsonschema_validator_spark.operators.tdigest import (
+        merge_tdigests,
+        tdigest_quantiles,
+        tdigest_sketches,
+    )
+
+    df = _t(spark, sf_dir, "lineitem")
+    probs = (0.25, 0.5, 0.75)
+    sk = tdigest_sketches(df, ["l_extendedprice"], partition_col="l_returnflag")
+    est = tdigest_quantiles(merge_tdigests(sk), probs)
+    exact = numeric_quantiles(df, ["l_extendedprice"], probs, exact=True)
+    j = est.withColumnRenamed("value", "_a").join(
+        exact.withColumnRenamed("value", "_e"), ["column", "p"]
+    )
+    return j.select(
+        "column",
+        "p",
+        (F.abs(F.col("_a") - F.col("_e")) / F.abs(F.col("_e")) <= 0.005).alias(
+            "within_tol"
+        ),
+    )
+
+
 def q_hll_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HLL scale path under the driver gate: both approx_count_distinct
     AND the mergeable per-partition sketch→union→estimate pipeline
@@ -1007,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_extendedprice": q_quantiles_extendedprice,
         "hll_distinct_accuracy": q_hll_distinct_accuracy,
         "quantiles_approx_accuracy": q_quantiles_approx_accuracy,
+        "tdigest_quantiles_accuracy": q_tdigest_quantiles_accuracy,
         "duplicate_orderkeys": q_duplicate_orderkeys,
         "uniqueness_salted_verdict": q_uniqueness_salted_verdict,
         "ref_orphans_nationkey": q_ref_orphans_nationkey,
@@ -1808,6 +1843,10 @@ SELECT "column", TRUE AS approx_within_tol, TRUE AS merged_sketch_within_tol
 FROM (VALUES ('l_orderkey'), ('l_suppkey')) AS t("column")
 """,
         "quantiles_approx_accuracy": """
+SELECT 'l_extendedprice' AS "column", CAST(p AS DOUBLE) AS p, TRUE AS within_tol
+FROM (VALUES (0.25), (0.5), (0.75)) AS t(p)
+""",
+        "tdigest_quantiles_accuracy": """
 SELECT 'l_extendedprice' AS "column", CAST(p AS DOUBLE) AS p, TRUE AS within_tol
 FROM (VALUES (0.25), (0.5), (0.75)) AS t(p)
 """,
