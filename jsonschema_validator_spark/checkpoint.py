@@ -42,6 +42,7 @@ class CheckpointStore:
         os.makedirs(root, exist_ok=True)
         self.metrics_dir = os.path.join(root, "metrics")
         self.sketches_dir = os.path.join(root, "sketches")
+        self.tdigests_dir = os.path.join(root, "tdigests")
         self.lineage_path = os.path.join(root, "lineage.json")
 
     # lineage is tiny (one row per snapshot) → JSON for atomic updates
@@ -67,6 +68,7 @@ class CheckpointStore:
         sketches: Optional[DataFrame],
         n_rows: int,
         wall_sec: float,
+        tdigests: Optional[DataFrame] = None,
     ) -> None:
         """Persist one snapshot's validation outputs; lineage append LAST so
         a crash mid-record leaves the snapshot 'incomplete' and it is
@@ -81,6 +83,12 @@ class CheckpointStore:
                 sketches.withColumn("snapshot_id", F.lit(snapshot_id))
                 .write.mode("overwrite")
                 .parquet(os.path.join(self.sketches_dir, f"snapshot={snapshot_id}"))
+            )
+        if tdigests is not None:
+            (
+                tdigests.withColumn("snapshot_id", F.lit(snapshot_id))
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.tdigests_dir, f"snapshot={snapshot_id}"))
             )
         rows = [r for r in self._load_lineage() if r["snapshot_id"] != snapshot_id]
         rows.append(
@@ -119,6 +127,18 @@ class CheckpointStore:
             F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("n_distinct")
         )
 
+    def merged_quantiles(self, spark: SparkSession, probs) -> DataFrame:
+        """Quantile estimates across snapshots via t-digest merge (no
+        rescan) — the quantile sibling of :meth:`merged_distinct`.
+        Output: ``column, p, value``."""
+        from jsonschema_validator_spark.operators.tdigest import (
+            merge_tdigests,
+            tdigest_quantiles,
+        )
+
+        t = spark.read.parquet(os.path.join(self.tdigests_dir, "snapshot=*"))
+        return tdigest_quantiles(merge_tdigests(t), probs)
+
 
 def validate_resumable(
     spark: SparkSession,
@@ -126,12 +146,17 @@ def validate_resumable(
     spec: Union[Spec, dict],
     store: CheckpointStore,
     sketch_columns: Optional[Sequence[str]] = None,
+    tdigest_columns: Optional[Sequence[str]] = None,
 ) -> dict:
     """Validate all snapshots not yet checkpointed; return a run report.
 
     Idempotent: re-running after a crash (or after an append) only touches
-    snapshots missing from the lineage.
+    snapshots missing from the lineage. ``tdigest_columns`` additionally
+    persists mergeable quantile digests per snapshot (answered later by
+    ``store.merged_quantiles`` without rescanning).
     """
+    from jsonschema_validator_spark.operators.tdigest import tdigest_sketches
+
     done = store.completed_snapshots()
     pending = [s for s in table.snapshots() if s not in done]
     validated = []
@@ -141,8 +166,13 @@ def validate_resumable(
         res = Validator(spec).validate(df)
         verdicts = res.verdicts()
         sk = hll_sketches(df, list(sketch_columns)) if sketch_columns else None
+        td = (
+            tdigest_sketches(df, list(tdigest_columns))
+            if tdigest_columns
+            else None
+        )
         n_rows = df.count()
-        store.record(sid, verdicts, sk, n_rows, time.perf_counter() - t0)
+        store.record(sid, verdicts, sk, n_rows, time.perf_counter() - t0, tdigests=td)
         validated.append(sid)
     return {
         "validated_snapshots": validated,

@@ -24,8 +24,17 @@ how ``stats.hll_sketches`` + ``merge_hll_sketches`` treat distinct counts:
   ``tdigest_quantiles`` answers table-level quantiles without rescanning
   validated data.
 
-Driver gate: ``tdigest_quantiles_accuracy`` (merged digest within 1% of
+Driver gate: ``tdigest_quantiles_accuracy`` (merged digest within 0.5% of
 the exact percentile at sf0.01 — the hll_distinct_accuracy pattern).
+
+Guarantee caveat (applies to every rank-based sketch, incl.
+``percentile_approx``): the error bound is in RANK space (~q(1−q)/δ), not
+value space. On a distribution with a density cliff (e.g. a hash-uniform
+int64 column with an atom near 0), a 0.1% rank error at the cliff edge can
+be an astronomically large value error — gate value accuracy only on
+columns with meaningful local density, and rank accuracy otherwise
+(tests/test_checkpoint_resume.py::test_tdigest_merge_across_snapshots
+shows both patterns).
 """
 
 from __future__ import annotations

@@ -145,3 +145,41 @@ def test_crash_between_metrics_write_and_lineage_append(spark, tmp_path, table):
     }
     assert merged == scratch
     assert merged["required:$.image_id"][0] == N1 + N2
+
+
+def test_tdigest_merge_across_snapshots(spark, tmp_path, table):
+    """Quantiles across snapshots WITHOUT rescanning: per-snapshot t-digest
+    rows merge (store.merged_quantiles) to match a full-table exact
+    percentile within 1% — the quantile sibling of the HLL merge test."""
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    validate_resumable(
+        spark, table, SPEC, store,
+        sketch_columns=["image_id"], tdigest_columns=["w", "phash"],
+    )
+    table.append(
+        synth.generate_spark(spark, N2, seed=42, start=N1, partitions=4), "snap_b"
+    )
+    validate_resumable(
+        spark, table, SPEC, store,
+        sketch_columns=["image_id"], tdigest_columns=["w", "phash"],
+    )
+    est = {
+        (r["column"], r["p"]): r["value"]
+        for r in store.merged_quantiles(spark, (0.25, 0.5, 0.75)).collect()
+    }
+    full = table.read(spark)
+    n = full.count()
+    exact = full.selectExpr(
+        *[f"percentile(w, {p}) as e{i}" for i, p in enumerate((0.25, 0.5, 0.75))]
+    ).first()
+    for i, p in enumerate((0.25, 0.5, 0.75)):
+        e = exact[f"e{i}"]
+        # value accuracy on the dense column: 1% relative with a
+        # one-value-step floor (``w`` is discrete, interpolation is
+        # sub-integer)
+        assert abs(est[("w", p)] - e) <= max(0.01 * abs(e), 1.0), (p, est[("w", p)], e)
+        # phash is hash-uniform over ±2^63 with a density cliff — value
+        # tolerance is meaningless there, so assert what t-digest actually
+        # guarantees: RANK error of the estimate ≤ 2%
+        rank = full.filter(f"phash <= {est[('phash', p)]}").count() / n
+        assert abs(rank - p) <= 0.02, (p, rank)

@@ -186,3 +186,40 @@ def test_referential_skewed_fk_aqe_skew_split(spark):
     assert "isFinalPlan=true" in plan
     assert "SortMergeJoin(skew=true)" in plan
     assert "AQEShuffleRead skewed" in plan
+
+
+def test_bucketed_fact_join_skips_fact_shuffle(spark, tmp_path):
+    """Bucketing co-location (the 100 TB pre-shuffle trade): a fact table
+    bucketed by its FK joins the dim with NO Exchange on the fact side —
+    the scan reads buckets as join partitions (Bucketed: true,
+    SelectedBucketsCount in the scan details); only the dim side
+    shuffles. At 10^12 rows this converts the per-run fact shuffle into a
+    one-time write-side cost."""
+    import re
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    (
+        li.write.bucketBy(8, "l_partkey")
+        .sortBy("l_partkey")
+        .option("path", str(tmp_path / "li_bucketed"))
+        .mode("overwrite")
+        .saveAsTable("li_bucketed_test")
+    )
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    from jsonschema_validator_spark.operators.referential import orphan_rows
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fact = spark.table("li_bucketed_test")
+        plan = _plan(
+            orphan_rows(fact, part, [("l_partkey", "p_partkey")], broadcast=False)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed_test")
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount" in plan
+    # exactly ONE exchange: the dim side; the bucketed fact never shuffles
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan
