@@ -765,6 +765,59 @@ def q_streaming_windowed_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_streaming_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitoring end-to-end: events re-staged as a file
+    stream → watermarked per-day windowed ``width_bucket`` histograms
+    (the only stateful stage — state is O(windows × buckets)) drained to
+    a memory sink → per-window KS + PSI against the full-table baseline
+    histogram computed batch-side (streaming/drift.py). The oracle is the
+    identical windowed-histogram KS/PSI pipeline in DuckDB SQL."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsonschema_validator_spark.operators.drift import histogram
+    from jsonschema_validator_spark.streaming.drift import (
+        drift_vs_baseline,
+        windowed_histograms,
+    )
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = _t(spark, sf_dir, "events")
+    src = events.select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    ).filter(F.col("ts").isNotNull())
+    root = tempfile.mkdtemp(prefix="jsv_sdrift_")
+    name = "sw_" + uuid.uuid4().hex[:8]
+    try:
+        path = os.path.join(root, "src")
+        src.coalesce(1).write.parquet(path)
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).parquet(path)
+        hist = windowed_histograms(
+            stream, "ts", "value", 0.0, 500.0, 25, window="1 day"
+        )
+        q = (
+            hist.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        win_hist = spark.sql(
+            f"SELECT CAST(window.start AS LONG) AS window_start, bucket, n FROM {name}"
+        )
+        win_hist = spark.createDataFrame(win_hist.collect(), win_hist.schema)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+        shutil.rmtree(root, ignore_errors=True)
+    baseline = histogram(events, "value", 0.0, 500.0, 25)
+    out = drift_vs_baseline(win_hist, baseline, round_to=6)
+    return out.orderBy("window_start")
+
+
 def q_streaming_dedup_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup under the driver gate (the one capability
     that was tests-only in round 2): documents re-staged as a THREE
@@ -1075,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violations_topk_per_rule": q_violations_topk_per_rule,
         "streaming_windowed_verdicts": q_streaming_windowed_verdicts,
         "streaming_dedup_firstseen": q_streaming_dedup_firstseen,
+        "streaming_windowed_drift": q_streaming_windowed_drift,
         "images_jpeg_decode_gate": q_images_jpeg_decode_gate,
         "images_suite_verdicts": q_images_suite_verdicts,
         "images_drift_shifted": q_images_drift_shifted,
@@ -1289,6 +1343,39 @@ WHERE fp IN (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1)
 """
 
 _FINGERPRINT_SQL = f"SELECT doc_id, {_FP_EXPR} AS fingerprint FROM documents"
+
+_STREAM_DRIFT_SQL = """
+WITH wh AS (
+  SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS window_start,
+         CAST(floor(value / 20.0) + 1 AS INT) AS bucket, count(*) AS n
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
+),
+ws AS (SELECT window_start, bucket,
+              n / (sum(n) OVER (PARTITION BY window_start)) AS pw FROM wh),
+bh AS (SELECT CAST(floor(value / 20.0) + 1 AS INT) AS bucket, count(*) AS n
+       FROM events WHERE value IS NOT NULL GROUP BY 1),
+bs AS (SELECT bucket, n / (sum(n) OVER ()) AS pb FROM bh),
+grid AS (SELECT w.window_start, b.bucket, b.pb
+         FROM (SELECT DISTINCT window_start FROM ws) w CROSS JOIN bs b),
+j AS (
+  SELECT COALESCE(g.window_start, s.window_start) AS window_start,
+         COALESCE(g.bucket, s.bucket) AS bucket,
+         COALESCE(s.pw, 0) AS pw, COALESCE(g.pb, 0) AS pb
+  FROM grid g FULL OUTER JOIN ws s
+    ON g.window_start = s.window_start AND g.bucket = s.bucket
+),
+c AS (
+  SELECT window_start, pw, pb,
+         sum(pw) OVER (PARTITION BY window_start ORDER BY bucket) AS cw,
+         sum(pb) OVER (PARTITION BY window_start ORDER BY bucket) AS cb
+  FROM j
+)
+SELECT window_start,
+       round(max(abs(cw - cb)), 6) AS ks,
+       round(sum((greatest(pw, 1e-6) - greatest(pb, 1e-6))
+                 * ln(greatest(pw, 1e-6) / greatest(pb, 1e-6))), 6) AS psi
+FROM c GROUP BY window_start ORDER BY window_start
+"""
 
 _STREAM_DEDUP_SQL = f"""
 WITH inp AS (
@@ -1890,6 +1977,7 @@ ORDER BY config
         "violations_topk_per_rule": _TOPK_VIOL_SQL,
         "streaming_windowed_verdicts": _STREAMING_VERDICT_SQL,
         "streaming_dedup_firstseen": _STREAM_DEDUP_SQL,
+        "streaming_windowed_drift": _STREAM_DRIFT_SQL,
         "images_jpeg_decode_gate": """
 SELECT CAST(12 AS BIGINT) AS n_images, TRUE AS all_above_floor
 """,

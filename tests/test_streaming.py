@@ -277,3 +277,26 @@ def test_streaming_dedup_state_ttl(spark, tmp_path):
         (r["doc_id"], r["text"]) for r in spark.sql("SELECT * FROM ttl_sink").collect()
     )
     assert got == [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "alpha"), (5, "beta")]
+
+
+def test_drift_vs_baseline_identity_and_shift(spark):
+    """drift_vs_baseline: a window with the baseline's own histogram has
+    KS = PSI = 0; a shifted window has both > 0."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.drift import histogram
+    from jsonschema_validator_spark.streaming.drift import drift_vs_baseline
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    base = histogram(df, "l_quantity", 0.5, 50.5, 50)
+    same = base.select(F.lit(100).alias("window_start"), "bucket", "n")
+    shifted = histogram(
+        df.select((F.col("l_quantity") + 10).alias("l_quantity")),
+        "l_quantity", 0.5, 50.5, 50,
+    ).select(F.lit(200).alias("window_start"), "bucket", "n")
+    out = {
+        r["window_start"]: (r["ks"], r["psi"])
+        for r in drift_vs_baseline(same.unionAll(shifted), base).collect()
+    }
+    assert out[100] == (0.0, 0.0)
+    assert out[200][0] > 0.1 and out[200][1] > 0.1
