@@ -136,6 +136,11 @@ class CheckpointStore:
             tdigest_quantiles,
         )
 
+        if not os.path.isdir(self.tdigests_dir):
+            raise ValueError(
+                "no t-digest sketches recorded — pass tdigest_columns to "
+                "validate_resumable (or record(..., tdigests=...)) first"
+            )
         t = spark.read.parquet(os.path.join(self.tdigests_dir, "snapshot=*"))
         return tdigest_quantiles(merge_tdigests(t), probs)
 

@@ -123,6 +123,8 @@ def serialize(means: np.ndarray, weights: np.ndarray) -> bytes:
 
 
 def deserialize(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    if len(blob) < 4:
+        raise ValueError("corrupt t-digest blob")
     (n,) = struct.unpack("<I", blob[:4])
     body = np.frombuffer(blob[4:], dtype="<f8")
     if body.size != 2 * n:

@@ -342,6 +342,8 @@ def encode_jpeg(
     h, w = pixels.shape[:2]
     if h == 0 or w == 0 or h > 65535 or w > 65535:
         raise ValueError("invalid image dimensions")
+    if not 0 <= restart_interval <= 65535:
+        raise ValueError("restart_interval must fit in a DRI segment (0..65535)")
     ycc = _rgb_to_ycbcr(pixels)
     hmax, vmax = (2, 2) if subsampling == "420" else (1, 1)
     samp = [(hmax, vmax), (1, 1), (1, 1)]
@@ -494,6 +496,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError("truncated JPEG (no SOS)")
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        # fill bytes: any number of 0xFF may pad before a marker (B.1.1.2)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:

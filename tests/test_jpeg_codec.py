@@ -143,3 +143,17 @@ def test_encoder_rejects_bad_input():
         encode_jpeg(np.zeros((8, 8, 3), np.float64))  # not uint8
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsampling="422")
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """Any number of 0xFF fill bytes may pad before a marker (T.81
+    B.1.1.2) — insert padding before DQT and decode unchanged."""
+    raw = _minimal_gray_jpeg(1)
+    i = raw.find(b"\xff\xdb")
+    padded = raw[:i] + b"\xff\xff\xff" + raw[i:]
+    assert (decode_jpeg(padded) == 160).all()
+
+
+def test_encoder_restart_interval_range():
+    with pytest.raises(ValueError, match="restart_interval"):
+        encode_jpeg(np.zeros((8, 8, 3), np.uint8), restart_interval=70000)

@@ -37,6 +37,8 @@ def test_serialize_roundtrip_and_corrupt():
     assert (td.deserialize(td.serialize(m, w))[0] == m).all()
     with pytest.raises(ValueError):
         td.deserialize(blob[:-8])
+    with pytest.raises(ValueError):
+        td.deserialize(b"\x01")
 
 
 def test_merge_matches_whole():
