@@ -957,6 +957,65 @@ def q_ivf_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.orderBy("config")
 
 
+_PHASH_PLANT_STEP = 200  # planted variant every 200th row, offset 9
+_PHASH_PLANT_OFF = 9  # i≡9 (mod 200) hits NO synth injection rule
+
+
+def _phash_planted_rows(n: int, seed: int = 42) -> list[tuple]:
+    """Deterministic near-dup variants of base phashes: for each planted
+    index i, flip k = (i//200)%3+1 distinct bits of row i's phash. Offsets
+    i≡9 (mod 200) are clean of every synth injection (no hot phash, no
+    dup phash, no bad/dup image_id), so the base phash is the pure
+    ``_h64(seed, i, "ph")`` value and the pair set is exactly the planted
+    set (random 64-bit phashes collide within hamming≤3 with probability
+    ~2e-15 per pair)."""
+    from jsonschema_validator_spark.sources.synth import make_row
+
+    M = (1 << 64) - 1
+    out = []
+    for i in range(_PHASH_PLANT_OFF, n, _PHASH_PLANT_STEP):
+        base = make_row(seed, i)
+        k = (i // _PHASH_PLANT_STEP) % 3 + 1
+        mask = 0
+        for j in range(k):
+            mask |= 1 << ((i * 7 + j * 13) % 64)
+        v = (base["phash"] & M) ^ mask
+        if v >= 1 << 63:
+            v -= 1 << 64
+        out.append((f"dup-{i:012d}", v, base["image_id"], k))
+    return out
+
+
+def q_images_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup detection (the image twin of SimHash
+    text dedup): exact-dup phashes are removed first (the production
+    exact→near pipeline order — also drops the synthetic hot keys), then
+    deterministic planted variants (1-3 flipped bits) are unioned in and
+    recovered by the generic ``hamming_near_duplicates`` pigeonhole
+    bit-slice equi-join (operators/dedup.py) — never an all-pairs join.
+    Oracle: the planted pair set (golden, via the synth pure row fn)."""
+    from pyspark.sql import Window
+
+    from jsonschema_validator_spark.operators.dedup import hamming_near_duplicates
+
+    base = _images(spark).select("image_id", "phash")
+    uniq = (
+        base.withColumn(
+            "_c", F.count(F.lit(1)).over(Window.partitionBy("phash"))
+        )
+        .filter("_c = 1")
+        .drop("_c")
+    )
+    planted = spark.createDataFrame(
+        [(r[0], r[1]) for r in _phash_planted_rows(_IMAGES_N)],
+        "image_id string, phash long",
+    )
+    out = hamming_near_duplicates(
+        uniq.unionAll(planted), "phash", "image_id", max_hamming=3, n_slices=4
+    )
+    return out.orderBy("id_a", "id_b")
+
+
 def q_images_jpeg_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG bitstream decode through the distributed plumbing: 12
     deterministic synth images are encoded as actual ITU-T T.81 baseline
@@ -1130,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_firstseen": q_streaming_dedup_firstseen,
         "streaming_windowed_drift": q_streaming_windowed_drift,
         "images_jpeg_decode_gate": q_images_jpeg_decode_gate,
+        "images_phash_neardups": q_images_phash_neardups,
         "images_suite_verdicts": q_images_suite_verdicts,
         "images_drift_shifted": q_images_drift_shifted,
         "images_decode_violations": q_images_decode_violations,
@@ -1867,6 +1927,15 @@ def _image_oracles() -> dict[str, str]:
             o.merged_verdict_rows([(1000, 42), (1000, 43), (1000, 45)]),
             ["rule_id", "tag", "n_checked", "n_failed", "pass"],
             ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT", "BOOLEAN"],
+        ),
+        # golden oracle: the planted pair set (dup id sorts before img id;
+        # hamming == number of flipped bits, distinct by construction)
+        "images_phash_neardups": o.values_sql(
+            sorted(
+                (r[0], r[2], r[3]) for r in _phash_planted_rows(_IMAGES_N)
+            ),
+            ["id_a", "id_b", "hamming"],
+            ["VARCHAR", "VARCHAR", "INT"],
         ),
     }
 

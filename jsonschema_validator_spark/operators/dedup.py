@@ -265,38 +265,42 @@ def simhash(
     return g.select(F.col("_id").alias(id_col), out.alias("simhash"))
 
 
-def simhash_near_duplicates(
+def hamming_near_duplicates(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    sig_col: str,
+    id_col: str,
     max_hamming: int = 3,
     n_slices: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: pigeonhole on bit-slices — any pair within
-    ``max_hamming`` (< n_slices) shares at least one identical 16-bit slice,
-    so the candidate join is equi-join on (slice_idx, slice_value)."""
-    sigs = simhash(df, text_col, id_col).select(
-        F.col(id_col).alias("_id"), F.col("simhash")
-    )
+    """Near-dup pairs over an EXISTING 64-bit signature column (SimHash,
+    perceptual phash, any fingerprint): pigeonhole on bit-slices — any
+    pair within ``max_hamming`` (< n_slices) differing bits shares at
+    least one identical ``64/n_slices``-bit slice, so the candidate join
+    is an equi-join on (slice_idx, slice_value) — never all-pairs.
+    Signed signatures are fine: arithmetic shift + mask yields identical
+    slice values on both sides, and ``bit_count(xor)`` counts the two's
+    complement bit pattern, which IS the 64-bit hamming distance.
+    Output: ``id_a, id_b, hamming`` with id_a < id_b."""
+    sigs = df.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
     width = 64 // n_slices
     mask = (1 << width) - 1
     sliced = sigs.select(
         "_id",
-        "simhash",
+        "_sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("slice_idx"),
-                        F.shiftright("simhash", i * width).bitwiseAND(F.lit(mask)).alias("slice_val"),
+                        F.shiftright("_sig", i * width).bitwiseAND(F.lit(mask)).alias("slice_val"),
                     )
                     for i in range(n_slices)
                 ]
             )
         ).alias("sl"),
-    ).select("_id", "simhash", "sl.slice_idx", "sl.slice_val")
+    ).select("_id", "_sig", "sl.slice_idx", "sl.slice_val")
     a, b = sliced.alias("a"), sliced.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    xor = F.col("a._sig").bitwiseXOR(F.col("b._sig"))
     return (
         a.join(b, ["slice_idx", "slice_val"])
         .filter(F.col("a._id") < F.col("b._id"))
@@ -307,4 +311,19 @@ def simhash_near_duplicates(
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_slices: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash — :func:`simhash` signatures fed through
+    the generic :func:`hamming_near_duplicates` pigeonhole join."""
+    sigs = simhash(df, text_col, id_col)
+    return hamming_near_duplicates(
+        sigs, "simhash", id_col, max_hamming=max_hamming, n_slices=n_slices
     )
