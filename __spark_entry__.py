@@ -355,6 +355,24 @@ def q_jaccard_via_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(df, threshold=0.5, candidates=cand)
 
 
+def q_dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step AFTER pair generation that a dedup pipeline actually
+    deletes with: LSH→Jaccard verified pairs → connected components →
+    (doc_id, cluster_id, is_representative), keep the representative.
+    Oracle: a DuckDB RECURSIVE CTE computing min-reachable-id components
+    over the golden pair set."""
+    from jsonschema_validator_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(df, n_hashes=32, bands=8)
+    pairs = ngram_jaccard_pairs(df, threshold=0.5, candidates=cand)
+    return duplicate_clusters(pairs).orderBy("doc_id")
+
+
 def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonschema_validator_spark.operators.dedup import simhash_near_duplicates
 
@@ -1170,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "minhash_candidates": q_minhash_candidates,
         "jaccard_via_lsh": q_jaccard_via_lsh,
+        "dedup_cluster_assignment": q_dedup_cluster_assignment,
         "simhash_neardups": q_simhash_neardups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_recall_floor": q_ann_recall_floor,
@@ -1940,6 +1959,32 @@ def _image_oracles() -> dict[str, str]:
     }
 
 
+def _cluster_oracle_sql(pair_rows: list) -> str:
+    """Connected components over a literal pair set via a DuckDB RECURSIVE
+    CTE: min reachable id == cluster id (edges are symmetric, so reachable
+    labels cover the component; the UNION-distinct fixpoint terminates)."""
+    if not pair_rows:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS "
+            "cluster_id, CAST(NULL AS BOOLEAN) AS is_representative WHERE FALSE"
+        )
+    vals = ", ".join(f"({int(a)}, {int(b)})" for a, b, *_ in pair_rows)
+    return f"""
+WITH RECURSIVE p(id_a, id_b) AS (VALUES {vals}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
+       (id = min(lbl)) AS is_representative
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
 _HASH_ORACLE_CACHE: dict[str, str] | None = None
 
 
@@ -1965,6 +2010,9 @@ def _hash_oracles() -> dict[str, str]:
                 o.jaccard_rows_for_candidates(mh, threshold=0.5),
                 ["id_a", "id_b", "jaccard"],
                 ["BIGINT", "BIGINT", "DOUBLE"],
+            ),
+            "dedup_cluster_assignment": _cluster_oracle_sql(
+                o.jaccard_rows_for_candidates(mh, threshold=0.5)
             ),
             "simhash_neardups": o.values_sql(
                 o.simhash_neardup_rows(),

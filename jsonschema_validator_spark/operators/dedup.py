@@ -327,3 +327,68 @@ def simhash_near_duplicates(
     return hamming_near_duplicates(
         sigs, "simhash", id_col, max_hamming=max_hamming, n_slices=n_slices
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 10,
+) -> DataFrame:
+    """Connected components over near-dup PAIR edges → cluster assignment:
+    ``doc_id, cluster_id, is_representative`` (cluster_id = min doc id in
+    the component; the representative is the row a dedup pipeline keeps).
+
+    The step every dedup pipeline needs after pair generation: pairs only
+    say "a~b"; deletion needs transitive groups (a~b, b~c ⇒ {a,b,c} keep
+    one). Implemented as min-label propagation — per iteration one
+    edge-join + min-aggregate (two shuffles), labels cached and checked
+    for convergence driver-side; iterations needed = graph diameter,
+    which for near-dup clusters (quasi-cliques) is 2-3. At extreme scale
+    with long chains, swap in large-star/small-star (same interface);
+    the per-iteration shape here is already the balanced equi-join form.
+    Deterministic: min-id labels are independent of join/iteration order
+    once converged.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates()
+    edges.cache()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .dropDuplicates()
+        .withColumn("lbl", F.col("id"))
+    )
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lbl").alias("_nlbl"))
+        )
+        new = (
+            labels.join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lbl"), F.coalesce("_nlbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .cache()
+        )
+        changed = (
+            new.withColumnRenamed("lbl", "_new")
+            .join(labels, "id")
+            .filter(F.col("_new") != F.col("lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("id") == F.col("lbl")).alias("is_representative"),
+    )

@@ -223,3 +223,31 @@ def test_bucketed_fact_join_skips_fact_shuffle(spark, tmp_path):
     # exactly ONE exchange: the dim side; the bucketed fact never shuffles
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "SortMergeJoin" in plan and "LeftAnti" in plan
+
+
+def test_duplicate_clusters_transitive_components(spark):
+    """duplicate_clusters: transitive chains collapse into one component
+    (min-id label), separate components stay separate, representatives
+    are the min ids — and a long chain still converges within max_iters
+    = diameter."""
+    from jsonschema_validator_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (6, 5), (5, 9)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_representative"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        5: (5, True), 6: (5, False), 9: (5, False),
+        10: (10, True), 11: (10, False),
+    }
+    # a 6-node path graph needs label hops = diameter; verify convergence
+    chain = spark.createDataFrame(
+        [(i + 1, i) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(chain).collect()}
+    assert got == {i: 1 for i in range(1, 7)}
