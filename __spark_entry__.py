@@ -975,6 +975,26 @@ def q_ivf_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.orderBy("config")
 
 
+def q_images_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image feature extraction (the feature-extract stage of the brief's
+    multimodal pipeline): channel means, grayscale std, brightness and
+    gradient edge-energy per decoded image, Arrow-batched numpy — over the
+    deterministic 1-in-8 id slice (500 images; the slice's residues dodge
+    every synth injection, so all selected rows decode). Oracle: the
+    independent pandas/numpy re-implementation (oracle.feature_rows)."""
+    from jsonschema_validator_spark.operators.multimodal import image_features
+
+    df = _images(spark)
+    sel = df.filter(
+        F.col("image_id").rlike("^img-[0-9]{12}$")
+        & (
+            F.regexp_extract("image_id", "^img-([0-9]{12})$", 1).cast("long") % 8
+            == 0
+        )
+    )
+    return image_features(sel).orderBy("image_id")
+
+
 _PHASH_PLANT_STEP = 200  # planted variant every 200th row, offset 9
 _PHASH_PLANT_OFF = 9  # i≡9 (mod 200) hits NO synth injection rule
 
@@ -1209,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_drift": q_streaming_windowed_drift,
         "images_jpeg_decode_gate": q_images_jpeg_decode_gate,
         "images_phash_neardups": q_images_phash_neardups,
+        "images_feature_extract": q_images_feature_extract,
         "images_suite_verdicts": q_images_suite_verdicts,
         "images_drift_shifted": q_images_drift_shifted,
         "images_decode_violations": q_images_decode_violations,
@@ -1946,6 +1967,13 @@ def _image_oracles() -> dict[str, str]:
             o.merged_verdict_rows([(1000, 42), (1000, 43), (1000, 45)]),
             ["rule_id", "tag", "n_checked", "n_failed", "pass"],
             ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT", "BOOLEAN"],
+        ),
+        "images_feature_extract": o.values_sql(
+            o.feature_rows(n),
+            ["image_id", "f_w", "f_h", "mean_r", "mean_g", "mean_b",
+             "std_gray", "brightness", "edge_energy"],
+            ["VARCHAR", "INT", "INT", "DOUBLE", "DOUBLE", "DOUBLE",
+             "DOUBLE", "DOUBLE", "DOUBLE"],
         ),
         # golden oracle: the planted pair set (dup id sorts before img id;
         # hamming == number of flipped bits, distinct by construction)

@@ -447,3 +447,174 @@ def psnr_vs_reference(
             yield pd.DataFrame({"image_id": b["image_id"], "psnr": vals})
 
     return sel.mapInPandas(run, schema="image_id string, psnr double")
+
+
+def image_features(
+    df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Feature extraction over decoded pixels (the feature-extract stage of
+    the brief's multimodal pipeline): per image, channel means, grayscale
+    std, brightness and a gradient-energy edge score — all numpy over the
+    Arrow batch, values rounded to 1e-6 for cross-engine comparability.
+    Undecodable payloads are dropped (decode violations are
+    :func:`image_invariant_violations`'s job, not this operator's).
+
+    Output: ``image_id, f_w, f_h, mean_r, mean_g, mean_b, std_gray,
+    brightness, edge_energy``.
+    """
+    from jsonschema_validator_spark.sources.codecs import decode_image
+
+    sel = df.select(F.col(id_col).alias("image_id"), F.col(bytes_col).alias("bytes"))
+    schema = (
+        "image_id string, f_w int, f_h int, mean_r double, mean_g double, "
+        "mean_b double, std_gray double, brightness double, edge_energy double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data in zip(b["image_id"], b["bytes"]):
+                try:
+                    px = decode_image(bytes(data)).astype(np.float64)
+                except ValueError:
+                    continue
+                h, w = px.shape[:2]
+                gray = px.mean(axis=2)
+                gx = np.abs(np.diff(gray, axis=1)).mean() if w > 1 else 0.0
+                gy = np.abs(np.diff(gray, axis=0)).mean() if h > 1 else 0.0
+                rows.append(
+                    (
+                        iid,
+                        int(w),
+                        int(h),
+                        round(float(px[:, :, 0].mean()), 6),
+                        round(float(px[:, :, 1].mean()), 6),
+                        round(float(px[:, :, 2].mean()), 6),
+                        round(float(gray.std()), 6),
+                        round(float(gray.mean() / 255.0), 6),
+                        round(float(gx + gy), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "f_w", "f_h", "mean_r", "mean_g", "mean_b",
+                    "std_gray", "brightness", "edge_energy",
+                ],
+            )
+
+    return sel.mapInPandas(run, schema=schema)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Nearest-neighbor resize, re-encoded as PNG (the resize stage):
+    ``image_id, bytes, w, h``. Real resampling (integer index sampling —
+    pure numpy), real PNG output any reader can decode. Undecodable
+    payloads are dropped.
+    """
+    from jsonschema_validator_spark.sources.codecs import decode_image, encode_png
+
+    sel = df.select(F.col(id_col).alias("image_id"), F.col(bytes_col).alias("bytes"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, blobs = [], []
+            for iid, data in zip(b["image_id"], b["bytes"]):
+                try:
+                    px = decode_image(bytes(data))
+                except ValueError:
+                    continue
+                h, w = px.shape[:2]
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                ids.append(iid)
+                blobs.append(bytearray(encode_png(px[ys][:, xs])))
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "bytes": blobs,
+                    "w": [out_w] * len(ids),
+                    "h": [out_h] * len(ids),
+                }
+            )
+
+    return sel.mapInPandas(run, schema="image_id string, bytes binary, w int, h int")
+
+
+def fake_video_decoder(data: bytes, n_frames: int) -> list:
+    """Deterministic STAND-IN video decoder (this runtime has no
+    libav/ffmpeg): derives ``n_frames`` 16x16 RGB frames purely from the
+    payload bytes (md5-seeded gradients), so the frame-sampling plumbing
+    is testable end-to-end. Marked fake on purpose — a real decoder slots
+    into :func:`sample_video_frames` via the ``decoder`` argument."""
+    import hashlib
+
+    frames = []
+    for k in range(n_frames):
+        seed = hashlib.md5(data[:64] + bytes([k])).digest()
+        base = np.frombuffer(seed[:3], dtype=np.uint8).astype(np.int64)
+        yy, xx = np.mgrid[0:16, 0:16]
+        px = np.stack(
+            [(base[c] + xx * (c + 1) + yy * (3 - c)) % 256 for c in range(3)],
+            axis=-1,
+        ).astype(np.uint8)
+        frames.append(px)
+    return frames
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    max_frames: int = 4,
+    id_col: str = "video_id",
+    bytes_col: str = "bytes",
+    decoder=None,
+) -> DataFrame:
+    """Video frame sampling (the frame-sample stage): ``video_id,
+    frame_idx, frame_png binary, w, h`` — every ``every_n``-th frame, at
+    most ``max_frames`` per video, each frame re-encoded as PNG.
+
+    The Spark-side plumbing (schema, Arrow batching, UDF signature,
+    per-video fan-out) is REAL and tested; actual video bitstream
+    decoding needs libav/ffmpeg, which this runtime lacks, so ``decoder``
+    must be supplied: pass :func:`fake_video_decoder` in tests, or a real
+    ``(bytes, n_frames) -> list[ndarray]`` callable in production.
+    ``decoder=None`` raises ``NotImplementedError`` at plan-build time —
+    loudly, not deep inside an executor.
+    """
+    if decoder is None:
+        raise NotImplementedError(
+            "no video codec in this runtime: pass decoder= (e.g. "
+            "fake_video_decoder for tests, or a libav-backed callable)"
+        )
+    from jsonschema_validator_spark.sources.codecs import encode_png
+
+    sel = df.select(F.col(id_col).alias("video_id"), F.col(bytes_col).alias("bytes"))
+    schema = "video_id string, frame_idx int, frame_png binary, w int, h int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for vid, data in zip(b["video_id"], b["bytes"]):
+                frames = decoder(bytes(data), max_frames)
+                for k, px in enumerate(frames[:max_frames]):
+                    rows.append(
+                        (
+                            vid,
+                            k * every_n,
+                            bytearray(encode_png(px)),
+                            int(px.shape[1]),
+                            int(px.shape[0]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_idx", "frame_png", "w", "h"]
+            )
+
+    return sel.mapInPandas(run, schema=schema)

@@ -527,3 +527,43 @@ def values_sql(rows: list[tuple], columns: list[str], types: list[str]) -> str:
     )
     cols = ", ".join(f'"{c}"' for c in columns)
     return f"SELECT {sel} FROM (VALUES\n{body}\n) AS t({cols})"
+
+
+def feature_rows(n: int, seed: int = 42, mod: int = 8) -> list[tuple]:
+    """Expected image_features rows for synth images whose numeric id is
+    divisible by ``mod`` (BAD/dup ids are excluded by the id regex on both
+    sides; the selection contains no truncated payloads by residue
+    arithmetic, so every selected row decodes)."""
+    import re
+
+    from jsonschema_validator_spark.sources.codecs import decode_image
+    from jsonschema_validator_spark.sources.synth import generate_pandas
+
+    df = generate_pandas(n, seed=seed)
+    rows = []
+    for iid, data in zip(df["image_id"], df["bytes"]):
+        m = re.fullmatch(r"img-(\d{12})", str(iid))
+        if not m or int(m.group(1)) % mod != 0:
+            continue
+        try:
+            px = decode_image(bytes(data)).astype(np.float64)
+        except ValueError:
+            continue
+        h, w = px.shape[:2]
+        gray = px.mean(axis=2)
+        gx = float(np.abs(np.diff(gray, axis=1)).mean()) if w > 1 else 0.0
+        gy = float(np.abs(np.diff(gray, axis=0)).mean()) if h > 1 else 0.0
+        rows.append(
+            (
+                str(iid),
+                int(w),
+                int(h),
+                round(float(px[:, :, 0].mean()), 6),
+                round(float(px[:, :, 1].mean()), 6),
+                round(float(px[:, :, 2].mean()), 6),
+                round(float(gray.std()), 6),
+                round(float(gray.mean() / 255.0), 6),
+                round(gx + gy, 6),
+            )
+        )
+    return sorted(rows)

@@ -266,3 +266,82 @@ def test_png_unsupported_variants_raise():
         with pytest.raises(ValueError, match="unsupported PNG variant"):
             decode_png(bytes(bad))
     assert data[:8] == PNG_MAGIC
+
+
+def test_image_features_flat_and_gradient(spark):
+    """image_features: a flat-color image has mean == the color, zero std
+    and zero edge energy; a gradient image has positive edge energy."""
+    import numpy as np
+
+    from jsonschema_validator_spark.operators.multimodal import image_features
+    from jsonschema_validator_spark.sources.codecs import encode_png
+
+    flat = np.full((10, 12, 3), (40, 90, 200), np.uint8)
+    yy, xx = np.mgrid[0:10, 0:12]
+    grad = np.stack([xx * 20, yy * 25, xx + yy], axis=-1).astype(np.uint8)
+    df = spark.createDataFrame(
+        [("flat", bytearray(encode_png(flat))), ("grad", bytearray(encode_png(grad))),
+         ("broken", bytearray(b"\x00" * 16))],
+        "image_id string, bytes binary",
+    )
+    out = {r["image_id"]: r.asDict() for r in image_features(df).collect()}
+    assert set(out) == {"flat", "grad"}  # undecodable dropped
+    f = out["flat"]
+    assert (f["f_w"], f["f_h"]) == (12, 10)
+    assert (f["mean_r"], f["mean_g"], f["mean_b"]) == (40.0, 90.0, 200.0)
+    assert f["std_gray"] == 0.0 and f["edge_energy"] == 0.0
+    assert f["brightness"] == round(110 / 255, 6)
+    assert out["grad"]["edge_energy"] > 1.0
+
+
+def test_resize_images_nearest(spark):
+    import numpy as np
+
+    from jsonschema_validator_spark.operators.multimodal import resize_images
+    from jsonschema_validator_spark.sources.codecs import decode_image, encode_png
+
+    yy, xx = np.mgrid[0:20, 0:30]
+    img = np.stack([xx * 8, yy * 12, (xx + yy)], axis=-1).astype(np.uint8)
+    df = spark.createDataFrame(
+        [("a", bytearray(encode_png(img)))], "image_id string, bytes binary"
+    )
+    rows = resize_images(df, out_w=10, out_h=5).collect()
+    assert len(rows) == 1 and (rows[0]["w"], rows[0]["h"]) == (10, 5)
+    small = decode_image(bytes(rows[0]["bytes"]))
+    assert small.shape == (5, 10, 3)
+    # nearest-neighbor: output pixel (y, x) == source pixel (y*h//oh, x*w//ow)
+    ys = (np.arange(5) * 20) // 5
+    xs = (np.arange(10) * 30) // 10
+    assert (small == img[ys][:, xs]).all()
+
+
+def test_sample_video_frames_stub_plumbing(spark):
+    import pytest as _pytest
+
+    from jsonschema_validator_spark.operators.multimodal import (
+        fake_video_decoder,
+        sample_video_frames,
+    )
+    from jsonschema_validator_spark.sources.codecs import decode_image
+
+    df = spark.createDataFrame(
+        [("v1", bytearray(b"fake-video-payload-1")), ("v2", bytearray(b"fake-video-payload-2"))],
+        "video_id string, bytes binary",
+    )
+    with _pytest.raises(NotImplementedError, match="video codec"):
+        sample_video_frames(df)  # no decoder in this runtime: loud, plan-time
+    out = sample_video_frames(
+        df, every_n=10, max_frames=3, decoder=fake_video_decoder
+    )
+    rows = out.collect()
+    assert len(rows) == 6
+    assert {(r["video_id"], r["frame_idx"]) for r in rows} == {
+        (v, k * 10) for v in ("v1", "v2") for k in range(3)
+    }
+    px = decode_image(bytes(rows[0]["frame_png"]))
+    assert px.shape == (16, 16, 3)
+    # deterministic: same payload → identical frames
+    again = sample_video_frames(df, every_n=10, max_frames=3, decoder=fake_video_decoder)
+    assert sorted((r["video_id"], r["frame_idx"], bytes(r["frame_png"])) for r in rows) == sorted(
+        (r["video_id"], r["frame_idx"], bytes(r["frame_png"])) for r in again.collect()
+    )
