@@ -618,3 +618,80 @@ def sample_video_frames(
             )
 
     return sel.mapInPandas(run, schema=schema)
+
+
+def fake_audio_decoder(data: bytes, sample_rate: int = 16000) -> "np.ndarray":
+    """Deterministic STAND-IN audio decoder (no libsndfile/ffmpeg in this
+    runtime): derives a 1-second float32 PCM waveform purely from the
+    payload bytes (md5-seeded sinusoid mix). Marked fake on purpose — a
+    real decoder slots into :func:`audio_features` via ``decoder``."""
+    import hashlib
+
+    seed = hashlib.md5(data[:64]).digest()
+    f0 = 55.0 * (1 + seed[0] % 32)  # 55..1760 Hz
+    amp = 0.2 + (seed[1] % 128) / 256.0
+    t = np.arange(sample_rate, dtype=np.float64) / sample_rate
+    wave = amp * np.sin(2 * np.pi * f0 * t) + 0.05 * np.sin(
+        2 * np.pi * 3 * f0 * t
+    )
+    return wave.astype(np.float32)
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "audio_id",
+    bytes_col: str = "bytes",
+    sample_rate: int = 16000,
+    decoder=None,
+) -> DataFrame:
+    """Audio feature extraction (the audio leg of the brief's multimodal
+    triple): ``audio_id, n_samples, duration_sec, rms, peak,
+    zero_crossing_rate`` — numpy over decoded PCM inside Arrow batches.
+
+    Like :func:`sample_video_frames`, the PLUMBING is real and the codec
+    is injected: ``decoder=None`` raises ``NotImplementedError`` at
+    plan-build time (this runtime has no audio codec); tests pass
+    :func:`fake_audio_decoder`, production passes a soundfile/ffmpeg-backed
+    ``(bytes, sample_rate) -> float32 ndarray`` callable.
+    """
+    if decoder is None:
+        raise NotImplementedError(
+            "no audio codec in this runtime: pass decoder= (e.g. "
+            "fake_audio_decoder for tests, or a libsndfile-backed callable)"
+        )
+    sel = df.select(F.col(id_col).alias("audio_id"), F.col(bytes_col).alias("bytes"))
+    schema = (
+        "audio_id string, n_samples long, duration_sec double, rms double, "
+        "peak double, zero_crossing_rate double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for aid, data in zip(b["audio_id"], b["bytes"]):
+                pcm = decoder(bytes(data), sample_rate).astype(np.float64)
+                n = pcm.size
+                zc = (
+                    float((np.signbit(pcm[1:]) != np.signbit(pcm[:-1])).mean())
+                    if n > 1
+                    else 0.0
+                )
+                rows.append(
+                    (
+                        aid,
+                        int(n),
+                        round(n / sample_rate, 6),
+                        round(float(np.sqrt(np.mean(pcm**2))), 6),
+                        round(float(np.abs(pcm).max()) if n else 0.0, 6),
+                        round(zc, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "audio_id", "n_samples", "duration_sec", "rms", "peak",
+                    "zero_crossing_rate",
+                ],
+            )
+
+    return sel.mapInPandas(run, schema=schema)

@@ -345,3 +345,30 @@ def test_sample_video_frames_stub_plumbing(spark):
     assert sorted((r["video_id"], r["frame_idx"], bytes(r["frame_png"])) for r in rows) == sorted(
         (r["video_id"], r["frame_idx"], bytes(r["frame_png"])) for r in again.collect()
     )
+
+
+def test_audio_features_stub_plumbing(spark):
+    """audio_features: raises loudly without a codec; with the fake PCM
+    decoder it emits deterministic per-clip features with correct physics
+    (rms < peak, sinusoid zero-crossing rate ≈ 2*f0/sample_rate)."""
+    import pytest as _pytest
+
+    from jsonschema_validator_spark.operators.multimodal import (
+        audio_features,
+        fake_audio_decoder,
+    )
+
+    df = spark.createDataFrame(
+        [("a1", bytearray(b"fake-audio-1")), ("a2", bytearray(b"fake-audio-2"))],
+        "audio_id string, bytes binary",
+    )
+    with _pytest.raises(NotImplementedError, match="audio codec"):
+        audio_features(df)
+    rows = {r["audio_id"]: r.asDict() for r in audio_features(df, decoder=fake_audio_decoder).collect()}
+    assert set(rows) == {"a1", "a2"}
+    for r in rows.values():
+        assert r["n_samples"] == 16000 and r["duration_sec"] == 1.0
+        assert 0 < r["rms"] < r["peak"] <= 1.3
+        assert 0 < r["zero_crossing_rate"] < 0.5
+    again = {r["audio_id"]: r.asDict() for r in audio_features(df, decoder=fake_audio_decoder).collect()}
+    assert rows == again  # deterministic
