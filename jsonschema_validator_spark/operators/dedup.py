@@ -348,7 +348,9 @@ def duplicate_clusters(
     with long chains, swap in large-star/small-star (same interface);
     the per-iteration shape here is already the balanced equi-join form.
     Deterministic: min-id labels are independent of join/iteration order
-    once converged.
+    once converged. Only documents that appear in a pair are emitted —
+    unpaired documents are implicitly their own singleton representative
+    (left-anti join this output against the corpus to list them).
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.unionAll(
