@@ -373,6 +373,28 @@ def q_dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs).orderBy("doc_id")
 
 
+def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-corpus curation pipeline (the document twin
+    of images_suite_verdicts): non-null → quality gate → language gate →
+    exact dedup → near-dup dedup (LSH→Jaccard pairs → cluster
+    representatives), emitting the per-stage funnel
+    (stage, stage_idx, n_in, n_removed, n_out). Oracle: the identical
+    funnel in DuckDB SQL with the golden pair set as the cluster edges."""
+    from jsonschema_validator_spark.operators.curation import curate_corpus
+    from jsonschema_validator_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(df, n_hashes=32, bands=8)
+    pairs = ngram_jaccard_pairs(df, threshold=0.5, candidates=cand)
+    _, stats = curate_corpus(
+        df, min_quality=1.0, keep_langs=("en",), near_dup_pairs=pairs
+    )
+    return stats.orderBy("stage_idx")
+
+
 def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonschema_validator_spark.operators.dedup import simhash_near_duplicates
 
@@ -1209,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "jaccard_via_lsh": q_jaccard_via_lsh,
         "dedup_cluster_assignment": q_dedup_cluster_assignment,
+        "corpus_curation_funnel": q_corpus_curation_funnel,
         "simhash_neardups": q_simhash_neardups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_recall_floor": q_ann_recall_floor,
@@ -2013,6 +2036,97 @@ FROM reach GROUP BY id ORDER BY doc_id
 """
 
 
+def _funnel_oracle_sql(pair_rows: list) -> str:
+    """The curation funnel in DuckDB SQL: quality/langid expressions are
+    the same as _QUALITY_SQL/_LANGID_SQL (rounded ratios), exact dedup is
+    min-id-per-fingerprint, near-dup clusters come from the golden pair
+    VALUES via the recursive-CTE component labeling."""
+    vals = ", ".join(f"({int(a)}, {int(b)})" for a, b, *_ in pair_rows) or "(0, 0)"
+    return f"""
+WITH RECURSIVE s1 AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+),
+qbase AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+  FROM s1
+),
+qs AS (
+  SELECT doc_id, text,
+         (CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) <= 0.2 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN round(CAST(n_digit AS DOUBLE) / greatest(n_chars, 1), 6) <= 0.2 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(n_tokens, 1), 6) >= 0.3 THEN 0.25 ELSE 0.0 END)
+         AS score
+  FROM qbase
+),
+s2 AS (SELECT doc_id, text FROM qs WHERE score >= 1.0),
+lbase AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 1
+              ELSE greatest(len(string_split_regex(trim(text), '\\s+')), 1) END AS nt,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM s2
+),
+ls AS (
+  SELECT doc_id, text,
+         round(CAST(len(list_filter(toks, x -> list_contains({_DE_STOP}, x))) AS DOUBLE) / nt, 6) AS sde,
+         round(CAST(len(list_filter(toks, x -> list_contains({_EN_STOP}, x))) AS DOUBLE) / nt, 6) AS sen,
+         round(CAST(len(list_filter(toks, x -> list_contains({_ES_STOP}, x))) AS DOUBLE) / nt, 6) AS ses,
+         round(CAST(len(list_filter(toks, x -> list_contains({_FR_STOP}, x))) AS DOUBLE) / nt, 6) AS sfr
+  FROM lbase
+),
+s3 AS (
+  SELECT doc_id, text FROM ls
+  WHERE greatest(sde, sen, ses, sfr) > 0
+    AND NOT (sde >= sen AND sde >= ses AND sde >= sfr)
+    AND (sen >= ses AND sen >= sfr)
+),
+s4 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY {_FP_EXPR} ORDER BY doc_id) AS rn
+    FROM s3
+  ) WHERE rn = 1
+),
+p(id_a, id_b) AS (VALUES {vals}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+s5 AS (
+  SELECT doc_id FROM (
+    SELECT s4.doc_id, c.cluster_id,
+           row_number() OVER (PARTITION BY c.cluster_id ORDER BY s4.doc_id) AS rn
+    FROM s4 LEFT JOIN clusters c ON s4.doc_id = c.doc_id
+  ) WHERE cluster_id IS NULL OR rn = 1
+),
+n0 AS (SELECT count(*) AS c FROM documents),
+n1 AS (SELECT count(*) AS c FROM s1),
+n2 AS (SELECT count(*) AS c FROM s2),
+n3 AS (SELECT count(*) AS c FROM s3),
+n4 AS (SELECT count(*) AS c FROM s4),
+n5 AS (SELECT count(*) AS c FROM s5)
+SELECT 'non_null_text' AS stage, 0 AS stage_idx,
+       n0.c AS n_in, n0.c - n1.c AS n_removed, n1.c AS n_out FROM n0, n1
+UNION ALL SELECT 'quality_gate', 1, n1.c, n1.c - n2.c, n2.c FROM n1, n2
+UNION ALL SELECT 'language_gate', 2, n2.c, n2.c - n3.c, n3.c FROM n2, n3
+UNION ALL SELECT 'exact_dedup', 3, n3.c, n3.c - n4.c, n4.c FROM n3, n4
+UNION ALL SELECT 'near_dup_dedup', 4, n4.c, n4.c - n5.c, n5.c FROM n4, n5
+ORDER BY stage_idx
+"""
+
+
 _HASH_ORACLE_CACHE: dict[str, str] | None = None
 
 
@@ -2040,6 +2154,9 @@ def _hash_oracles() -> dict[str, str]:
                 ["BIGINT", "BIGINT", "DOUBLE"],
             ),
             "dedup_cluster_assignment": _cluster_oracle_sql(
+                o.jaccard_rows_for_candidates(mh, threshold=0.5)
+            ),
+            "corpus_curation_funnel": _funnel_oracle_sql(
                 o.jaccard_rows_for_candidates(mh, threshold=0.5)
             ),
             "simhash_neardups": o.values_sql(

@@ -71,3 +71,52 @@ def test_caption_equality_invariant(spark):
     }
     assert set(int(v[4:]) for v in viol["image_id"]) == bad_ids & clean_idx
     assert (viol["tag"] == "caption_equality").all()
+
+
+def test_curate_corpus_invariants(spark):
+    """curate_corpus: the clean output contains no null/low-quality/
+    off-language texts, no exact duplicates, at most one member per
+    near-dup cluster — and the funnel stats are self-consistent."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.curation import curate_corpus
+    from jsonschema_validator_spark.operators.dedup import (
+        exact_duplicates,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+    from jsonschema_validator_spark.operators.text import language_id, quality_features
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = ngram_jaccard_pairs(
+        df, threshold=0.5, candidates=minhash_lsh_candidates(df, n_hashes=32, bands=8)
+    )
+    clean, stats = curate_corpus(
+        df, min_quality=1.0, keep_langs=("en",), near_dup_pairs=pairs
+    )
+    clean.cache()
+    srows = {r["stage"]: r.asDict() for r in stats.collect()}
+    # funnel chains: n_out of stage k == n_in of stage k+1; totals consistent
+    order = ["non_null_text", "quality_gate", "language_gate", "exact_dedup", "near_dup_dedup"]
+    for a, b in zip(order, order[1:]):
+        assert srows[a]["n_out"] == srows[b]["n_in"]
+        assert srows[a]["n_in"] - srows[a]["n_removed"] == srows[a]["n_out"]
+    assert srows["non_null_text"]["n_in"] == df.count()
+    assert srows["near_dup_dedup"]["n_out"] == clean.count() > 0
+
+    # invariants on the survivors
+    assert clean.filter(F.col("text").isNull()).count() == 0
+    assert exact_duplicates(clean).count() == 0
+    q = quality_features(clean).filter(F.col("quality_score") < 1.0)
+    assert q.count() == 0
+    lang = language_id(clean).filter(F.col("predicted_lang") != "en")
+    assert lang.count() == 0
+    # near-dup pairs fully within the clean set would mean a kept duplicate
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    both_kept = [
+        (r["id_a"], r["id_b"])
+        for r in pairs.collect()
+        if r["id_a"] in kept and r["id_b"] in kept
+    ]
+    assert both_kept == []
+    clean.unpersist()
