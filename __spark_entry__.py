@@ -286,6 +286,48 @@ def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction over documents with deterministically planted
+    PII (email / ipv4 / phone / ssn spliced in by doc_id residue classes so
+    the gate has real positives at every SF). Pure JVM regex Column algebra
+    — a zero-shuffle codegen map stage at any scale. The oracle plants the
+    identical PII with the identical RE2-compatible regexes in DuckDB and
+    compares counts plus the md5 of the fully-redacted text."""
+    from jsonschema_validator_spark.operators.text import pii_scan
+
+    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(" ssn 987-65-4321")).otherwise(F.lit("")),
+    )
+    scanned = pii_scan(df.select("doc_id", aug.alias("text")))
+    return scanned.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        "n_ssn",
+        F.md5(F.col("redacted_text")).alias("redacted_md5"),
+    )
+
+
 def q_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonschema_validator_spark.operators.text import (
         bpe_ish_token_count,
@@ -1224,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "jaccard_neardups": q_jaccard_neardups,
         "fingerprint_documents": q_fingerprint_documents,
+        "pii_scrub_documents": q_pii_scrub_documents,
         "token_counts_documents": q_token_counts_documents,
         "text_quality_documents": q_text_quality_documents,
         "langid_documents": q_langid_documents,
@@ -1466,6 +1509,41 @@ WHERE fp IN (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1)
 """
 
 _FINGERPRINT_SQL = f"SELECT doc_id, {_FP_EXPR} AS fingerprint FROM documents"
+
+# PII patterns duplicated from operators/text.py PII_PATTERNS — RE2-compatible
+# by construction (no backrefs, non-capturing groups only) so Java and DuckDB
+# agree match-for-match. Redaction order = sorted class name, same as pii_scan.
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b"
+_PII_SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+_PII_SCRUB_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' call 555-123-4567' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN ' ssn 987-65-4321' ELSE '' END AS t
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{_PII_IPV4_RE}')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE_RE}')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '{_PII_SSN_RE}')) AS INT) AS n_ssn,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+           '{_PII_EMAIL_RE}', '[PII]', 'g'),
+           '{_PII_IPV4_RE}', '[PII]', 'g'),
+           '{_PII_PHONE_RE}', '[PII]', 'g'),
+           '{_PII_SSN_RE}', '[PII]', 'g')) AS redacted_md5
+FROM aug
+"""
 
 _STREAM_DRIFT_SQL = """
 WITH wh AS (
@@ -2223,6 +2301,7 @@ ORDER BY config
         "dedup_exact_documents": _DEDUP_EXACT_SQL,
         "jaccard_neardups": _JACCARD_SQL,
         "fingerprint_documents": _FINGERPRINT_SQL,
+        "pii_scrub_documents": _PII_SCRUB_SQL,
         "token_counts_documents": _TOKEN_COUNTS_SQL,
         "text_quality_documents": _QUALITY_SQL,
         "langid_documents": _LANGID_SQL,

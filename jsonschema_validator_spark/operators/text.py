@@ -128,6 +128,49 @@ def language_id(
     )
 
 
+# PII scan/redaction patterns — deliberately restricted to syntax shared by
+# Java regex (Spark) and RE2 (DuckDB oracle): no backreferences, only
+# non-capturing inner groups, \b / \d-free digit classes.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+    redact_token: str = "[PII]",
+) -> DataFrame:
+    """Per-document PII detection counts + redacted text.
+
+    All JVM-side regex Column algebra (regexp_extract_all / regexp_replace)
+    — no Python in the path, so at 100 TB this is a pure codegen map stage
+    with zero shuffle. Emits ``n_<class>`` counts per pattern class and a
+    ``redacted_text`` column with every match replaced by ``redact_token``.
+
+    Redaction applies patterns in sorted-name order; the token contains no
+    digits or '@' so earlier redactions cannot create later matches. Null
+    text propagates as null counts/redaction (callers filter).
+    """
+    pats = patterns or PII_PATTERNS
+    t = F.col(text_col)
+    cols = [F.col(id_col)]
+    for name in sorted(pats):
+        cols.append(
+            F.size(F.regexp_extract_all(t, F.lit(f"({pats[name]})"), 1)).alias(f"n_{name}")
+        )
+    red = t
+    for name in sorted(pats):
+        red = F.regexp_replace(red, pats[name], redact_token)
+    cols.append(red.alias("redacted_text"))
+    return df.select(*cols)
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalize: bool = True
 ) -> DataFrame:

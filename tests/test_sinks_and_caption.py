@@ -120,3 +120,30 @@ def test_curate_corpus_invariants(spark):
     ]
     assert both_kept == []
     clean.unpersist()
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    from jsonschema_validator_spark.operators.text import pii_scan
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@example.co.uk or x@y.io today"),
+            (2, "server 192.168.1.250 then call 555-123-4567"),
+            (3, "ssn 987-65-4321 is not a phone"),
+            (4, "clean text with no pii at all"),
+            (5, None),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_phone"], rows[1]["n_ssn"]) == (2, 0, 0, 0)
+    assert rows[1]["redacted_text"] == "mail me at [PII] or [PII] today"
+    assert (rows[2]["n_ipv4"], rows[2]["n_phone"]) == (1, 1)
+    assert rows[2]["redacted_text"] == "server [PII] then call [PII]"
+    # ssn shape (3-2-4) must not match the phone pattern (3-3/4-4) and vice versa
+    assert (rows[3]["n_ssn"], rows[3]["n_phone"]) == (1, 0)
+    assert rows[4]["redacted_text"] == "clean text with no pii at all"
+    assert sum(rows[4][c] for c in ("n_email", "n_ipv4", "n_phone", "n_ssn")) == 0
+    # null text propagates (F.size on null regexp result is -1 by Spark
+    # convention; redaction stays null) — callers filter nulls first
+    assert rows[5]["redacted_text"] is None
