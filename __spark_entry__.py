@@ -328,6 +328,29 @@ def q_pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample (en→50%, zh→100% via the
+    all-keep sentinel, default 75%) followed by a disjoint 80/10/10
+    train/val/test hash-split. Membership is a pure function of
+    (doc_id, salt) — md5-prefix thresholds, no RNG, no shuffle — so the
+    DuckDB oracle evaluates the byte-identical expressions and must agree
+    row-for-row at any SF, partitioning, or cluster size."""
+    from jsonschema_validator_spark.operators.sampling import (
+        hash_split,
+        stratified_sample,
+    )
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = stratified_sample(
+        df,
+        fractions={"en": 0.5, "zh": 1.0},
+        stratum_col="lang",
+        key_col="doc_id",
+        default_fraction=0.75,
+    )
+    return hash_split(kept, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id")
+
+
 def q_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonschema_validator_spark.operators.text import (
         bpe_ish_token_count,
@@ -1267,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_neardups": q_jaccard_neardups,
         "fingerprint_documents": q_fingerprint_documents,
         "pii_scrub_documents": q_pii_scrub_documents,
+        "stratified_split_documents": q_stratified_split_documents,
         "token_counts_documents": q_token_counts_documents,
         "text_quality_documents": q_text_quality_documents,
         "langid_documents": q_langid_documents,
@@ -1509,6 +1533,38 @@ WHERE fp IN (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1)
 """
 
 _FINGERPRINT_SQL = f"SELECT doc_id, {_FP_EXPR} AS fingerprint FROM documents"
+
+def _stratified_split_sql() -> str:
+    """Oracle for stratified_split_documents: the byte-identical md5-prefix
+    threshold expressions, thresholds computed by the SAME hex_threshold
+    used by the Spark operator (single source of truth, no drift)."""
+    from jsonschema_validator_spark.operators.sampling import hex_threshold
+
+    t_en, t_zh, t_def = hex_threshold(0.5), hex_threshold(1.0), hex_threshold(0.75)
+    # cumulative split thresholds over name-ascending labels (test,train,val),
+    # accumulated in the exact float order hash_split uses (ulp-for-ulp)
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    cum = weights["test"] / total
+    t_test = hex_threshold(cum)
+    cum += weights["train"] / total
+    t_train = hex_threshold(cum)
+    return f"""
+WITH kept AS (
+  SELECT doc_id, lang FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 8) <
+        CASE lang WHEN 'en' THEN '{t_en}' WHEN 'zh' THEN '{t_zh}'
+                  ELSE '{t_def}' END
+)
+SELECT doc_id, lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)
+                 < '{t_test}' THEN 'test'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)
+                 < '{t_train}' THEN 'train'
+            ELSE 'val' END AS split
+FROM kept
+"""
+
 
 # PII patterns duplicated from operators/text.py PII_PATTERNS — RE2-compatible
 # by construction (no backrefs, non-capturing groups only) so Java and DuckDB
@@ -2302,6 +2358,7 @@ ORDER BY config
         "jaccard_neardups": _JACCARD_SQL,
         "fingerprint_documents": _FINGERPRINT_SQL,
         "pii_scrub_documents": _PII_SCRUB_SQL,
+        "stratified_split_documents": _stratified_split_sql(),
         "token_counts_documents": _TOKEN_COUNTS_SQL,
         "text_quality_documents": _QUALITY_SQL,
         "langid_documents": _LANGID_SQL,

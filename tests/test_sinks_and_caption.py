@@ -147,3 +147,41 @@ def test_pii_scan_counts_and_redaction(spark):
     # null text propagates (F.size on null regexp result is -1 by Spark
     # convention; redaction stays null) — callers filter nulls first
     assert rows[5]["redacted_text"] is None
+
+
+def test_deterministic_sampling_and_split(spark):
+    from jsonschema_validator_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+        hex_threshold,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(300)], "doc_id int, lang string"
+    )
+    # determinism: identical membership across independent evaluations
+    s1 = {r["doc_id"] for r in deterministic_sample(df, 0.5, "doc_id").collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(df, 0.5, "doc_id").collect()}
+    assert s1 == s2 and 0 < len(s1) < 300
+    # fraction monotonicity: a smaller fraction is a subset of a larger one
+    s_small = {r["doc_id"] for r in deterministic_sample(df, 0.2, "doc_id").collect()}
+    assert s_small <= s1
+    assert deterministic_sample(df, 0.0, "doc_id").count() == 0
+    assert deterministic_sample(df, 1.0, "doc_id").count() == 300  # sentinel keeps all
+    # stratified: de kept fully, en halved-ish, unlisted default 0
+    strat = stratified_sample(
+        df, {"de": 1.0, "en": 0.5}, stratum_col="lang", key_col="doc_id"
+    ).collect()
+    assert sum(1 for r in strat if r["lang"] == "de") == 100
+    n_en = sum(1 for r in strat if r["lang"] == "en")
+    assert 0 < n_en < 200
+    # split: disjoint, exhaustive, deterministic, independent of sample salt
+    sp = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id")
+    rows = sp.collect()
+    assert len(rows) == 300 and {r["split"] for r in rows} == {"train", "val", "test"}
+    again = {r["doc_id"]: r["split"] for r in sp.collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in rows)
+    assert sum(1 for r in rows if r["split"] == "train") > 200
+    # threshold edge behavior
+    assert hex_threshold(0.0) == "00000000" and hex_threshold(1.0) == "g"
