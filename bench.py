@@ -336,7 +336,18 @@ def main() -> int:
                 "spread": lspread,
             }
 
-    out = {
+    ref_skew = None
+    if not args.images_only:
+        ref_skew = bench_ref_skew(spark, runs=args.runs)
+
+    # Two outputs (round-3 lesson: the driver captures only the last ~2000
+    # chars of stdout and parses the LAST line as JSON — one fat line with
+    # ~55 per-query spread dicts truncated past that window and the north
+    # metric became machine-unreadable, BENCH_r03.json `"parsed": null`):
+    #   1. BENCH_DETAIL.json + stderr: the full per-query median/spread map.
+    #   2. stdout last line: a compact headline JSON (≪2000 chars) carrying
+    #      the north metric and the scale evidence.
+    detail = {
         "metric": "validated_rows_per_sec_images_all_constraints",
         "value": rows_per_sec,
         "unit": "rows/sec",
@@ -348,10 +359,39 @@ def main() -> int:
         "flagship_rows": IMAGES_BENCH_N,
     }
     if large is not None:
-        out["large_scale"] = large
+        detail["large_scale"] = large
+    if ref_skew is not None:
+        detail["ref_skew"] = ref_skew
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
     if not args.images_only:
-        out["ref_skew"] = bench_ref_skew(spark, runs=args.runs)
-    print(json.dumps(out))
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+        print(json.dumps(detail), file=sys.stderr)
+
+    headline = {
+        "metric": "validated_rows_per_sec_images_all_constraints",
+        "value": rows_per_sec,
+        "unit": "rows/sec",
+        "queries": {"images_validate_all_constraints": flagship},
+        "n_queries": len(timings),
+        "queries_detail": "BENCH_DETAIL.json",
+        "sf": sf,
+        "cpus": args.cpus,
+        "total_sec": round(sum(timings.values()), 3),
+        "flagship_rows": IMAGES_BENCH_N,
+    }
+    if large is not None:
+        headline["large_scale"] = {
+            "rows": large["rows"],
+            "sec": large["sec"],
+            "rows_per_sec": large["rows_per_sec"],
+        }
+    if ref_skew is not None:
+        headline["ref_skew"] = ref_skew
+    line = json.dumps(headline)
+    assert len(line) < 1500, f"headline line too long ({len(line)} chars)"
+    print(line)
     spark.stop()
     return 0
 
