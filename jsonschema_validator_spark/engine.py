@@ -68,10 +68,17 @@ class Validator:
         mode: Union[str, ValidationMode] = "strict",
         stop_on_first_error: bool = False,
         enable_caching: bool = False,
+        non_fatal_verdicts: bool = False,
     ):
         self.spec = spec if isinstance(spec, Spec) else Spec(spec, mode=mode)
         self.stop_on_first_error = stop_on_first_error
         self.enable_caching = enable_caching
+        # engine-native (NOT reference parity): report n_failed but keep
+        # pass=true — audit/monitoring pipelines that must never gate. The
+        # reference's ModeWarn does NOT do this (it's never branched on:
+        # validator.go:507/806 check only ModeStrict), so this is a separate
+        # option rather than a mode semantics.
+        self.non_fatal_verdicts = non_fatal_verdicts
         self._compile_cache: dict[str, CompiledSpec] = {}
         self._custom_validate_func: Optional[Callable[[Column, str], Column]] = None
         self._custom_type_func: Optional[Callable[[Column], Column]] = None
@@ -139,7 +146,12 @@ class Validator:
         compiled = self.compile(df)
         if self._custom_validate_func is not None:
             compiled = self._with_custom_checks(compiled, df)
-        return ValidationResult(df, compiled, stop_on_first_error=self.stop_on_first_error)
+        return ValidationResult(
+            df,
+            compiled,
+            stop_on_first_error=self.stop_on_first_error,
+            non_fatal_verdicts=self.non_fatal_verdicts,
+        )
 
     def _with_custom_checks(self, compiled: CompiledSpec, df: DataFrame) -> CompiledSpec:
         """Prepend a per-column custom check and guard every later check so a
@@ -182,10 +194,17 @@ class ValidationResult:
     """Lazy handle over the validated DataFrame (nothing executes until an
     action — the three views share the one compiled plan)."""
 
-    def __init__(self, df: DataFrame, compiled: CompiledSpec, stop_on_first_error: bool = False):
+    def __init__(
+        self,
+        df: DataFrame,
+        compiled: CompiledSpec,
+        stop_on_first_error: bool = False,
+        non_fatal_verdicts: bool = False,
+    ):
         self.df = df
         self.compiled = compiled
         self.stop_on_first_error = stop_on_first_error
+        self.non_fatal_verdicts = non_fatal_verdicts
 
     # ---- row-level views -------------------------------------------------
 
@@ -314,14 +333,18 @@ class ValidationResult:
         exploded = agged.select(
             *base_cols, F.col("_n"), F.explode(F.array(*entries)).alias("_v")
         )
-        warn = self.compiled.spec.mode == ValidationMode.WARN
+        # warn mode does NOT soften verdicts: the reference never branches on
+        # ModeWarn (only ModeStrict — validator.go:507/806, schema.go:278/286)
+        # so warn ≡ loose. Non-fatal verdicts are the separate engine-native
+        # non_fatal_verdicts option.
+        non_fatal = self.non_fatal_verdicts
         out = exploded.select(
             *base_cols,
             F.col("_v.rule_id").alias("rule_id"),
             F.col("_v.tag").alias("tag"),
             F.col("_n").alias("n_checked"),
             F.col("_v.n_failed").alias("n_failed"),
-            (F.lit(True) if warn else (F.col("_v.n_failed") == 0)).alias("pass"),
+            (F.lit(True) if non_fatal else (F.col("_v.n_failed") == 0)).alias("pass"),
         )
         if use_spark_partition_id:
             out = out.withColumnRenamed("_pid", "partition_id")

@@ -37,9 +37,14 @@ from jsonschema_validator_spark.rules import base as rules_base
 
 
 class ValidationMode(str, Enum):
-    """schema/schema.go:10-16. ModeWarn is declared but has no behavioral
-    branch in the reference (SURVEY.md §1.3); here it compiles like strict
-    but verdicts are marked non-fatal."""
+    """schema/schema.go:10-16. ModeWarn is declared but has NO behavioral
+    branch in the reference — every mode check is ``== ModeStrict``
+    (validator.go:507, 806; schema.go:278, 286), so warn behaves exactly
+    like loose: unknown keywords are skipped and violations still fail.
+    Reproduced faithfully here (round-4 parity fix); "violations don't
+    flip pass" is a separate engine-native option,
+    ``Validator(non_fatal_verdicts=True)`` — a real feature the reference
+    lacks, deliberately NOT tied to warn."""
 
     STRICT = "strict"
     LOOSE = "loose"

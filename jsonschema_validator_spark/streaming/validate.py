@@ -34,8 +34,17 @@ class StreamingValidator:
     """Compile once, apply to micro-batches forever (the spec compiles
     against the stream's static schema — per-batch cost is zero)."""
 
-    def __init__(self, spec: Union[Spec, dict, str], stop_on_first_error: bool = False):
-        self._v = Validator(spec, stop_on_first_error=stop_on_first_error)
+    def __init__(
+        self,
+        spec: Union[Spec, dict, str],
+        stop_on_first_error: bool = False,
+        non_fatal_verdicts: bool = False,
+    ):
+        self._v = Validator(
+            spec,
+            stop_on_first_error=stop_on_first_error,
+            non_fatal_verdicts=non_fatal_verdicts,
+        )
 
     def _result(self, stream: DataFrame) -> ValidationResult:
         return self._v.validate(stream)
@@ -68,11 +77,10 @@ class StreamingValidator:
         """
         res = self._result(stream)
         checks = res.compiled.checks
-        # warn mode never enforces (parity with batch verdicts and the
-        # reference's unimplemented ModeWarn, engine.py verdicts override)
-        from jsonschema_validator_spark.spec import ValidationMode
-
-        warn = res.compiled.spec.mode == ValidationMode.WARN
+        # warn mode ≡ loose (reference never branches on ModeWarn —
+        # validator.go:507/806); only the engine-native non_fatal_verdicts
+        # option softens the pass flag (parity with batch verdicts)
+        non_fatal = res.non_fatal_verdicts
         wm = stream.withWatermark(ts_col, watermark)
         aggs = [F.count(F.lit(1)).alias("_n")]
         for i, c in enumerate(checks):
@@ -95,7 +103,7 @@ class StreamingValidator:
             F.col("_v.tag").alias("tag"),
             F.col("_n").alias("n_checked"),
             F.col("_v.n_failed").alias("n_failed"),
-            (F.lit(True) if warn else (F.col("_v.n_failed") == 0)).alias("pass"),
+            (F.lit(True) if non_fatal else (F.col("_v.n_failed") == 0)).alias("pass"),
         )
 
 

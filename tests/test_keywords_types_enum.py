@@ -84,13 +84,35 @@ def test_enum_non_string_list_is_compile_error():
         )
 
 
-def test_warn_mode_verdicts_never_fail(spark):
-    """ModeWarn is declared but unimplemented in the reference (schema.go:15);
-    here it compiles like strict but verdicts report pass=True."""
+def test_warn_mode_equals_loose(spark):
+    """ModeWarn is declared but NEVER branched on in the reference — every
+    mode check is ``== ModeStrict`` (validator.go:507, 806; schema.go:278,
+    286) — so warn behaves exactly like loose: unknown keywords are skipped
+    AND violations still fail verdicts (round-4 parity fix; warn no longer
+    flips pass=true)."""
     from jsonschema_validator_spark import Validator
 
     df = spark.createDataFrame([("z",)], schema="v string")
-    res = Validator({"properties": {"v": {"enum": ["a"]}}}, mode="warn").validate(df)
+    spec = {"properties": {"v": {"enum": ["a"], "frobnicate": 1}}}
+    warn_rows = Validator(Spec(spec, mode="warn")).validate(df).verdicts().collect()
+    loose_rows = Validator(Spec(spec, mode="loose")).validate(df).verdicts().collect()
+    key = lambda r: (r["rule_id"], r["tag"], r["n_checked"], r["n_failed"], r["pass"])
+    assert sorted(map(key, warn_rows)) == sorted(map(key, loose_rows))
+    # the unknown keyword was skipped (no 'frobnicate' rule), violations fail
+    assert all(r["tag"] != "frobnicate" for r in warn_rows)
+    assert any(r["n_failed"] > 0 and not r["pass"] for r in warn_rows)
+
+
+def test_non_fatal_verdicts_option(spark):
+    """The old warn-mode behavior (count failures but never flip pass) is an
+    engine-native feature behind ``non_fatal_verdicts=True`` — deliberately
+    NOT tied to a reference mode the reference never implemented."""
+    from jsonschema_validator_spark import Validator
+
+    df = spark.createDataFrame([("z",)], schema="v string")
+    res = Validator(
+        {"properties": {"v": {"enum": ["a"]}}}, non_fatal_verdicts=True
+    ).validate(df)
     rows = res.verdicts().collect()
     assert all(r["pass"] for r in rows)
     assert any(r["n_failed"] > 0 for r in rows)  # failures still counted

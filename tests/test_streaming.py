@@ -122,9 +122,10 @@ def test_streaming_windowed_verdicts(spark, tmp_path):
     assert per[(60, "required")]["pass"]
 
 
-def test_streaming_windowed_verdicts_warn_mode_never_fails(spark, tmp_path):
-    """Warn-mode pass semantics must match batch verdicts (engine.py):
-    pass is always true even when n_failed > 0."""
+def test_streaming_windowed_verdicts_non_fatal_option(spark, tmp_path):
+    """non_fatal_verdicts semantics must match batch verdicts (engine.py):
+    pass is always true even when n_failed > 0. (Round 4: this moved off
+    warn mode — warn ≡ loose in the reference, validator.go:507/806.)"""
     from pyspark.sql.types import (
         DoubleType, LongType, StringType, StructField, StructType, TimestampType,
     )
@@ -145,7 +146,7 @@ def test_streaming_windowed_verdicts_warn_mode_never_fails(spark, tmp_path):
     spark.createDataFrame(rows, schema).coalesce(1).write.json(src_dir)
     stream = spark.readStream.schema(schema).json(src_dir)
 
-    v = StreamingValidator(Spec(SPEC, mode="warn")).windowed_verdicts(
+    v = StreamingValidator(Spec(SPEC), non_fatal_verdicts=True).windowed_verdicts(
         stream, ts_col="ts", window="1 minute", watermark="2 minutes"
     )
     q = (
