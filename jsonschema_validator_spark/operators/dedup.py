@@ -281,6 +281,22 @@ def hamming_near_duplicates(
     slice values on both sides, and ``bit_count(xor)`` counts the two's
     complement bit pattern, which IS the 64-bit hamming distance.
     Output: ``id_a, id_b, hamming`` with id_a < id_b."""
+    # pigeonhole precondition, enforced (round-4: was docstring-only — a
+    # caller passing max_hamming == n_slices silently LOST recall): with
+    # n_slices slices, a pair differing in max_hamming bits can only be
+    # guaranteed to share an identical slice if max_hamming < n_slices,
+    # and the slicing only covers all 64 bits when n_slices divides 64.
+    if n_slices <= 0 or 64 % n_slices != 0:
+        raise ValueError(
+            f"n_slices={n_slices} must be a positive divisor of 64 "
+            "(the bit-slices must tile the 64-bit signature exactly)"
+        )
+    if max_hamming >= n_slices:
+        raise ValueError(
+            f"max_hamming={max_hamming} must be < n_slices={n_slices}: the "
+            "pigeonhole guarantee (some slice identical) needs more slices "
+            "than differing bits — raise n_slices or lower max_hamming"
+        )
     sigs = df.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
     width = 64 // n_slices
     mask = (1 << width) - 1
@@ -334,6 +350,7 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 10,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Connected components over near-dup PAIR edges → cluster assignment:
     ``doc_id, cluster_id, is_representative`` (cluster_id = min doc id in
@@ -341,17 +358,30 @@ def duplicate_clusters(
 
     The step every dedup pipeline needs after pair generation: pairs only
     say "a~b"; deletion needs transitive groups (a~b, b~c ⇒ {a,b,c} keep
-    one). Implemented as min-label propagation — per iteration one
-    edge-join + min-aggregate (two shuffles), labels cached and checked
-    for convergence driver-side; iterations needed = graph diameter,
-    which for near-dup clusters (quasi-cliques) is 2-3. At extreme scale
-    with long chains, swap in large-star/small-star (same interface);
-    the per-iteration shape here is already the balanced equi-join form.
+    one). Implemented as min-label propagation WITH pointer doubling: each
+    iteration (1) propagates labels across edges (equi-join + min-agg) and
+    (2) shortcuts each label to its label's label (join on the label graph
+    itself). The shortcut gives the same O(log diameter) round complexity
+    as large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") while keeping the balanced equi-join + min-agg
+    per-round shape — the default max_iters=10 therefore covers components
+    of diameter ~2^10, not 10 (near-dup clusters are quasi-cliques of
+    diameter 2-3; adversarial CHAINS are what the doubling is for).
+
+    Non-convergence is never silent (round-4 fix: the loop previously just
+    exited, returning a wrong clustering with no signal): if the loop
+    exhausts ``max_iters`` with labels still changing, ``on_nonconverged=
+    "raise"`` (default) raises RuntimeError; ``"flag"`` returns the partial
+    labels with a ``converged`` boolean column (false everywhere) so a
+    pipeline can quarantine instead of abort.
+
     Deterministic: min-id labels are independent of join/iteration order
     once converged. Only documents that appear in a pair are emitted —
     unpaired documents are implicitly their own singleton representative
     (left-anti join this output against the corpus to list them).
     """
+    if on_nonconverged not in ("raise", "flag"):
+        raise ValueError("on_nonconverged must be 'raise' or 'flag'")
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -362,21 +392,41 @@ def duplicate_clusters(
         .dropDuplicates()
         .withColumn("lbl", F.col("id"))
     )
+    converged = False
     for _ in range(max_iters):
         prop = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("lbl").alias("_nlbl"))
         )
+        stepped = labels.join(prop, "id", "left").select(
+            "id",
+            F.least(F.col("lbl"), F.coalesce("_nlbl", F.col("lbl"))).alias("lbl"),
+        )
+        # pointer doubling: lbl ← lbl(lbl). Every label is itself a node id
+        # (the min of ids seen so far), so the lookup is a self-join on the
+        # label table — path lengths halve each round. The self-join would
+        # SQUARE the logical plan per iteration (cache truncates execution,
+        # not analysis — plan growth OOMs the driver by ~iteration 6), so
+        # each round materializes via localCheckpoint, which truncates
+        # lineage; on a real cluster point spark.checkpoint.dir at durable
+        # storage and use checkpoint() for executor-loss tolerance.
         new = (
-            labels.join(prop, "id", "left")
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("id").alias("_lid"), F.col("lbl").alias("_llbl")
+                ).alias("y"),
+                F.col("x.lbl") == F.col("_lid"),
+                "left",
+            )
             .select(
-                "id",
+                F.col("x.id").alias("id"),
                 F.least(
-                    F.col("lbl"), F.coalesce("_nlbl", F.col("lbl"))
+                    F.col("x.lbl"), F.coalesce("_llbl", F.col("x.lbl"))
                 ).alias("lbl"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new.withColumnRenamed("lbl", "_new")
@@ -384,13 +434,23 @@ def duplicate_clusters(
             .filter(F.col("_new") != F.col("lbl"))
             .count()
         )
-        labels.unpersist()
         labels = new
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
-    return labels.select(
+    if not converged and on_nonconverged == "raise":
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within max_iters={max_iters} "
+            "(labels still changing — component diameter exceeds 2^max_iters "
+            "or the edge set is pathological); raise max_iters or pass "
+            "on_nonconverged='flag' to get partial labels with converged=false"
+        )
+    out = labels.select(
         F.col("id").alias("doc_id"),
         F.col("lbl").alias("cluster_id"),
         (F.col("id") == F.col("lbl")).alias("is_representative"),
     )
+    if on_nonconverged == "flag":
+        out = out.withColumn("converged", F.lit(converged))
+    return out

@@ -251,3 +251,72 @@ def test_duplicate_clusters_transitive_components(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(chain).collect()}
     assert got == {i: 1 for i in range(1, 7)}
+
+
+def test_duplicate_clusters_long_chain_and_nonconvergence(spark):
+    """Round-4 convergence contract: (a) pointer doubling makes a
+    diameter-15 path graph converge well inside the default max_iters=10
+    (label propagation alone would need 15 hops); (b) exhausting max_iters
+    with labels still moving NEVER returns silently — raise by default,
+    or converged=false rows under on_nonconverged='flag'."""
+    import pytest
+
+    from jsonschema_validator_spark.operators.dedup import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i + 1, i) for i in range(1, 16)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(chain).collect()}
+    assert got == {i: 1 for i in range(1, 17)}
+
+    # max_iters=1 cannot finish a 16-node path: must raise, not mislabel
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(chain, max_iters=1)
+
+    # flag mode: partial labels come back marked unconverged
+    flagged = duplicate_clusters(chain, max_iters=1, on_nonconverged="flag")
+    rows = flagged.collect()
+    assert rows and all(r["converged"] is False for r in rows)
+
+    with pytest.raises(ValueError, match="on_nonconverged"):
+        duplicate_clusters(chain, on_nonconverged="explode")
+
+
+def test_hamming_pigeonhole_preconditions(spark):
+    """The pigeonhole guarantee (some slice identical) requires
+    max_hamming < n_slices and n_slices | 64 — violating either silently
+    LOSES recall, so both now raise (round-4 guard)."""
+    import pytest
+
+    from jsonschema_validator_spark.operators.dedup import hamming_near_duplicates
+
+    df = spark.createDataFrame([(1, 5), (2, 7)], "id long, sig long")
+    with pytest.raises(ValueError, match="max_hamming"):
+        hamming_near_duplicates(df, "sig", "id", max_hamming=4, n_slices=4)
+    with pytest.raises(ValueError, match="divisor of 64"):
+        hamming_near_duplicates(df, "sig", "id", max_hamming=2, n_slices=7)
+    # valid configs still work
+    out = hamming_near_duplicates(df, "sig", "id", max_hamming=3, n_slices=4)
+    got = out.collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 1)]
+
+
+def test_brute_force_topk_query_side_guard(spark):
+    """brute_force_topk broadcasts the query side and scores O(q×corpus)
+    pairs — a corpus-sized query side must raise unless explicitly opted
+    in (round-4 guard, mirroring ngram_jaccard_pairs' all_pairs)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.similarity import brute_force_topk
+
+    df = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(7), F.rand(8)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="query side"):
+        brute_force_topk(df, df, k=2, max_queries=10)
+    # explicit opt-in (bound raised / disabled) still works
+    assert brute_force_topk(df, df.limit(3), k=2).count() == 6
+    assert brute_force_topk(df, df, k=1, max_queries=None).count() == 50
