@@ -50,6 +50,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     query_vec_col: str | None = None,
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -58,11 +59,32 @@ def brute_force_topk(
     shuffles; ranking shuffles only (n_queries × n_corpus) scored pairs
     reduced by the per-query top-k window.
 
+    The plan is O(n_queries × n_corpus) BY DESIGN (it is the exact
+    baseline; the scale path is :func:`ann_topk` / :func:`ivf_topk`), so
+    the query side must be small enough to broadcast. ``max_queries``
+    enforces that with a driver-side count before the crossJoin — a
+    copy-pasted ``brute_force_topk(corpus, corpus)`` raises instead of
+    silently launching an all-pairs job over a huge broadcast (round-4
+    guard, mirroring ``ngram_jaccard_pairs``'s ``all_pairs`` opt-in).
+    Pass ``max_queries=None`` to explicitly opt in to an unbounded query
+    side.
+
     cos_sim is rounded to 1e-6 before ranking so rank order is stable across
     engines/float summation orders; ties break on neighbor_id ascending.
     """
     query_id_col = query_id_col or id_col
     query_vec_col = query_vec_col or vec_col
+    if max_queries is not None:
+        # limit(max+1).count() touches at most max+1 rows — O(1) at scale,
+        # never a full scan of the query side
+        n_q = queries.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"brute_force_topk query side has > {max_queries} rows: the "
+                "exact path broadcasts the queries and scores O(q×corpus) "
+                "pairs. Use ann_topk/ivf_topk for large query sets, or pass "
+                "max_queries=None (or a higher bound) to opt in explicitly."
+            )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.transform(F.col(query_vec_col), lambda x: x.cast("double")).alias("_qv"),
