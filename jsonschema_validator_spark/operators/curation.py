@@ -20,11 +20,16 @@ already-shrunk survivor set):
 Outputs both the clean corpus and a per-stage funnel stats table
 (``stage, stage_idx, n_in, n_removed, n_out``) — the audit trail.
 
-Scale notes: stages 1-3 are one scan of whole-stage-codegen predicates;
-stage 4 is one hash shuffle; stage 5 joins against the (tiny) cluster
-assignment produced from the LSH candidate pipeline — no all-pairs join
-anywhere. Stats are six 1-row aggregates assembled with 1×1 crossJoins
-(the verdict-assembly pattern), not driver-side collects.
+Scale notes (round-4 rewrite — the funnel is now genuinely scan-once):
+every stage is a FLAG column on one annotated projection — the quality and
+language gates are inline struct expressions (text.quality_struct /
+langid_struct, whole-stage codegen), exact dedup is one window over
+(survivor-flag, fingerprint), near-dup is a left join against the (tiny)
+cluster assignment plus one window. The clean corpus is a filter on the
+final flag; the stats table is ONE aggregate over the same annotated frame
+(sum of each flag) unpivoted via explode — previously each of the ten
+1-row counts re-ran the full stage lineage (~10 corpus re-scans).
+No all-pairs join anywhere; no driver-side collects.
 """
 
 from __future__ import annotations
@@ -35,7 +40,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jsonschema_validator_spark.operators.dedup import _norm, duplicate_clusters
-from jsonschema_validator_spark.operators.text import language_id, quality_features
+from jsonschema_validator_spark.operators.text import langid_struct, quality_struct
 
 
 def curate_corpus(
@@ -54,70 +59,74 @@ def curate_corpus(
     """
     base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
-    s1 = base.filter(F.col("text").isNotNull())
-    q = quality_features(s1, "text", "doc_id").select("doc_id", "quality_score")
-    s2 = s1.join(q.filter(F.col("quality_score") >= min_quality), "doc_id").select(
-        "doc_id", "text"
+    # stage flags 1-3: pure per-row Column algebra in ONE projection
+    t = F.col("text")
+    p1 = t.isNotNull()
+    p2 = p1 & F.coalesce(
+        quality_struct(t)["quality_score"] >= min_quality, F.lit(False)
     )
-    lang = language_id(s2, "text", "doc_id").select("doc_id", "predicted_lang")
-    s3 = s2.join(
-        lang.filter(F.col("predicted_lang").isin(*keep_langs)), "doc_id"
-    ).select("doc_id", "text")
-    fp = F.substring(F.md5(_norm(F.col("text"))), 1, 16)
-    s4 = (
-        s3.withColumn("_fp", fp)
-        .withColumn(
-            "_rn",
-            F.row_number().over(Window.partitionBy("_fp").orderBy("doc_id")),
-        )
-        .filter("_rn = 1")
-        .select("doc_id", "text")
+    p3 = p2 & F.coalesce(
+        langid_struct(t)["predicted_lang"].isin(*keep_langs), F.lit(False)
     )
+    ann = base.select(
+        "doc_id",
+        "text",
+        p1.alias("_p1"),
+        p2.alias("_p2"),
+        p3.alias("_p3"),
+        F.substring(F.md5(_norm(t)), 1, 16).alias("_fp"),
+    )
+    # stage 4 — exact dedup among stage-3 survivors: min-id doc per
+    # fingerprint. Partitioning the window by (_p3, _fp) ranks survivors
+    # within their fingerprint group only (non-survivors land in separate
+    # _p3=false partitions and are masked by the _p3 conjunct).
+    rn4 = F.row_number().over(Window.partitionBy("_p3", "_fp").orderBy("doc_id"))
+    ann = ann.withColumn("_p4", F.col("_p3") & (rn4 == 1))
+    # stage 5 — near-dup dedup: clusters computed on the FULL corpus pair
+    # set (stable under gate reordering), applied among stage-4 survivors:
+    # keep the min-id survivor per cluster; unclustered docs pass through.
     if near_dup_pairs is not None:
         clusters = duplicate_clusters(near_dup_pairs).select("doc_id", "cluster_id")
-        s5 = (
-            s4.join(clusters, "doc_id", "left")
-            .withColumn(
-                "_keep",
-                F.col("cluster_id").isNull()
-                | (
-                    F.row_number().over(
-                        Window.partitionBy("cluster_id").orderBy("doc_id")
-                    )
-                    == 1
-                ),
-            )
-            .filter("_keep")
-            .select("doc_id", "text")
+        ann = ann.join(clusters, "doc_id", "left")
+        rn5 = F.row_number().over(
+            Window.partitionBy("_p4", "cluster_id").orderBy("doc_id")
+        )
+        ann = ann.withColumn(
+            "_p5", F.col("_p4") & (F.col("cluster_id").isNull() | (rn5 == 1))
         )
     else:
-        s5 = s4
+        ann = ann.withColumn("_p5", F.col("_p4"))
 
-    # funnel stats: six 1-row counts, assembled without collect
-    stages = [
-        ("non_null_text", base, s1),
-        ("quality_gate", s1, s2),
-        ("language_gate", s2, s3),
-        ("exact_dedup", s3, s4),
-        ("near_dup_dedup", s4, s5),
+    clean = ann.filter("_p5").select("doc_id", "text")
+
+    # funnel stats: ONE aggregate over the annotated frame, unpivoted via
+    # explode (no per-stage lineage re-runs, no crossJoins)
+    agg = ann.agg(
+        F.count(F.lit(1)).alias("_n0"),
+        *[
+            F.coalesce(F.sum(F.col(f"_p{k}").cast("long")), F.lit(0)).alias(f"_n{k}")
+            for k in range(1, 6)
+        ],
+    )
+    names = [
+        "non_null_text",
+        "quality_gate",
+        "language_gate",
+        "exact_dedup",
+        "near_dup_dedup",
     ]
-    counts = None
-    for k, (_, before, after) in enumerate(stages):
-        c = before.agg(F.count(F.lit(1)).alias(f"_in{k}")).crossJoin(
-            after.agg(F.count(F.lit(1)).alias(f"_out{k}"))
-        )
-        counts = c if counts is None else counts.crossJoin(c)
-    rows = None
-    for k, (name, _, _) in enumerate(stages):
-        r = counts.select(
+    entries = [
+        F.struct(
             F.lit(name).alias("stage"),
             F.lit(k).alias("stage_idx"),
-            F.col(f"_in{k}").alias("n_in"),
-            (F.col(f"_in{k}") - F.col(f"_out{k}")).alias("n_removed"),
-            F.col(f"_out{k}").alias("n_out"),
+            F.col(f"_n{k}").alias("n_in"),
+            (F.col(f"_n{k}") - F.col(f"_n{k + 1}")).alias("n_removed"),
+            F.col(f"_n{k + 1}").alias("n_out"),
         )
-        rows = r if rows is None else rows.unionAll(r)
-    return s5, rows
+        for k, name in enumerate(names)
+    ]
+    stats = agg.select(F.explode(F.array(*entries)).alias("_s")).select("_s.*")
+    return clean, stats
 
 
 __all__ = ["curate_corpus"]

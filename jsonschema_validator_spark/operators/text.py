@@ -48,16 +48,10 @@ def stopword_hits(text: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*wl)))
 
 
-def quality_features(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Per-document quality features + a composite [0,1] score.
-
-    Signals (all cheap Column algebra): length, token count, mean token
-    length, punctuation ratio, digit ratio, uppercase ratio, stopword ratio,
-    distinct-token ratio (repetition detector).
-    """
-    t = F.col(text_col)
+def quality_struct(t: Column) -> Column:
+    """All quality features + composite score as ONE struct expression —
+    usable inline in a wider projection (the curation funnel composes this
+    with the language gate so the whole funnel is a single scan)."""
     n_chars = F.length(t)
     toks = F.split(F.lower(F.trim(t)), _WS)
     n_tokens = whitespace_token_count(t)
@@ -69,27 +63,75 @@ def quality_features(
 
     safe_tokens = F.greatest(n_tokens, F.lit(1))
     safe_chars = F.greatest(n_chars, F.lit(1))
-    feats = df.select(
-        F.col(id_col),
+    mean_token_len = F.round(n_chars / safe_tokens, 6)
+    punct_ratio = F.round(n_punct / safe_chars, 6)
+    digit_ratio = F.round(n_digit / safe_chars, 6)
+    upper_ratio = F.round(n_upper / safe_chars, 6)
+    stopword_ratio = F.round(en_hits / safe_tokens, 6)
+    distinct_token_ratio = F.round(n_distinct_tokens / safe_tokens, 6)
+    # composite score: in-range length + low punct/digit noise + lexical
+    # diversity. Thresholds apply to the ROUNDED ratios (oracle parity).
+    score = (
+        F.when((n_chars >= 50) & (n_chars <= 20000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(digit_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(distinct_token_ratio >= 0.3, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return F.struct(
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        F.round(n_chars / safe_tokens, 6).alias("mean_token_len"),
-        F.round(n_punct / safe_chars, 6).alias("punct_ratio"),
-        F.round(n_digit / safe_chars, 6).alias("digit_ratio"),
-        F.round(n_upper / safe_chars, 6).alias("upper_ratio"),
-        F.round(en_hits / safe_tokens, 6).alias("stopword_ratio"),
-        F.round(n_distinct_tokens / safe_tokens, 6).alias("distinct_token_ratio"),
+        mean_token_len.alias("mean_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        upper_ratio.alias("upper_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        distinct_token_ratio.alias("distinct_token_ratio"),
+        F.round(score, 6).alias("quality_score"),
     )
-    # composite score: in-range length + low punct/digit noise + lexical diversity
-    score = (
-        F.when((F.col("n_chars") >= 50) & (F.col("n_chars") <= 20000), F.lit(0.25)).otherwise(
-            F.lit(0.0)
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality features + a composite [0,1] score.
+
+    Signals (all cheap Column algebra): length, token count, mean token
+    length, punctuation ratio, digit ratio, uppercase ratio, stopword ratio,
+    distinct-token ratio (repetition detector).
+    """
+    qs = quality_struct(F.col(text_col))
+    return df.select(F.col(id_col), qs.alias("_q")).select(id_col, "_q.*")
+
+
+def langid_struct(t: Column) -> Column:
+    """Per-language scores + predicted language as ONE struct expression
+    (inline-composable twin of :func:`quality_struct`)."""
+    n_tokens = F.greatest(whitespace_token_count(t), F.lit(1))
+    langs = sorted(LANG_LEXICON)
+    scores = {
+        lang: F.round(stopword_hits(t, LANG_LEXICON[lang]) / n_tokens, 6)
+        for lang in langs
+    }
+    # argmax with name-ascending tie-break: array of structs — array_max on
+    # struct comparison is lexicographic, so pack score first.
+    pairs = F.array(
+        *[
+            F.struct(
+                scores[lang].alias("s"),
+                F.lit(-i).alias("ord"),  # earlier name wins ties
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(pairs)
+    fields = [scores[lang].alias(f"score_{lang}") for lang in langs]
+    fields.append(
+        F.when(best["s"] <= 0, F.lit("und")).otherwise(best["lang"]).alias(
+            "predicted_lang"
         )
-        + F.when(F.col("punct_ratio") <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(F.col("digit_ratio") <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(F.col("distinct_token_ratio") >= 0.3, F.lit(0.25)).otherwise(F.lit(0.0))
     )
-    return feats.withColumn("quality_score", F.round(score, 6))
+    return F.struct(*fields)
 
 
 def language_id(
@@ -101,31 +143,8 @@ def language_id(
     argmax with deterministic ties (language name ascending), 'und' when no
     lexicon word matches at all.
     """
-    t = F.col(text_col)
-    n_tokens = F.greatest(whitespace_token_count(t), F.lit(1))
-    cols = [F.col(id_col)]
-    for lang in sorted(LANG_LEXICON):
-        cols.append(F.round(stopword_hits(t, LANG_LEXICON[lang]) / n_tokens, 6).alias(f"score_{lang}"))
-    scored = df.select(*cols)
-    # argmax with name-ascending tie-break: array of structs sorted desc by
-    # (score, reverse-name) — array_max on struct comparison is
-    # lexicographic, so pack score first.
-    langs = sorted(LANG_LEXICON)
-    pairs = F.array(
-        *[
-            F.struct(
-                F.col(f"score_{lang}").alias("s"),
-                F.lit(-i).alias("ord"),  # earlier name wins ties
-                F.lit(lang).alias("lang"),
-            )
-            for i, lang in enumerate(langs)
-        ]
-    )
-    best = F.array_max(pairs)
-    return scored.withColumn(
-        "predicted_lang",
-        F.when(best["s"] <= 0, F.lit("und")).otherwise(best["lang"]),
-    )
+    ls = langid_struct(F.col(text_col))
+    return df.select(F.col(id_col), ls.alias("_l")).select(id_col, "_l.*")
 
 
 # PII scan/redaction patterns — deliberately restricted to syntax shared by
