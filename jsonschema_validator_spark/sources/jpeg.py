@@ -489,6 +489,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None  # (h, w, [(cid, hi, vi, tq)])
 
     def u16(p):
+        # a stream truncated INSIDE a length field would hand struct.unpack
+        # <2 bytes → struct.error, not the documented ValueError (round-4
+        # fix: fill-byte skipping can advance pos past the loop-top bound)
+        if p + 2 > len(data):
+            raise ValueError("truncated JPEG segment")
         return struct.unpack(">H", data[p : p + 2])[0]
 
     while True:
