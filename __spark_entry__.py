@@ -1604,12 +1604,14 @@ FROM aug
 _STREAM_DRIFT_SQL = """
 WITH wh AS (
   SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS window_start,
-         CAST(floor(value / 20.0) + 1 AS INT) AS bucket, count(*) AS n
+         CAST(least(greatest(floor(value / 20.0) + 1, 0), 26) AS INT) AS bucket,
+         count(*) AS n
   FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 ),
 ws AS (SELECT window_start, bucket,
               n / (sum(n) OVER (PARTITION BY window_start)) AS pw FROM wh),
-bh AS (SELECT CAST(floor(value / 20.0) + 1 AS INT) AS bucket, count(*) AS n
+bh AS (SELECT CAST(least(greatest(floor(value / 20.0) + 1, 0), 26) AS INT) AS bucket,
+              count(*) AS n
        FROM events WHERE value IS NOT NULL GROUP BY 1),
 bs AS (SELECT bucket, n / (sum(n) OVER ()) AS pb FROM bh),
 grid AS (SELECT w.window_start, b.bucket, b.pb
