@@ -547,12 +547,12 @@ def resize_images(
     return sel.mapInPandas(run, schema="image_id string, bytes binary, w int, h int")
 
 
-def fake_video_decoder(data: bytes, n_frames: int) -> list:
-    """Deterministic STAND-IN video decoder (this runtime has no
-    libav/ffmpeg): derives ``n_frames`` 16x16 RGB frames purely from the
-    payload bytes (md5-seeded gradients), so the frame-sampling plumbing
-    is testable end-to-end. Marked fake on purpose — a real decoder slots
-    into :func:`sample_video_frames` via the ``decoder`` argument."""
+def fake_video_decoder(data: bytes, n_frames: int = 32) -> list:
+    """Deterministic STAND-IN video decoder for formats this runtime can't
+    parse: derives ``n_frames`` 16x16 RGB frames purely from the payload
+    bytes (md5-seeded gradients). Kept for testing the plumbing against
+    arbitrary payloads — real ``.avi`` MJPEG bytes need no injection at
+    all (``decoder=None`` uses :func:`sources.avi.decode_avi_frames`)."""
     import hashlib
 
     frames = []
@@ -577,24 +577,22 @@ def sample_video_frames(
     decoder=None,
 ) -> DataFrame:
     """Video frame sampling (the frame-sample stage): ``video_id,
-    frame_idx, frame_png binary, w, h`` — every ``every_n``-th frame, at
-    most ``max_frames`` per video, each frame re-encoded as PNG.
+    frame_idx, frame_png binary, w, h`` — every ``every_n``-th decoded
+    frame (``frame_idx`` is the true stream index), at most ``max_frames``
+    per video, each sampled frame re-encoded as PNG.
 
-    The Spark-side plumbing (schema, Arrow batching, UDF signature,
-    per-video fan-out) is REAL and tested; actual video bitstream
-    decoding needs libav/ffmpeg, which this runtime lacks, so ``decoder``
-    must be supplied: pass :func:`fake_video_decoder` in tests, or a real
-    ``(bytes, n_frames) -> list[ndarray]`` callable in production.
-    ``decoder=None`` raises ``NotImplementedError`` at plan-build time —
-    loudly, not deep inside an executor.
+    ``decoder=None`` (the default) decodes REAL Motion-JPEG AVI bytes via
+    the pure-numpy container walk + T.81 JPEG decoder in
+    :mod:`sources.avi` — end-to-end in this sandbox, no libav/ffmpeg.
+    Other formats (H.264, VP9, ...) still need an injected
+    ``(bytes) -> list[ndarray]`` callable; unrecognized bytes raise
+    ``ValueError`` inside the task (quarantine upstream with
+    :func:`decode_profile`-style checks if the corpus is mixed).
     """
-    if decoder is None:
-        raise NotImplementedError(
-            "no video codec in this runtime: pass decoder= (e.g. "
-            "fake_video_decoder for tests, or a libav-backed callable)"
-        )
+    from jsonschema_validator_spark.sources.avi import decode_avi_frames
     from jsonschema_validator_spark.sources.codecs import encode_png
 
+    decode = decoder if decoder is not None else decode_avi_frames
     sel = df.select(F.col(id_col).alias("video_id"), F.col(bytes_col).alias("bytes"))
     schema = "video_id string, frame_idx int, frame_png binary, w int, h int"
 
@@ -602,12 +600,13 @@ def sample_video_frames(
         for b in batches:
             rows = []
             for vid, data in zip(b["video_id"], b["bytes"]):
-                frames = decoder(bytes(data), max_frames)
-                for k, px in enumerate(frames[:max_frames]):
+                frames = decode(bytes(data))
+                for idx in list(range(0, len(frames), every_n))[:max_frames]:
+                    px = frames[idx]
                     rows.append(
                         (
                             vid,
-                            k * every_n,
+                            idx,
                             bytearray(encode_png(px)),
                             int(px.shape[1]),
                             int(px.shape[0]),
@@ -620,11 +619,13 @@ def sample_video_frames(
     return sel.mapInPandas(run, schema=schema)
 
 
-def fake_audio_decoder(data: bytes, sample_rate: int = 16000) -> "np.ndarray":
-    """Deterministic STAND-IN audio decoder (no libsndfile/ffmpeg in this
-    runtime): derives a 1-second float32 PCM waveform purely from the
-    payload bytes (md5-seeded sinusoid mix). Marked fake on purpose — a
-    real decoder slots into :func:`audio_features` via ``decoder``."""
+def fake_audio_decoder(data: bytes, sample_rate: int = 16000):
+    """Deterministic STAND-IN audio decoder for formats this runtime can't
+    parse: derives a 1-second PCM waveform purely from the payload bytes
+    (md5-seeded sinusoid mix), returning ``(float64 1-D wave, rate)``.
+    Kept for testing the plumbing against arbitrary payloads — real
+    ``.wav`` bytes need no injection (``decoder=None`` uses
+    :func:`sources.wav.decode_wav_mono`)."""
     import hashlib
 
     seed = hashlib.md5(data[:64]).digest()
@@ -634,42 +635,41 @@ def fake_audio_decoder(data: bytes, sample_rate: int = 16000) -> "np.ndarray":
     wave = amp * np.sin(2 * np.pi * f0 * t) + 0.05 * np.sin(
         2 * np.pi * 3 * f0 * t
     )
-    return wave.astype(np.float32)
+    return wave.astype(np.float32), sample_rate
 
 
 def audio_features(
     df: DataFrame,
     id_col: str = "audio_id",
     bytes_col: str = "bytes",
-    sample_rate: int = 16000,
     decoder=None,
 ) -> DataFrame:
     """Audio feature extraction (the audio leg of the brief's multimodal
-    triple): ``audio_id, n_samples, duration_sec, rms, peak,
+    triple): ``audio_id, sample_rate, n_samples, duration_sec, rms, peak,
     zero_crossing_rate`` — numpy over decoded PCM inside Arrow batches.
 
-    Like :func:`sample_video_frames`, the PLUMBING is real and the codec
-    is injected: ``decoder=None`` raises ``NotImplementedError`` at
-    plan-build time (this runtime has no audio codec); tests pass
-    :func:`fake_audio_decoder`, production passes a soundfile/ffmpeg-backed
-    ``(bytes, sample_rate) -> float32 ndarray`` callable.
+    ``decoder=None`` (the default) decodes REAL RIFF/WAVE bytes via the
+    pure-numpy parser in :mod:`sources.wav` (PCM u8/s16/s24/s32 + IEEE
+    float, any channel count, mixed to mono) — end-to-end in this
+    sandbox. Compressed formats (mp3, opus, ...) still need an injected
+    ``(bytes) -> (1-D float array, rate)`` callable; unrecognized bytes
+    raise ``ValueError`` inside the task.
     """
-    if decoder is None:
-        raise NotImplementedError(
-            "no audio codec in this runtime: pass decoder= (e.g. "
-            "fake_audio_decoder for tests, or a libsndfile-backed callable)"
-        )
+    from jsonschema_validator_spark.sources.wav import decode_wav_mono
+
+    decode = decoder if decoder is not None else decode_wav_mono
     sel = df.select(F.col(id_col).alias("audio_id"), F.col(bytes_col).alias("bytes"))
     schema = (
-        "audio_id string, n_samples long, duration_sec double, rms double, "
-        "peak double, zero_crossing_rate double"
+        "audio_id string, sample_rate int, n_samples long, duration_sec double, "
+        "rms double, peak double, zero_crossing_rate double"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for aid, data in zip(b["audio_id"], b["bytes"]):
-                pcm = decoder(bytes(data), sample_rate).astype(np.float64)
+                pcm, sample_rate = decode(bytes(data))
+                pcm = np.asarray(pcm, dtype=np.float64)
                 n = pcm.size
                 zc = (
                     float((np.signbit(pcm[1:]) != np.signbit(pcm[:-1])).mean())
@@ -679,6 +679,7 @@ def audio_features(
                 rows.append(
                     (
                         aid,
+                        int(sample_rate),
                         int(n),
                         round(n / sample_rate, 6),
                         round(float(np.sqrt(np.mean(pcm**2))), 6),
@@ -689,8 +690,8 @@ def audio_features(
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "audio_id", "n_samples", "duration_sec", "rms", "peak",
-                    "zero_crossing_rate",
+                    "audio_id", "sample_rate", "n_samples", "duration_sec",
+                    "rms", "peak", "zero_crossing_rate",
                 ],
             )
 

@@ -315,9 +315,7 @@ def test_resize_images_nearest(spark):
     assert (small == img[ys][:, xs]).all()
 
 
-def test_sample_video_frames_stub_plumbing(spark):
-    import pytest as _pytest
-
+def test_sample_video_frames_injected_decoder_plumbing(spark):
     from jsonschema_validator_spark.operators.multimodal import (
         fake_video_decoder,
         sample_video_frames,
@@ -328,8 +326,6 @@ def test_sample_video_frames_stub_plumbing(spark):
         [("v1", bytearray(b"fake-video-payload-1")), ("v2", bytearray(b"fake-video-payload-2"))],
         "video_id string, bytes binary",
     )
-    with _pytest.raises(NotImplementedError, match="video codec"):
-        sample_video_frames(df)  # no decoder in this runtime: loud, plan-time
     out = sample_video_frames(
         df, every_n=10, max_frames=3, decoder=fake_video_decoder
     )
@@ -347,12 +343,46 @@ def test_sample_video_frames_stub_plumbing(spark):
     )
 
 
-def test_audio_features_stub_plumbing(spark):
-    """audio_features: raises loudly without a codec; with the fake PCM
-    decoder it emits deterministic per-clip features with correct physics
-    (rms < peak, sinusoid zero-crossing rate ≈ 2*f0/sample_rate)."""
+def test_sample_video_frames_real_mjpeg_avi(spark):
+    """decoder=None decodes REAL MJPEG AVI bytes end-to-end (container
+    walk + T.81 JPEG decode on executors): frame_idx is the true stream
+    index, sampled frames round-trip at >= 40 dB vs the originals."""
+    import numpy as _np
+
+    from jsonschema_validator_spark.operators.multimodal import sample_video_frames
+    from jsonschema_validator_spark.sources.avi import encode_mjpeg_avi
+    from jsonschema_validator_spark.sources.codecs import decode_image
+
+    def frame(k):
+        yy, xx = _np.mgrid[0:24, 0:32]
+        return ((xx * 5 + yy * 3 + 37 * k) % 256).astype(_np.uint8)[..., None].repeat(3, axis=2)
+
+    originals = [frame(k) for k in range(7)]
+    df = spark.createDataFrame(
+        [("v1", bytearray(encode_mjpeg_avi(originals, fps=5, quality=98)))],
+        "video_id string, bytes binary",
+    )
+    rows = sample_video_frames(df, every_n=3, max_frames=2).collect()
+    assert {(r["frame_idx"], r["w"], r["h"]) for r in rows} == {(0, 32, 24), (3, 32, 24)}
+    for r in rows:
+        px = decode_image(bytes(r["frame_png"]))
+        ref = originals[r["frame_idx"]]
+        mse = _np.mean((px.astype(float) - ref.astype(float)) ** 2)
+        assert 10 * _np.log10(255**2 / max(mse, 1e-12)) >= 40.0
+    # non-AVI bytes through the real path fail loudly inside the task
+    bad = spark.createDataFrame(
+        [("x", bytearray(b"not-a-container"))], "video_id string, bytes binary"
+    )
     import pytest as _pytest
 
+    with _pytest.raises(Exception, match="RIFF/AVI"):
+        sample_video_frames(bad).collect()
+
+
+def test_audio_features_injected_decoder_plumbing(spark):
+    """audio_features with the fake PCM decoder emits deterministic
+    per-clip features with correct physics (rms < peak, sinusoid
+    zero-crossing rate ≈ 2*f0/sample_rate)."""
     from jsonschema_validator_spark.operators.multimodal import (
         audio_features,
         fake_audio_decoder,
@@ -362,13 +392,49 @@ def test_audio_features_stub_plumbing(spark):
         [("a1", bytearray(b"fake-audio-1")), ("a2", bytearray(b"fake-audio-2"))],
         "audio_id string, bytes binary",
     )
-    with _pytest.raises(NotImplementedError, match="audio codec"):
-        audio_features(df)
     rows = {r["audio_id"]: r.asDict() for r in audio_features(df, decoder=fake_audio_decoder).collect()}
     assert set(rows) == {"a1", "a2"}
     for r in rows.values():
         assert r["n_samples"] == 16000 and r["duration_sec"] == 1.0
+        assert r["sample_rate"] == 16000
         assert 0 < r["rms"] < r["peak"] <= 1.3
         assert 0 < r["zero_crossing_rate"] < 0.5
     again = {r["audio_id"]: r.asDict() for r in audio_features(df, decoder=fake_audio_decoder).collect()}
     assert rows == again  # deterministic
+
+
+def test_audio_features_real_wav(spark):
+    """decoder=None parses REAL RIFF/WAVE bytes end-to-end: a 440 Hz
+    sine at 8 kHz / 16-bit PCM yields the analytic rms (amp/sqrt(2)),
+    peak and zero-crossing rate (2*f0/rate); stereo mixes to mono."""
+    import numpy as _np
+
+    from jsonschema_validator_spark.operators.multimodal import audio_features
+    from jsonschema_validator_spark.sources.wav import encode_wav
+
+    t = _np.arange(8000) / 8000.0
+    sine = 0.5 * _np.sin(2 * _np.pi * 440 * t)
+    stereo = _np.stack([sine, sine], axis=1)
+    df = spark.createDataFrame(
+        [
+            ("mono16", bytearray(encode_wav(sine, 8000, bits=16))),
+            ("stereo24", bytearray(encode_wav(stereo, 8000, bits=24))),
+            ("float32", bytearray(encode_wav(sine, 8000, bits=32, fmt="float"))),
+        ],
+        "audio_id string, bytes binary",
+    )
+    rows = {r["audio_id"]: r.asDict() for r in audio_features(df).collect()}
+    assert set(rows) == {"mono16", "stereo24", "float32"}
+    for r in rows.values():
+        assert r["sample_rate"] == 8000 and r["n_samples"] == 8000
+        assert r["duration_sec"] == 1.0
+        assert abs(r["rms"] - 0.5 / _np.sqrt(2)) < 1e-3
+        assert abs(r["peak"] - 0.5) < 1e-3
+        assert abs(r["zero_crossing_rate"] - 2 * 440 / 8000) < 2e-3
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [("x", bytearray(b"mp3-ish-bytes"))], "audio_id string, bytes binary"
+    )
+    with _pytest.raises(Exception, match="RIFF/WAVE"):
+        audio_features(bad).collect()
