@@ -567,3 +567,64 @@ def feature_rows(n: int, seed: int = 42, mod: int = 8) -> list[tuple]:
             )
         )
     return sorted(rows)
+
+
+def audio_feature_rows(n: int = 24, seed: int = 42) -> list[tuple]:
+    """Expected audio_features rows for the synth WAV corpus, computed by
+    an INDEPENDENT minimal RIFF/WAVE reader (struct-based walk written
+    against the WAV spec here, separate from sources/wav.py) + the feature
+    formulas. Bit-for-bit parity with the operator holds because both
+    sides normalize with the same divisors and reduce in the same numpy
+    float64 order."""
+    import struct
+
+    from jsonschema_validator_spark.sources.synth import make_audio_corpus
+
+    rows = []
+    for aid, data in make_audio_corpus(n, seed):
+        if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            raise ValueError("oracle: not a WAV")
+        pos, fmt, payload = 12, None, None
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", data[pos + 8 : pos + 24])
+            elif cid == b"data":
+                payload = data[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size % 2)
+        tag, ch, rate, _br, _ba, bits = fmt
+        if tag == 3:
+            wave = np.frombuffer(
+                payload, dtype="<f4" if bits == 32 else "<f8"
+            ).astype(np.float64)
+        elif bits == 8:
+            wave = (np.frombuffer(payload, np.uint8).astype(np.float64) - 128.0) / 127.0
+        elif bits == 24:
+            b3 = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+            w32 = np.zeros((b3.shape[0], 4), np.uint8)
+            w32[:, 1:] = b3
+            wave = (w32.view("<i4")[:, 0] >> 8).astype(np.float64) / 8388607.0
+        else:
+            wave = np.frombuffer(payload, f"<i{bits // 8}").astype(np.float64) / float(
+                2 ** (bits - 1) - 1
+            )
+        pcm = wave.reshape(-1, ch).mean(axis=1)
+        n_s = pcm.size
+        zc = (
+            float((np.signbit(pcm[1:]) != np.signbit(pcm[:-1])).mean())
+            if n_s > 1
+            else 0.0
+        )
+        rows.append(
+            (
+                aid,
+                int(rate),
+                int(n_s),
+                round(n_s / rate, 6),
+                round(float(np.sqrt(np.mean(pcm**2))), 6),
+                round(float(np.abs(pcm).max()) if n_s else 0.0, 6),
+                round(zc, 6),
+            )
+        )
+    return rows

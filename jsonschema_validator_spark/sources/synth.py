@@ -194,3 +194,50 @@ def generate_drifted_spark(spark, n: int, seed: int = 43, partitions: int = 32):
     return df.withColumn("w", (F.col("w") / 2).cast("int")).withColumn(
         "h", (F.col("h") / 2).cast("int")
     )
+
+
+def make_audio_corpus(n: int = 24, seed: int = 42) -> list:
+    """Deterministic WAV clip corpus — ``[(audio_id, wav_bytes), ...]``,
+    a pure function of (seed, i): sine mixes sweeping rate (8/16/22.05
+    kHz), bit depth / sample format (s16, u8, s24, float32), amplitude and
+    duration; every 5th clip is stereo (right channel at half gain) to
+    exercise the mono mixdown. Fixture INPUT for the audio_features_gate
+    driver query — the features themselves are computed independently in
+    oracle.audio_feature_rows."""
+    from jsonschema_validator_spark.sources.wav import encode_wav
+
+    rows = []
+    for i in range(n):
+        rate = (8000, 16000, 22050)[i % 3]
+        bits, fmt = ((16, "pcm"), (8, "pcm"), (24, "pcm"), (32, "float"))[i % 4]
+        f0 = 55.0 * (1 + (seed + i) % 24)
+        amp = 0.1 + 0.8 * ((i * 37) % 100) / 100.0
+        dur = 0.25 + (i % 4) * 0.25
+        n_s = int(rate * dur)
+        t = np.arange(n_s, dtype=np.float64) / rate
+        wave = amp * np.sin(2 * np.pi * f0 * t) + 0.1 * amp * np.sin(
+            2 * np.pi * 3 * f0 * t
+        )
+        if i % 5 == 0:
+            wave = np.stack([wave, 0.5 * wave], axis=1)
+        rows.append((f"clip_{i:04d}", encode_wav(wave, rate, bits=bits, fmt=fmt)))
+    return rows
+
+
+def make_video_corpus(
+    n_videos: int = 6, n_frames: int = 9, seed: int = 42
+) -> list:
+    """Deterministic MJPEG-AVI corpus — ``[(video_id, avi_bytes), ...]``,
+    a pure function of (seed, v, k): per-video dims from true_dims, frame
+    pixels from the synth gradient generator at index v*1000+k, encoded at
+    JPEG quality 98 (the >=40 dB regime for this pattern family — q95
+    measures ~36 dB). video_id is the bare integer string so driver
+    queries can pack (video, frame) into one int index."""
+    from jsonschema_validator_spark.sources.avi import encode_mjpeg_avi
+
+    rows = []
+    for v in range(n_videos):
+        w, h = true_dims(seed, v)
+        frames = [_pixels(seed, v * 1000 + k, w, h) for k in range(n_frames)]
+        rows.append((str(v), encode_mjpeg_avi(frames, fps=5, quality=98)))
+    return rows
