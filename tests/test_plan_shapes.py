@@ -320,3 +320,46 @@ def test_brute_force_topk_query_side_guard(spark):
     # explicit opt-in (bound raised / disabled) still works
     assert brute_force_topk(df, df.limit(3), k=2).count() == 6
     assert brute_force_topk(df, df, k=1, max_queries=None).count() == 50
+
+
+def test_documents_text_profile_single_scan(spark):
+    """The round-4 merged text profile (tokens + quality + langid +
+    fingerprint) must stay ONE pruned scan with no shuffle — the whole
+    point of merging four per-doc queries (PLANS.md §17/§19 rationale)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["documents_text_profile"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    assert _op_count(plan, "Scan parquet") == 1
+    assert _op_count(plan, "Exchange") == 0  # pure map-side projection
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "lang" not in read_schema.replace("predicted_lang", "")  # pruned
+
+
+def test_drift_stats_single_scan_per_side(spark):
+    """drift_stats_quantity: KS+PSI+JS from ONE scan per side (two scans
+    total — the halves filter the same file) instead of the former three
+    queries x two scans each."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["drift_stats_quantity"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    assert _op_count(plan, "Scan parquet") == 2  # side a + side b
+
+
+def test_curation_funnel_stats_single_scan(spark):
+    """Round-4 scan-once rewrite: the funnel stats aggregate reads the
+    corpus ONCE (flag columns + one agg + explode), not once per stage."""
+    from jsonschema_validator_spark.operators.curation import curate_corpus
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    clean, stats = curate_corpus(df)
+    splan = _plan(stats)
+    assert _op_count(splan, "Scan parquet") == 1
+    cplan = _plan(clean)
+    assert _op_count(cplan, "Scan parquet") == 1
