@@ -364,9 +364,13 @@ def main() -> int:
         detail["ref_skew"] = ref_skew
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
-    if not args.images_only:
+    # only a FULL sweep may overwrite the evidence file — a --queries subset
+    # or --images-only smoke run must not clobber the committed full-sweep
+    # detail map (it still prints its detail to stderr)
+    if not args.images_only and not args.queries:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)
+    if not args.images_only:
         print(json.dumps(detail), file=sys.stderr)
 
     headline = {

@@ -32,8 +32,10 @@ class SnapshotTable:
     """Append-only snapshot-versioned parquet table."""
 
     def __init__(self, root: str):
+        # No mkdir here: opening a table for read (or probing a name that
+        # turns out not to exist) must be side-effect free. The directory
+        # is created at first append — the commit path.
         self.root = root
-        os.makedirs(root, exist_ok=True)
 
     # ---- manifest ---------------------------------------------------------
 
@@ -48,6 +50,7 @@ class SnapshotTable:
             return json.load(f)
 
     def _save_manifest(self, m: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1)
