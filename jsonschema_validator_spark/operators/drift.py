@@ -256,3 +256,95 @@ def drift_verdict(
         "psi",
         ((F.col("ks") <= ks_threshold) & (F.col("psi") <= psi_threshold)).alias("pass"),
     )
+
+
+def categorical_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+) -> DataFrame:
+    """Two-sample drift test for a CATEGORICAL column (``fmt``-style string
+    or low-cardinality int): chi-squared homogeneity statistic, Cramér's V
+    effect size, and total-variation distance over the category
+    histograms.
+
+    The numeric family (:func:`ks_statistic`/:func:`psi`/
+    :func:`js_divergence`) bucketizes a continuous range; categories have
+    no order, so the right statistics are contingency-table ones:
+
+    - ``chi2`` = Σ over categories and both sides of (observed −
+      expected)²/expected, expected under homogeneity ``E = row_total ×
+      side_total / N`` — the classic 2×k test statistic (dof = k−1).
+    - ``cramers_v`` = sqrt(chi2 / N) for a 2×k table (min(r−1, c−1) = 1)
+      — scale-free effect size in [0, 1], comparable across table sizes
+      (chi2 itself grows with N, so a threshold on chi2 alone would flag
+      microscopic drifts at 10^12 rows).
+    - ``tvd`` = ½ Σ |share_a − share_b| — the share of rows that would
+      have to change category to equalize the distributions.
+
+    Plan shape (same contract as the numeric family): one
+    ``groupBy(column).count()`` scan per side — map-side partial agg, the
+    shuffle moves ≤ n_categories rows per side — then a full-outer join
+    and one aggregate over ≤ n_categories rows. NULL categories are
+    excluded, like the numeric family's null filter.
+
+    Output: one row ``column, n_categories, chi2, dof, cramers_v, tvd``
+    (all-null stats when either side is empty). Intended for bounded-
+    cardinality columns (fmt, language, source tags); for unbounded ids
+    use :func:`drift_metrics` with ``hash_columns`` instead — a category
+    histogram over 10^9 distinct ids answers no question chi2 can pose.
+    """
+    ha = (
+        df_a.filter(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("cat"))
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    hb = (
+        df_b.filter(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("cat"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    j = ha.join(hb, "cat", "full_outer").select(
+        F.coalesce("na", F.lit(0)).cast("double").alias("na"),
+        F.coalesce("nb", F.lit(0)).cast("double").alias("nb"),
+    )
+    tot = j.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("na").alias("ta"),
+        F.sum("nb").alias("tb"),
+    )
+    # expected count under homogeneity: E_side = (na+nb) * side_total / N
+    n_all = F.col("ta") + F.col("tb")
+    ea = (F.col("na") + F.col("nb")) * F.col("ta") / n_all
+    eb = (F.col("na") + F.col("nb")) * F.col("tb") / n_all
+    term = F.when(
+        (F.col("ta") > 0) & (F.col("tb") > 0),
+        (F.col("na") - ea) * (F.col("na") - ea) / ea
+        + (F.col("nb") - eb) * (F.col("nb") - eb) / eb,
+    )
+    # try_divide: an empty side must yield NULL stats, not an ANSI
+    # divide-by-zero error (the chi2 term is already guarded by its WHEN)
+    tv_term = F.abs(
+        F.try_divide(F.col("na"), F.col("ta"))
+        - F.try_divide(F.col("nb"), F.col("tb"))
+    )
+    # the join output is ≤ n_categories rows; the 1×1 crossJoin attaches the
+    # two scalar totals to each of them (same benign shape as psi/js)
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("k").alias("n_categories"),
+            F.round(F.sum(term), 6).alias("chi2"),
+            (F.max("k") - 1).alias("dof"),
+            F.round(F.sqrt(F.sum(term) / F.max(n_all)), 6).alias("cramers_v"),
+            F.round(0.5 * F.sum(tv_term), 6).alias("tvd"),
+        )
+        .select(
+            F.lit(column).alias("column"),
+            "n_categories",
+            "chi2",
+            "dof",
+            "cramers_v",
+            "tvd",
+        )
+    )

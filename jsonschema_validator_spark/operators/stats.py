@@ -159,3 +159,47 @@ def merge_hll_sketches(sketches: DataFrame) -> DataFrame:
     return sketches.groupBy("column").agg(
         F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("n_distinct")
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    column: str,
+    k: int = 20,
+    min_share: float = 0.0,
+) -> DataFrame:
+    """Top-``k`` most frequent values of a column with their global share —
+    the mode-collapse / hot-key detector (a caption table where one string
+    holds 40% of rows, a fmt column that silently became 99% one codec, a
+    skewed join key about to torpedo a shuffle).
+
+    Output: ``value (string), n, share`` — at most ``k`` rows with
+    ``share >= min_share``, ordered by ``n`` desc then value asc
+    (deterministic ties). NULLs count as a value (rendered as the string
+    ``NULL``) — a null-flood IS a heavy hitter worth surfacing, unlike in
+    the distribution tests where null handling belongs to null_ratio.
+
+    Plan shape at 100 TB: one ``groupBy(column).count()`` scan (map-side
+    partial agg — a hot key costs ONE row per task in the shuffle, never a
+    hot partition of raw rows), a 1-row total attached via broadcast, then
+    a global top-k over the distinct values only (TakeOrderedAndProject —
+    O(k) memory per task, not a full sort). For unbounded columns the
+    shuffle moves only distinct keys; that is the floor for any exact
+    top-k.
+    """
+    counts = (
+        df.select(F.col(column).cast("string").alias("value"))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.coalesce("value", F.lit("NULL")).alias("value"),
+            "n",
+            F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+        )
+        .filter(F.col("share") >= min_share)
+        .orderBy(F.col("n").desc(), F.col("value").asc())
+        .limit(k)
+    )

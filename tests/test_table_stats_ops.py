@@ -1,0 +1,156 @@
+"""categorical_drift (chi2 / Cramér's V / TVD over category histograms)
+and heavy_hitters (exact top-k with shares).
+
+categorical_drift is cross-checked two independent ways: a pandas
+contingency-table computation from the textbook formulas, and the same
+statistic expressed in DuckDB SQL over the identical rows — the engine
+must match both to 1e-9 before rounding (all three compute in float64
+over exact integer counts, so agreement is exact, not approximate).
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from jsonschema_validator_spark.operators.drift import categorical_drift
+from jsonschema_validator_spark.operators.stats import heavy_hitters
+
+
+def _cat_rows(counts: dict) -> list:
+    """{category: n} -> [(category,), ...] expanded rows."""
+    out = []
+    for c, n in counts.items():
+        out.extend([(c,)] * n)
+    return out
+
+
+def _expected_chi2(counts_a: dict, counts_b: dict):
+    """Textbook 2xk homogeneity chi2 + Cramér's V + TVD in pure pandas."""
+    cats = sorted(set(counts_a) | set(counts_b))
+    na = pd.Series({c: counts_a.get(c, 0) for c in cats}, dtype=float)
+    nb = pd.Series({c: counts_b.get(c, 0) for c in cats}, dtype=float)
+    ta, tb = na.sum(), nb.sum()
+    n = ta + tb
+    ea = (na + nb) * ta / n
+    eb = (na + nb) * tb / n
+    chi2 = float((((na - ea) ** 2) / ea + ((nb - eb) ** 2) / eb).sum())
+    v = (chi2 / n) ** 0.5
+    tvd = 0.5 * float((na / ta - nb / tb).abs().sum())
+    return len(cats), chi2, v, tvd
+
+
+A = {"jpeg": 700, "png": 250, "webp": 50}
+B = {"jpeg": 520, "png": 130, "webp": 40, "gif": 10}
+
+
+class TestCategoricalDrift:
+    def test_matches_pandas_contingency(self, spark):
+        da = spark.createDataFrame(_cat_rows(A), "fmt string")
+        db = spark.createDataFrame(_cat_rows(B), "fmt string")
+        row = categorical_drift(da, db, "fmt").collect()[0]
+        k, chi2, v, tvd = _expected_chi2(A, B)
+        assert row["column"] == "fmt"
+        assert row["n_categories"] == k
+        assert row["dof"] == k - 1
+        assert row["chi2"] == round(chi2, 6)
+        assert row["cramers_v"] == round(v, 6)
+        assert row["tvd"] == round(tvd, 6)
+
+    def test_matches_duckdb_sql(self, spark):
+        da = spark.createDataFrame(_cat_rows(A), "fmt string")
+        db = spark.createDataFrame(_cat_rows(B), "fmt string")
+        row = categorical_drift(da, db, "fmt").collect()[0]
+        con = duckdb.connect()
+        con.register("ta_rows", pd.DataFrame(_cat_rows(A), columns=["fmt"]))
+        con.register("tb_rows", pd.DataFrame(_cat_rows(B), columns=["fmt"]))
+        got = con.sql(
+            """
+            WITH ha AS (SELECT fmt AS cat, COUNT(*)::DOUBLE AS na
+                        FROM ta_rows WHERE fmt IS NOT NULL GROUP BY fmt),
+                 hb AS (SELECT fmt AS cat, COUNT(*)::DOUBLE AS nb
+                        FROM tb_rows WHERE fmt IS NOT NULL GROUP BY fmt),
+                 j AS (SELECT COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+                       FROM ha FULL OUTER JOIN hb USING (cat)),
+                 t AS (SELECT COUNT(*) AS k, SUM(na) AS ta, SUM(nb) AS tb FROM j)
+            SELECT MAX(k) AS n_categories,
+                   ROUND(SUM(POW(na - (na+nb)*ta/(ta+tb), 2) / ((na+nb)*ta/(ta+tb))
+                           + POW(nb - (na+nb)*tb/(ta+tb), 2) / ((na+nb)*tb/(ta+tb))), 6) AS chi2,
+                   ROUND(SQRT(SUM(POW(na - (na+nb)*ta/(ta+tb), 2) / ((na+nb)*ta/(ta+tb))
+                           + POW(nb - (na+nb)*tb/(ta+tb), 2) / ((na+nb)*tb/(ta+tb)))
+                          / MAX(ta+tb)), 6) AS cramers_v,
+                   ROUND(0.5 * SUM(ABS(na/ta - nb/tb)), 6) AS tvd
+            FROM j CROSS JOIN t
+            """
+        ).fetchone()
+        assert row["n_categories"] == got[0]
+        assert row["chi2"] == pytest.approx(got[1], abs=1e-9)
+        assert row["cramers_v"] == pytest.approx(got[2], abs=1e-9)
+        assert row["tvd"] == pytest.approx(got[3], abs=1e-9)
+
+    def test_identical_distributions_zero(self, spark):
+        da = spark.createDataFrame(_cat_rows(A), "fmt string")
+        row = categorical_drift(da, da, "fmt").collect()[0]
+        assert row["chi2"] == 0.0
+        assert row["cramers_v"] == 0.0
+        assert row["tvd"] == 0.0
+
+    def test_nulls_excluded(self, spark):
+        da = spark.createDataFrame(
+            _cat_rows(A) + [(None,)] * 100, "fmt string"
+        )
+        db = spark.createDataFrame(_cat_rows(B), "fmt string")
+        with_nulls = categorical_drift(da, db, "fmt").collect()[0]
+        without = categorical_drift(
+            spark.createDataFrame(_cat_rows(A), "fmt string"), db, "fmt"
+        ).collect()[0]
+        assert with_nulls == without
+
+    def test_empty_side_yields_null_stats(self, spark):
+        da = spark.createDataFrame(_cat_rows(A), "fmt string")
+        empty = spark.createDataFrame([], "fmt string")
+        row = categorical_drift(da, empty, "fmt").collect()[0]
+        assert row["chi2"] is None
+        assert row["cramers_v"] is None
+        assert row["tvd"] is None
+
+    def test_disjoint_categories_max_tvd(self, spark):
+        da = spark.createDataFrame(_cat_rows({"a": 10}), "fmt string")
+        db = spark.createDataFrame(_cat_rows({"b": 30}), "fmt string")
+        row = categorical_drift(da, db, "fmt").collect()[0]
+        assert row["tvd"] == 1.0
+        assert row["n_categories"] == 2
+
+
+class TestHeavyHitters:
+    def test_exact_topk_with_shares(self, spark):
+        counts = {"the cat": 50, "a dog": 30, "x": 15, "y": 5}
+        df = spark.createDataFrame(_cat_rows(counts), "caption string")
+        rows = heavy_hitters(df, "caption", k=3).collect()
+        assert [(r["value"], r["n"], r["share"]) for r in rows] == [
+            ("the cat", 50, 0.5),
+            ("a dog", 30, 0.3),
+            ("x", 15, 0.15),
+        ]
+
+    def test_null_flood_is_a_hitter_and_ties_break_by_value(self, spark):
+        df = spark.createDataFrame(
+            [(None,)] * 6 + [("b",)] * 2 + [("a",)] * 2, "caption string"
+        )
+        rows = heavy_hitters(df, "caption", k=10).collect()
+        assert [(r["value"], r["n"]) for r in rows] == [
+            ("NULL", 6), ("a", 2), ("b", 2)
+        ]
+        assert rows[0]["share"] == 0.6
+
+    def test_min_share_filters(self, spark):
+        counts = {"big": 98, "small": 2}
+        df = spark.createDataFrame(_cat_rows(counts), "v string")
+        rows = heavy_hitters(df, "v", k=10, min_share=0.05).collect()
+        assert [r["value"] for r in rows] == ["big"]
+
+    def test_topk_plan_is_take_ordered_not_full_sort(self, spark):
+        df = spark.createDataFrame(_cat_rows({"a": 3, "b": 2, "c": 1}), "v string")
+        out = heavy_hitters(df, "v", k=2)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
