@@ -506,8 +506,14 @@ def q_validate_customer_conditional(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def q_documents_token_array_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ARRAY keyword checks (items / minItems / maxItems / uniqueItems,
-    SURVEY.md §2.1 #13-17) over the whitespace-token array of each doc."""
+    """ALL array keyword checks (SURVEY.md §2.1 #13-17) over the
+    whitespace-token array of each doc: object-form items / minItems /
+    maxItems / uniqueItems plus the tuple form (element i validated against
+    schema i, extra elements ignored, missing elements skipped — rule.go
+    items dispatch). Round-4 consolidation: absorbed the former
+    documents_tuple_items_verdicts query (identical verdict schema, same
+    token projection) to stay under the driver's 50-query cap while a new
+    slot gates categorical drift + heavy hitters."""
     from jsonschema_validator_spark import Validator
 
     df = _t(spark, sf_dir, "documents").withColumn(
@@ -523,7 +529,17 @@ def q_documents_token_array_validation(spark: SparkSession, sf_dir: str) -> Data
             }
         }
     }
-    return Validator(spec).validate(df).verdicts()
+    tuple_spec = {
+        "properties": {
+            "tokens": {"items": [{"minLength": 3}, {"pattern": "^[a-z]{4,}$"}]}
+        }
+    }
+    return (
+        Validator(spec)
+        .validate(df)
+        .verdicts()
+        .unionByName(Validator(tuple_spec).validate(df).verdicts())
+    )
 
 
 def q_lineitem_partitioned_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,20 +608,50 @@ def q_events_keyword_gaps_verdicts(spark: SparkSession, sf_dir: str) -> DataFram
     return Validator(spec).validate(df).verdicts()
 
 
-def q_documents_tuple_items_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """items TUPLE form (SURVEY §2.1 #14): element i validated against
-    schema i, extra elements ignored, missing elements skipped."""
-    from jsonschema_validator_spark import Validator
+def q_categorical_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-column profile gating TWO table-stats operators in one
+    driver slot (50-query cap), unpivoted to a uniform (column, stat,
+    value) schema:
 
-    df = _t(spark, sf_dir, "documents").withColumn(
-        "tokens", F.split(F.trim(F.col("text")), "\\s+")
+    - categorical drift (operators/drift.categorical_drift): chi-squared
+      homogeneity + Cramér's V + total-variation distance on l_returnflag
+      between the even/odd orderkey halves — the unordered-column
+      complement of drift_stats_quantity's KS/PSI/JS.
+    - exact heavy hitters (operators/stats.heavy_hitters): top-4 of the 5
+      o_orderpriority values with global shares — k below the cardinality
+      so the TakeOrderedAndProject cutoff is exercised, and both the n and
+      share outputs are hashed.
+
+    Both operators reduce over per-category counts only; the drift side is
+    one scan per half, the hitter side one scan of orders. The stack()
+    unpivot runs AFTER each aggregate so every statistic is computed once
+    (a per-stat select union would re-run the whole drift aggregation per
+    branch)."""
+    from jsonschema_validator_spark.operators.drift import categorical_drift
+    from jsonschema_validator_spark.operators.stats import heavy_hitters
+
+    a, b = _halves(spark, sf_dir)
+    cd = categorical_drift(a, b, "l_returnflag")
+    drift_rows = cd.selectExpr(
+        "column",
+        "stack(5, 'chi2', chi2, 'cramers_v', cramers_v, 'tvd', tvd, "
+        "'n_categories', cast(n_categories as double), "
+        "'dof', cast(dof as double)) as (stat, value)",
     )
-    spec = {
-        "properties": {
-            "tokens": {"items": [{"minLength": 3}, {"pattern": "^[a-z]{4,}$"}]}
-        }
-    }
-    return Validator(spec).validate(df).verdicts()
+    hh = heavy_hitters(_t(spark, sf_dir, "orders"), "o_orderpriority", k=4)
+    hitter_rows = hh.select(
+        F.lit("o_orderpriority").alias("column"),
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.concat(F.lit("share:"), F.col("value")),
+                    F.concat(F.lit("n:"), F.col("value")),
+                ),
+                F.array(F.col("share"), F.col("n").cast("double")),
+            )
+        ).alias("stat", "value"),
+    )
+    return drift_rows.unionByName(hitter_rows)
 
 
 def q_violations_topk_per_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1351,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_orphans_nationkey": q_ref_orphans_nationkey,
         "ref_verdict_lineitem_part": q_ref_verdict_lineitem_part,
         "drift_stats_quantity": q_drift_stats_quantity,
+        "categorical_stats_profile": q_categorical_stats_profile,
         "dedup_exact_documents": q_dedup_exact_documents,
         "jaccard_neardups": q_jaccard_neardups,
         "documents_text_profile": q_documents_text_profile,
@@ -1372,7 +1419,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_token_array_validation": q_documents_token_array_validation,
         "format_validation_derived": q_format_validation_derived,
         "events_keyword_gaps_verdicts": q_events_keyword_gaps_verdicts,
-        "documents_tuple_items_verdicts": q_documents_tuple_items_verdicts,
         "lineitem_partitioned_verdicts": q_lineitem_partitioned_verdicts,
         "violations_topk_per_rule": q_violations_topk_per_rule,
         # the four formerly-tail image queries sit BEFORE the streaming
@@ -1914,6 +1960,20 @@ SELECT 'items.maxLength:$.tokens', 'maxLength', CAST(count(*) AS BIGINT),
        (COALESCE(sum(CASE WHEN toks IS NOT NULL
              AND len(list_filter(toks, x -> length(x) > 25)) > 0 THEN 1 ELSE 0 END),0) = 0)
 FROM t
+UNION ALL
+SELECT 'items[0].minLength:$.tokens', 'minLength', CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum(CASE WHEN toks IS NOT NULL AND len(toks) >= 1
+             AND strlen(toks[1]) < 3 THEN 1 ELSE 0 END),0) AS BIGINT),
+       (COALESCE(sum(CASE WHEN toks IS NOT NULL AND len(toks) >= 1
+             AND strlen(toks[1]) < 3 THEN 1 ELSE 0 END),0) = 0)
+FROM t
+UNION ALL
+SELECT 'items[1].pattern:$.tokens', 'pattern', CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum(CASE WHEN toks IS NOT NULL AND len(toks) >= 2
+             AND NOT regexp_matches(toks[2], '^[a-z]{4,}$') THEN 1 ELSE 0 END),0) AS BIGINT),
+       (COALESCE(sum(CASE WHEN toks IS NOT NULL AND len(toks) >= 2
+             AND NOT regexp_matches(toks[2], '^[a-z]{4,}$') THEN 1 ELSE 0 END),0) = 0)
+FROM t
 """
 
 _KEYWORD_GAPS_SQL = """
@@ -1954,26 +2014,49 @@ SELECT 'dependencies[event_type]:$', 'dependencies', CAST(count(*) AS BIGINT),
 FROM e
 """
 
-_TUPLE_ITEMS_SQL = """
-WITH t AS (
-  SELECT CASE WHEN text IS NULL THEN NULL
-              ELSE string_split_regex(trim(text), '\\s+') END AS toks
-  FROM documents
+# categorical drift: the same contingency-table formulas as
+# operators/drift.categorical_drift (chi2 under homogeneity, Cramér's V =
+# sqrt(chi2/N) for a 2xk table, TVD = half the L1 share gap), expressed
+# independently in DuckDB; heavy hitters: exact counts + shares with the
+# identical (n DESC, value ASC) deterministic cutoff
+_CATEGORICAL_PROFILE_SQL = """
+WITH ha AS (
+  SELECT l_returnflag AS cat, CAST(count(*) AS DOUBLE) AS na
+  FROM lineitem WHERE l_orderkey % 2 = 0 AND l_returnflag IS NOT NULL GROUP BY 1
+), hb AS (
+  SELECT l_returnflag AS cat, CAST(count(*) AS DOUBLE) AS nb
+  FROM lineitem WHERE l_orderkey % 2 = 1 AND l_returnflag IS NOT NULL GROUP BY 1
+), j AS (
+  SELECT COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+  FROM ha FULL OUTER JOIN hb USING (cat)
+), t AS (
+  SELECT count(*) AS k, sum(na) AS ta, sum(nb) AS tb FROM j
+), stats AS (
+  SELECT CAST(max(k) AS DOUBLE) AS n_categories,
+         round(sum(pow(na - (na+nb)*ta/(ta+tb), 2) / ((na+nb)*ta/(ta+tb))
+                 + pow(nb - (na+nb)*tb/(ta+tb), 2) / ((na+nb)*tb/(ta+tb))), 6) AS chi2,
+         CAST(max(k) - 1 AS DOUBLE) AS dof,
+         round(sqrt(sum(pow(na - (na+nb)*ta/(ta+tb), 2) / ((na+nb)*ta/(ta+tb))
+                      + pow(nb - (na+nb)*tb/(ta+tb), 2) / ((na+nb)*tb/(ta+tb)))
+                    / max(ta+tb)), 6) AS cramers_v,
+         round(0.5 * sum(abs(na/ta - nb/tb)), 6) AS tvd
+  FROM j CROSS JOIN t
+), hh AS (
+  SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), 'NULL') AS value,
+         CAST(count(*) AS BIGINT) AS n,
+         round(CAST(count(*) AS DOUBLE)
+               / (SELECT count(*) FROM orders), 6) AS share
+  FROM orders GROUP BY 1
+  ORDER BY n DESC, value ASC
+  LIMIT 4
 )
-SELECT 'items[0].minLength:$.tokens' AS rule_id, 'minLength' AS tag,
-       CAST(count(*) AS BIGINT) AS n_checked,
-       CAST(COALESCE(sum(CASE WHEN toks IS NOT NULL AND len(toks) >= 1
-             AND strlen(toks[1]) < 3 THEN 1 ELSE 0 END),0) AS BIGINT) AS n_failed,
-       (COALESCE(sum(CASE WHEN toks IS NOT NULL AND len(toks) >= 1
-             AND strlen(toks[1]) < 3 THEN 1 ELSE 0 END),0) = 0) AS pass
-FROM t
-UNION ALL
-SELECT 'items[1].pattern:$.tokens', 'pattern', CAST(count(*) AS BIGINT),
-       CAST(COALESCE(sum(CASE WHEN toks IS NOT NULL AND len(toks) >= 2
-             AND NOT regexp_matches(toks[2], '^[a-z]{4,}$') THEN 1 ELSE 0 END),0) AS BIGINT),
-       (COALESCE(sum(CASE WHEN toks IS NOT NULL AND len(toks) >= 2
-             AND NOT regexp_matches(toks[2], '^[a-z]{4,}$') THEN 1 ELSE 0 END),0) = 0)
-FROM t
+SELECT 'l_returnflag' AS "column", 'chi2' AS stat, chi2 AS value FROM stats
+UNION ALL SELECT 'l_returnflag', 'cramers_v', cramers_v FROM stats
+UNION ALL SELECT 'l_returnflag', 'tvd', tvd FROM stats
+UNION ALL SELECT 'l_returnflag', 'n_categories', n_categories FROM stats
+UNION ALL SELECT 'l_returnflag', 'dof', dof FROM stats
+UNION ALL SELECT 'o_orderpriority', 'share:' || value, share FROM hh
+UNION ALL SELECT 'o_orderpriority', 'n:' || value, CAST(n AS DOUBLE) FROM hh
 """
 
 _STREAMING_VERDICT_SQL = """
@@ -2404,6 +2487,7 @@ ORDER BY config
         "ref_orphans_nationkey": _REF_ORPHANS_SQL,
         "ref_verdict_lineitem_part": _REF_VERDICT_SQL,
         "drift_stats_quantity": _DRIFT_STATS_SQL,
+        "categorical_stats_profile": _CATEGORICAL_PROFILE_SQL,
         "dedup_exact_documents": _DEDUP_EXACT_SQL,
         "jaccard_neardups": _JACCARD_SQL,
         "documents_text_profile": _TEXT_PROFILE_SQL,
@@ -2416,7 +2500,6 @@ ORDER BY config
         "documents_token_array_validation": _TOKEN_ARRAY_SQL,
         "format_validation_derived": _format_oracle_sql(),
         "events_keyword_gaps_verdicts": _KEYWORD_GAPS_SQL,
-        "documents_tuple_items_verdicts": _TUPLE_ITEMS_SQL,
         "lineitem_partitioned_verdicts": _PARTITIONED_VERDICT_SQL,
         "violations_topk_per_rule": _TOPK_VIOL_SQL,
         "streaming_windowed_verdicts": _STREAMING_VERDICT_SQL,
