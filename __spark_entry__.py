@@ -247,9 +247,10 @@ def _halves(spark, sf_dir):
 
 
 def q_drift_stats_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KS + PSI + Jensen–Shannon drift stats over the even/odd orderkey
-    halves in ONE scan per side (operators/drift.drift_metrics): every row
-    bucketizes once, one groupBy builds the histograms, and all three
+    """KS + PSI + Jensen–Shannon + 1-Wasserstein (EMD) drift stats over the
+    even/odd orderkey halves in ONE scan per side
+    (operators/drift.drift_metrics): every row bucketizes once, one groupBy
+    builds the histograms, and all four
     statistics reduce the same ≤(n_buckets+2)-row join — the shape that
     replaces the three separate single-stat queries (3 scans per side)
     from rounds 1-3. Round-4 consolidation: the driver gates at most 50
@@ -263,6 +264,7 @@ def q_drift_stats_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ks", 6).alias("ks"),
         F.round("psi", 6).alias("psi"),
         F.round("js", 6).alias("js"),
+        F.round("emd", 6).alias("emd"),
     )
 
 
@@ -1608,8 +1610,10 @@ _DRIFT_STATS_SQL = (
     _HIST_CTE
     + """
 , c AS (
-  SELECT sum(pa) OVER (ORDER BY bucket) AS ca,
-         sum(pb) OVER (ORDER BY bucket) AS cb
+  SELECT bucket,
+         sum(pa) OVER (ORDER BY bucket) AS ca,
+         sum(pb) OVER (ORDER BY bucket) AS cb,
+         COALESCE(lead(bucket) OVER (ORDER BY bucket), bucket + 1) - bucket AS gap
   FROM j
 )
 SELECT 'l_quantity' AS "column",
@@ -1617,7 +1621,10 @@ SELECT 'l_quantity' AS "column",
        (SELECT round(sum((greatest(pa, 1e-6) - greatest(pb, 1e-6))
                  * ln(greatest(pa, 1e-6) / greatest(pb, 1e-6))), 6) FROM j) AS psi,
        (SELECT round(0.5 * sum(CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb)/2)) ELSE 0 END)
-           + 0.5 * sum(CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb)/2)) ELSE 0 END), 6) FROM j) AS js
+           + 0.5 * sum(CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb)/2)) ELSE 0 END), 6) FROM j) AS js,
+       -- 1-Wasserstein: sum |CDF gap| x (gap to next populated bucket)
+       -- x bucket_width ((50.5-0.5)/50 = 1.0)
+       (SELECT round(sum(abs(ca - cb) * gap) * 1.0, 6) FROM c) AS emd
 """
 )
 

@@ -160,13 +160,26 @@ def drift_metrics(
     columns), one groupBy builds ALL histograms, and everything downstream
     operates on ≤ n_columns × (n_buckets+2) rows.
 
-    Output: one row per column — ``column, ks, psi, js``.
+    Output: one row per column — ``column, ks, psi, js, emd``.
 
     ``hash_columns``: columns whose VALUES are hashes/ids (e.g. phash) —
     numeric range bucketing is meaningless there, so they bucket by
     ``pmod(value, n_buckets)``; the frequency histogram still detects a
     replaced hot-set or shifted population (PSI is the meaningful stat; KS
-    over hash buckets is order-free but kept for the common output shape).
+    and EMD over hash buckets are order-free but kept for the common
+    output shape).
+
+    ``emd`` is the 1-Wasserstein distance between the bucketized
+    distributions, in VALUE units: Σ |CDF_a − CDF_b| × bucket_width — the
+    average distance probability mass must move, a magnitude complement to
+    KS's max deviation (KS saturates once any single gap exists; EMD keeps
+    growing as the shift widens). It reuses the SAME cumulative sums the
+    KS statistic already computes — zero extra shuffle. The histogram join
+    only materializes POPULATED buckets, so each row is weighted by the
+    gap to the next populated bucket (``lead``) — over an empty stretch
+    the CDFs are constant and contribute gap × |diff| exactly. Assumes
+    values lie in [lo, hi): mass in the under/overflow buckets is treated
+    as sitting one bucket outside the range.
     """
 
     hash_set = set(hash_columns)
@@ -214,11 +227,20 @@ def drift_metrics(
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_next = Window.partitionBy("column").orderBy("bucket")
     m = (F.col("pa") + F.col("pb")) / 2
+    bucket_width = (hi - lo) / n_buckets
     cdf = joined.select(
         "column",
         F.sum("pa").over(w).alias("cdf_a"),
         F.sum("pb").over(w).alias("cdf_b"),
+        # gap to the next POPULATED bucket: over an empty stretch the CDFs
+        # are constant, so one row weighted by the gap is exact; at the
+        # last row both CDFs are 1 (diff 0) and the default gap is moot
+        (
+            F.coalesce(F.lead("bucket").over(w_next), F.col("bucket") + 1)
+            - F.col("bucket")
+        ).alias("_gap"),
         F.greatest(F.col("pa"), F.lit(eps)).alias("ca"),
         F.greatest(F.col("pb"), F.lit(eps)).alias("cb"),
         F.when(F.col("pa") > 0, F.col("pa") * F.log(F.col("pa") / m))
@@ -234,6 +256,11 @@ def drift_metrics(
             F.sum((F.col("ca") - F.col("cb")) * F.log(F.col("ca") / F.col("cb"))), 9
         ).alias("psi"),
         F.round(0.5 * F.sum("_js_a") + 0.5 * F.sum("_js_b"), 9).alias("js"),
+        F.round(
+            F.sum(F.abs(F.col("cdf_a") - F.col("cdf_b")) * F.col("_gap"))
+            * F.lit(bucket_width),
+            9,
+        ).alias("emd"),
     )
 
 

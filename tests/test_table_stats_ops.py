@@ -1,5 +1,6 @@
-"""categorical_drift (chi2 / Cramér's V / TVD over category histograms)
-and heavy_hitters (exact top-k with shares).
+"""categorical_drift (chi2 / Cramér's V / TVD over category histograms),
+heavy_hitters (exact top-k with shares), and the drift_metrics EMD
+(1-Wasserstein) statistic.
 
 categorical_drift is cross-checked two independent ways: a pandas
 contingency-table computation from the textbook formulas, and the same
@@ -119,6 +120,57 @@ class TestCategoricalDrift:
         row = categorical_drift(da, db, "fmt").collect()[0]
         assert row["tvd"] == 1.0
         assert row["n_categories"] == 2
+
+
+def _emd_reference(vals_a, vals_b, lo, hi, nb):
+    """Independent EMD over the FULL dense bucket grid (0..nb+1), no
+    populated-bucket shortcuts — proves the operator's lead-gap weighting
+    is exact, not an approximation."""
+    import numpy as np
+
+    def bucketize(v):
+        v = np.asarray(v, dtype=float)
+        b = np.floor((v - lo) / ((hi - lo) / nb)).astype(int) + 1
+        return np.clip(b, 0, nb + 1)
+
+    ba, bb = bucketize(vals_a), bucketize(vals_b)
+    grid = np.arange(0, nb + 2)
+    pa = np.array([(ba == k).sum() for k in grid], dtype=float) / len(ba)
+    pb = np.array([(bb == k).sum() for k in grid], dtype=float) / len(bb)
+    width = (hi - lo) / nb
+    return float(np.abs(np.cumsum(pa) - np.cumsum(pb)).sum() * width)
+
+
+class TestDriftEMD:
+    def test_matches_dense_grid_reference_with_sparse_buckets(self, spark):
+        from jsonschema_validator_spark.operators.drift import drift_metrics
+
+        # big gaps between populated buckets exercise the lead() weighting
+        va = [1.0] * 40 + [2.0] * 10 + [30.0] * 50
+        vb = [1.0] * 10 + [15.0] * 40 + [44.0] * 50
+        da = spark.createDataFrame([(v,) for v in va], "x double")
+        db = spark.createDataFrame([(v,) for v in vb], "x double")
+        row = drift_metrics(da, db, ["x"], 0.5, 50.5, 50).collect()[0]
+        expected = _emd_reference(va, vb, 0.5, 50.5, 50)
+        assert row["emd"] == pytest.approx(expected, abs=1e-9)
+
+    def test_pure_shift_is_transport_distance(self, spark):
+        from jsonschema_validator_spark.operators.drift import drift_metrics
+
+        # all mass at 10 vs all mass at 20, unit buckets: EMD = 10 exactly
+        # while KS saturates at 1 — the magnitude vs max-deviation split
+        da = spark.createDataFrame([(10.0,)] * 100, "x double")
+        db = spark.createDataFrame([(20.0,)] * 100, "x double")
+        row = drift_metrics(da, db, ["x"], 0.5, 50.5, 50).collect()[0]
+        assert row["emd"] == pytest.approx(10.0, abs=1e-9)
+        assert row["ks"] == pytest.approx(1.0, abs=1e-9)
+
+    def test_identical_distributions_zero(self, spark):
+        from jsonschema_validator_spark.operators.drift import drift_metrics
+
+        da = spark.createDataFrame([(float(i % 50),) for i in range(500)], "x double")
+        row = drift_metrics(da, da, ["x"], 0.5, 50.5, 50).collect()[0]
+        assert row["emd"] == 0.0
 
 
 class TestHeavyHitters:
