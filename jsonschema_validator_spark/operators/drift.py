@@ -335,10 +335,17 @@ def categorical_drift(
         F.coalesce("na", F.lit(0)).cast("double").alias("na"),
         F.coalesce("nb", F.lit(0)).cast("double").alias("nb"),
     )
-    tot = j.agg(
-        F.count(F.lit(1)).alias("k"),
-        F.sum("na").alias("ta"),
-        F.sum("nb").alias("tb"),
+    # totals via a single-partition window over the ≤ n_categories-row join
+    # (same shape as the numeric family's _with_share) — an agg + crossJoin
+    # would duplicate the whole histogram subtree into both crossJoin sides
+    # and re-scan each input twice (caught by the plan-shape test)
+    tot = Window.partitionBy()
+    enriched = j.select(
+        "na",
+        "nb",
+        F.count(F.lit(1)).over(tot).alias("k"),
+        F.sum("na").over(tot).alias("ta"),
+        F.sum("nb").over(tot).alias("tb"),
     )
     # expected count under homogeneity: E_side = (na+nb) * side_total / N
     n_all = F.col("ta") + F.col("tb")
@@ -355,10 +362,8 @@ def categorical_drift(
         F.try_divide(F.col("na"), F.col("ta"))
         - F.try_divide(F.col("nb"), F.col("tb"))
     )
-    # the join output is ≤ n_categories rows; the 1×1 crossJoin attaches the
-    # two scalar totals to each of them (same benign shape as psi/js)
     return (
-        j.crossJoin(F.broadcast(tot))
+        enriched
         .agg(
             F.max("k").alias("n_categories"),
             F.round(F.sum(term), 6).alias("chi2"),

@@ -363,3 +363,22 @@ def test_curation_funnel_stats_single_scan(spark):
     assert _op_count(splan, "Scan parquet") == 1
     cplan = _plan(clean)
     assert _op_count(cplan, "Scan parquet") == 1
+
+
+def test_categorical_drift_shuffles_counts_not_rows(spark):
+    """categorical_drift: each side is ONE scan feeding a partial+final
+    count aggregate — the shuffle moves <= n_categories rows per side,
+    never raw rows (PLANS.md §21). The stack/explode unpivot in the driver
+    query must sit ABOVE the aggregates, so each statistic computes once."""
+    from jsonschema_validator_spark.operators.drift import categorical_drift
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    a = df.filter(F.col("l_orderkey") % 2 == 0)
+    b = df.filter(F.col("l_orderkey") % 2 == 1)
+    plan = _plan(categorical_drift(a, b, "l_returnflag"))
+    assert _op_count(plan, "Scan parquet") == 2  # side a + side b
+    # each side: partial HashAggregate below its exchange (map-side combine)
+    assert _op_count(plan, "HashAggregate") >= 4
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_returnflag" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
