@@ -264,6 +264,109 @@ def drift_metrics(
     )
 
 
+def drift_by_group(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    group_col: str,
+    column: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 50,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-group drift LOCALIZATION: KS/PSI/JS/EMD for EVERY group in one
+    scan per side — the question a global :func:`drift_metrics` row can't
+    answer at 10^12 rows is *which* partition/ingest-day/source drifted;
+    a per-group driver loop would re-scan the table once per group.
+
+    Same plan contract as :func:`drift_metrics` with ``group_col`` joined
+    into the histogram key: one scan per side, ``groupBy(group, bucket)``
+    with map-side partial aggregation (shuffle volume ≤ n_groups ×
+    (n_buckets+2) rows per side, independent of row count), per-group
+    share windows, then every statistic reduces the (group, bucket) join.
+    A group present on only one side gets the drift of
+    nothing-vs-something: ks = 1, emd = the full transport distance, and
+    psi at the ε-clamped ceiling — the loudest possible signal, which is
+    the correct verdict for an appeared/vanished partition.
+
+    Output: one row per group —
+    ``group, n_a, n_b, ks, psi, js, emd`` (group rendered as string;
+    NULL group excluded like NULL values). Rows where BOTH sides are
+    empty cannot exist (no source rows). Intended for bounded group
+    cardinality (days, sources, shards); n_groups × n_buckets rows must
+    fit a shuffle, which holds for any realistic partition count.
+    """
+    def hists(df: DataFrame, side: str) -> DataFrame:
+        b = F.width_bucket(
+            F.col(column).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets)
+        )
+        per_group = Window.partitionBy("group")
+        return (
+            df.filter(F.col(group_col).isNotNull() & F.col(column).isNotNull())
+            .groupBy(
+                F.col(group_col).cast("string").alias("group"), b.alias("bucket")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "group",
+                "bucket",
+                F.col("n").alias(f"n_{side}"),
+                (F.col("n") / F.sum("n").over(per_group)).alias(f"share_{side}"),
+            )
+        )
+
+    ha, hb = hists(df_a, "a"), hists(df_b, "b")
+    joined = ha.join(hb, ["group", "bucket"], "full_outer").select(
+        "group",
+        "bucket",
+        F.coalesce("n_a", F.lit(0)).alias("na"),
+        F.coalesce("n_b", F.lit(0)).alias("nb"),
+        F.coalesce("share_a", F.lit(0.0)).alias("pa"),
+        F.coalesce("share_b", F.lit(0.0)).alias("pb"),
+    )
+    w = (
+        Window.partitionBy("group")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = Window.partitionBy("group").orderBy("bucket")
+    m = (F.col("pa") + F.col("pb")) / 2
+    bucket_width = (hi - lo) / n_buckets
+    cdf = joined.select(
+        "group",
+        "na",
+        "nb",
+        F.sum("pa").over(w).alias("cdf_a"),
+        F.sum("pb").over(w).alias("cdf_b"),
+        (
+            F.coalesce(F.lead("bucket").over(w_next), F.col("bucket") + 1)
+            - F.col("bucket")
+        ).alias("_gap"),
+        F.greatest(F.col("pa"), F.lit(eps)).alias("ca"),
+        F.greatest(F.col("pb"), F.lit(eps)).alias("cb"),
+        F.when(F.col("pa") > 0, F.col("pa") * F.log(F.col("pa") / m))
+        .otherwise(F.lit(0.0))
+        .alias("_js_a"),
+        F.when(F.col("pb") > 0, F.col("pb") * F.log(F.col("pb") / m))
+        .otherwise(F.lit(0.0))
+        .alias("_js_b"),
+    )
+    return cdf.groupBy("group").agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 9).alias("ks"),
+        F.round(
+            F.sum((F.col("ca") - F.col("cb")) * F.log(F.col("ca") / F.col("cb"))), 9
+        ).alias("psi"),
+        F.round(0.5 * F.sum("_js_a") + 0.5 * F.sum("_js_b"), 9).alias("js"),
+        F.round(
+            F.sum(F.abs(F.col("cdf_a") - F.col("cdf_b")) * F.col("_gap"))
+            * F.lit(bucket_width),
+            9,
+        ).alias("emd"),
+    )
+
+
 def drift_verdict(
     df_a: DataFrame,
     df_b: DataFrame,

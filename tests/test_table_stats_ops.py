@@ -12,6 +12,7 @@ over exact integer counts, so agreement is exact, not approximate).
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from jsonschema_validator_spark.operators.drift import categorical_drift
 from jsonschema_validator_spark.operators.stats import heavy_hitters
@@ -206,3 +207,65 @@ class TestHeavyHitters:
         out.collect()
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestDriftByGroup:
+    def test_localizes_the_drifted_group(self, spark):
+        """Three groups: identical / shifted / one-sided — the per-group
+        stats must match running drift_metrics on each group separately."""
+        from jsonschema_validator_spark.operators.drift import (
+            drift_by_group,
+            drift_metrics,
+        )
+
+        rows_a = (
+            [("g1", float(i % 20 + 1)) for i in range(200)]
+            + [("g2", float(i % 20 + 1)) for i in range(200)]
+        )
+        rows_b = (
+            [("g1", float(i % 20 + 1)) for i in range(200)]
+            + [("g2", float(i % 20 + 11)) for i in range(200)]  # +10 shift
+            + [("g3", 25.0)] * 50  # appears only on side b
+        )
+        da = spark.createDataFrame(rows_a, "g string, x double")
+        db = spark.createDataFrame(rows_b, "g string, x double")
+        out = {
+            r["group"]: r
+            for r in drift_by_group(da, db, "g", "x", 0.5, 50.5, 50).collect()
+        }
+        assert set(out) == {"g1", "g2", "g3"}
+        # per-group results must equal the global operator run per group
+        for g in ("g1", "g2"):
+            ref = drift_metrics(
+                da.filter(F.col("g") == g),
+                db.filter(F.col("g") == g),
+                ["x"],
+                0.5,
+                50.5,
+                50,
+            ).collect()[0]
+            for stat in ("ks", "psi", "js", "emd"):
+                assert out[g][stat] == ref[stat], (g, stat)
+        assert out["g1"]["ks"] == 0.0 and out["g1"]["emd"] == 0.0
+        assert out["g2"]["emd"] == pytest.approx(10.0, abs=1e-9)
+        # one-sided group: nothing-vs-something is maximal drift
+        assert out["g3"]["ks"] == 1.0
+        assert out["g3"]["n_a"] == 0 and out["g3"]["n_b"] == 50
+
+    def test_one_scan_per_side(self, spark, tmp_path):
+        from jsonschema_validator_spark.operators.drift import drift_by_group
+        import contextlib, io, re
+
+        p = str(tmp_path / "t.parquet")
+        spark.createDataFrame(
+            [("g1", 1.0), ("g2", 2.0)], "g string, x double"
+        ).write.parquet(p)
+        df = spark.read.parquet(p)
+        out = drift_by_group(
+            df.filter("x < 2"), df.filter("x >= 1"), "g", "x", 0.5, 50.5, 50
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert len(re.findall(r"\(\d+\) Scan parquet\b", plan)) == 2
