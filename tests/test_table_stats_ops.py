@@ -173,6 +173,29 @@ class TestDriftEMD:
         row = drift_metrics(da, da, ["x"], 0.5, 50.5, 50).collect()[0]
         assert row["emd"] == 0.0
 
+    def test_under_and_overflow_buckets(self, spark):
+        """Mass outside [lo, hi) lands in width_bucket's 0 / n+1 buckets;
+        EMD must still match the dense-grid reference over 0..n+1."""
+        from jsonschema_validator_spark.operators.drift import drift_metrics
+
+        va = [-5.0] * 30 + [10.0] * 40 + [99.0] * 30   # under + in + over
+        vb = [10.0] * 70 + [50.49] * 30                 # in-range only
+        da = spark.createDataFrame([(v,) for v in va], "x double")
+        db = spark.createDataFrame([(v,) for v in vb], "x double")
+        row = drift_metrics(da, db, ["x"], 0.5, 50.5, 50).collect()[0]
+        expected = _emd_reference(va, vb, 0.5, 50.5, 50)
+        assert row["emd"] == pytest.approx(expected, abs=1e-9)
+
+    def test_fractional_bucket_width(self, spark):
+        """Non-unit bucket width scales EMD into value units."""
+        from jsonschema_validator_spark.operators.drift import drift_metrics
+
+        # width = (10-0)/40 = 0.25; shift of 2.0 = 8 buckets
+        da = spark.createDataFrame([(1.0,)] * 100, "x double")
+        db = spark.createDataFrame([(3.0,)] * 100, "x double")
+        row = drift_metrics(da, db, ["x"], 0.0, 10.0, 40).collect()[0]
+        assert row["emd"] == pytest.approx(2.0, abs=1e-9)
+
 
 class TestHeavyHitters:
     def test_exact_topk_with_shares(self, spark):
