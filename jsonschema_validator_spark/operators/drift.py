@@ -483,3 +483,87 @@ def categorical_drift(
             "tvd",
         )
     )
+
+
+def categorical_drift_metrics(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """:func:`categorical_drift` for MANY columns in ONE scan per table —
+    the same consolidation :func:`drift_metrics` applies to the numeric
+    family: per-column composition costs 2 × n_columns scans, and at
+    10^12 rows the scan IS the cost.
+
+    Each row explodes into (column, category) pairs (column pruning keeps
+    only the listed columns), one ``groupBy(column, cat)`` builds ALL the
+    contingency tables (map-side partial agg — shuffle volume is the
+    number of distinct (column, category) pairs, independent of row
+    count), per-column totals come from a window partitioned by column,
+    and the statistics reduce the joined histograms per column.
+
+    Values are cast to string before counting so heterogeneous columns
+    share one explode (distinctness-preserving for the string/int
+    categoricals this is for). A column that is entirely NULL on both
+    sides produces NO output row (it has no categories); a column empty
+    on one side gets NULL stats, same as :func:`categorical_drift`.
+
+    Output: one row per column — ``column, n_categories, chi2, dof,
+    cramers_v, tvd``.
+    """
+
+    def hist(df: DataFrame, side: str) -> DataFrame:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(c).cast("string").alias("cat"),
+                )
+                for c in columns
+            ]
+        )
+        return (
+            df.select(F.explode(arr).alias("p"))
+            .select("p.column", "p.cat")
+            .filter(F.col("cat").isNotNull())
+            .groupBy("column", "cat")
+            .agg(F.count(F.lit(1)).alias(f"n{side}"))
+        )
+
+    j = (
+        hist(df_a, "a")
+        .join(hist(df_b, "b"), ["column", "cat"], "full_outer")
+        .select(
+            "column",
+            F.coalesce("na", F.lit(0)).cast("double").alias("na"),
+            F.coalesce("nb", F.lit(0)).cast("double").alias("nb"),
+        )
+    )
+    tot = Window.partitionBy("column")
+    enriched = j.select(
+        "column",
+        "na",
+        "nb",
+        F.count(F.lit(1)).over(tot).alias("k"),
+        F.sum("na").over(tot).alias("ta"),
+        F.sum("nb").over(tot).alias("tb"),
+    )
+    n_all = F.col("ta") + F.col("tb")
+    ea = (F.col("na") + F.col("nb")) * F.col("ta") / n_all
+    eb = (F.col("na") + F.col("nb")) * F.col("tb") / n_all
+    term = F.when(
+        (F.col("ta") > 0) & (F.col("tb") > 0),
+        (F.col("na") - ea) * (F.col("na") - ea) / ea
+        + (F.col("nb") - eb) * (F.col("nb") - eb) / eb,
+    )
+    tv_term = F.abs(
+        F.try_divide(F.col("na"), F.col("ta"))
+        - F.try_divide(F.col("nb"), F.col("tb"))
+    )
+    return enriched.groupBy("column").agg(
+        F.max("k").alias("n_categories"),
+        F.round(F.sum(term), 6).alias("chi2"),
+        (F.max("k") - 1).alias("dof"),
+        F.round(F.sqrt(F.sum(term) / F.max(n_all)), 6).alias("cramers_v"),
+        F.round(0.5 * F.sum(tv_term), 6).alias("tvd"),
+    )

@@ -292,3 +292,67 @@ class TestDriftByGroup:
             out.explain("formatted")
         plan = buf.getvalue()
         assert len(re.findall(r"\(\d+\) Scan parquet\b", plan)) == 2
+
+
+class TestCategoricalDriftMetrics:
+    def test_per_column_parity_with_single_column_operator(self, spark):
+        from jsonschema_validator_spark.operators.drift import (
+            categorical_drift,
+            categorical_drift_metrics,
+        )
+
+        rows_a = [("jpeg", "en"), ("jpeg", "en"), ("png", "zh"), ("png", "en")] * 50
+        rows_b = [("jpeg", "en"), ("webp", "zh"), ("png", "zh"), ("jpeg", "de")] * 50
+        da = spark.createDataFrame(rows_a, "fmt string, lang string")
+        db = spark.createDataFrame(rows_b, "fmt string, lang string")
+        multi = {
+            r["column"]: r
+            for r in categorical_drift_metrics(da, db, ["fmt", "lang"]).collect()
+        }
+        assert set(multi) == {"fmt", "lang"}
+        for c in ("fmt", "lang"):
+            single = categorical_drift(da, db, c).collect()[0]
+            for stat in ("n_categories", "chi2", "dof", "cramers_v", "tvd"):
+                assert multi[c][stat] == single[stat], (c, stat)
+
+    def test_one_scan_per_side(self, spark, tmp_path):
+        from jsonschema_validator_spark.operators.drift import (
+            categorical_drift_metrics,
+        )
+        import contextlib, io, re
+
+        p = str(tmp_path / "t.parquet")
+        spark.createDataFrame(
+            [("jpeg", "en", 1)], "fmt string, lang string, extra int"
+        ).write.parquet(p)
+        df = spark.read.parquet(p)
+        out = categorical_drift_metrics(
+            df.filter("extra >= 0"), df.filter("extra >= 1"), ["fmt", "lang"]
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert len(re.findall(r"\(\d+\) Scan parquet\b", plan)) == 2
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "fmt" in read_schema and "lang" in read_schema
+
+    def test_one_sided_column_gets_null_stats(self, spark):
+        from jsonschema_validator_spark.operators.drift import (
+            categorical_drift_metrics,
+        )
+
+        da = spark.createDataFrame(
+            [("jpeg", "en")] * 10, "fmt string, lang string"
+        )
+        db = spark.createDataFrame(
+            [("png", None)] * 10, "fmt string, lang string"
+        )
+        out = {
+            r["column"]: r
+            for r in categorical_drift_metrics(da, db, ["fmt", "lang"]).collect()
+        }
+        # lang exists only on side a -> NULL stats, like categorical_drift
+        assert out["lang"]["chi2"] is None and out["lang"]["tvd"] is None
+        # fmt has categories on both sides (disjoint) -> real stats
+        assert out["fmt"]["tvd"] == 1.0
