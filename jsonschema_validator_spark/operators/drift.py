@@ -511,6 +511,8 @@ def categorical_drift_metrics(
     Output: one row per column — ``column, n_categories, chi2, dof,
     cramers_v, tvd``.
     """
+    if not columns:
+        raise ValueError("categorical_drift_metrics: columns must be non-empty")
 
     def hist(df: DataFrame, side: str) -> DataFrame:
         arr = F.array(
