@@ -1613,7 +1613,10 @@ _DRIFT_STATS_SQL = (
   SELECT bucket,
          sum(pa) OVER (ORDER BY bucket) AS ca,
          sum(pb) OVER (ORDER BY bucket) AS cb,
-         COALESCE(lead(bucket) OVER (ORDER BY bucket), bucket + 1) - bucket AS gap
+         -- last-row gap spans through the overflow bucket (n_buckets+2=52),
+         -- matching _reduce_distribution_stats' one-sided EMD tail; for
+         -- this two-sided column the last-row CDF diff is 0 (weight moot)
+         COALESCE(lead(bucket) OVER (ORDER BY bucket), 52) - bucket AS gap
   FROM j
 )
 SELECT 'l_quantity' AS "column",

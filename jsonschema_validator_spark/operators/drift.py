@@ -222,23 +222,53 @@ def drift_metrics(
         F.coalesce("share_a", F.lit(0.0)).alias("pa"),
         F.coalesce("share_b", F.lit(0.0)).alias("pb"),
     )
+    return _reduce_distribution_stats(
+        joined, ["column"], (hi - lo) / n_buckets, n_buckets, eps
+    )
+
+
+def _reduce_distribution_stats(
+    joined: DataFrame,
+    keys: list[str],
+    bucket_width: float,
+    n_buckets: int,
+    eps: float,
+    carry: tuple = (),
+    extra_aggs: tuple = (),
+) -> DataFrame:
+    """Shared KS/PSI/JS/EMD reduction over a ``(keys..., bucket, pa, pb)``
+    histogram join — the ONE implementation of the statistics, used by
+    :func:`drift_metrics` (keyed by column) and :func:`drift_by_group`
+    (keyed by group) so a formula fix cannot diverge between them.
+
+    EMD gap weighting: the join materializes only POPULATED buckets, so
+    each row is weighted by the gap to the next populated bucket (the
+    CDFs are constant over an empty stretch). The LAST populated row's
+    gap extends through the overflow bucket (``n_buckets + 2 − bucket``):
+    for two-sided data both CDFs are 1 there (diff 0, weight moot), but a
+    ONE-SIDED distribution — a group/column present on only one side —
+    keeps a CDF diff of 1 to the end of the grid, and truncating it would
+    rank a vanished/appeared partition BELOW a mild shift. With the full
+    tail, nothing-vs-mass-at-bucket-b measures (n_buckets + 2 − b) ×
+    bucket_width — the dense-grid transport distance.
+
+    ``carry`` columns pass through to the final aggregate; ``extra_aggs``
+    prepend to the stat columns (e.g. per-side row counts).
+    """
     w = (
-        Window.partitionBy("column")
+        Window.partitionBy(*keys)
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_next = Window.partitionBy("column").orderBy("bucket")
+    w_next = Window.partitionBy(*keys).orderBy("bucket")
     m = (F.col("pa") + F.col("pb")) / 2
-    bucket_width = (hi - lo) / n_buckets
     cdf = joined.select(
-        "column",
+        *keys,
+        *carry,
         F.sum("pa").over(w).alias("cdf_a"),
         F.sum("pb").over(w).alias("cdf_b"),
-        # gap to the next POPULATED bucket: over an empty stretch the CDFs
-        # are constant, so one row weighted by the gap is exact; at the
-        # last row both CDFs are 1 (diff 0) and the default gap is moot
         (
-            F.coalesce(F.lead("bucket").over(w_next), F.col("bucket") + 1)
+            F.coalesce(F.lead("bucket").over(w_next), F.lit(n_buckets + 2))
             - F.col("bucket")
         ).alias("_gap"),
         F.greatest(F.col("pa"), F.lit(eps)).alias("ca"),
@@ -250,7 +280,8 @@ def drift_metrics(
         .otherwise(F.lit(0.0))
         .alias("_js_b"),
     )
-    return cdf.groupBy("column").agg(
+    return cdf.groupBy(*keys).agg(
+        *extra_aggs,
         F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 9).alias("ks"),
         F.round(
             F.sum((F.col("ca") - F.col("cb")) * F.log(F.col("ca") / F.col("cb"))), 9
@@ -324,46 +355,14 @@ def drift_by_group(
         F.coalesce("share_a", F.lit(0.0)).alias("pa"),
         F.coalesce("share_b", F.lit(0.0)).alias("pb"),
     )
-    w = (
-        Window.partitionBy("group")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_next = Window.partitionBy("group").orderBy("bucket")
-    m = (F.col("pa") + F.col("pb")) / 2
-    bucket_width = (hi - lo) / n_buckets
-    cdf = joined.select(
-        "group",
-        "na",
-        "nb",
-        F.sum("pa").over(w).alias("cdf_a"),
-        F.sum("pb").over(w).alias("cdf_b"),
-        (
-            F.coalesce(F.lead("bucket").over(w_next), F.col("bucket") + 1)
-            - F.col("bucket")
-        ).alias("_gap"),
-        F.greatest(F.col("pa"), F.lit(eps)).alias("ca"),
-        F.greatest(F.col("pb"), F.lit(eps)).alias("cb"),
-        F.when(F.col("pa") > 0, F.col("pa") * F.log(F.col("pa") / m))
-        .otherwise(F.lit(0.0))
-        .alias("_js_a"),
-        F.when(F.col("pb") > 0, F.col("pb") * F.log(F.col("pb") / m))
-        .otherwise(F.lit(0.0))
-        .alias("_js_b"),
-    )
-    return cdf.groupBy("group").agg(
-        F.sum("na").alias("n_a"),
-        F.sum("nb").alias("n_b"),
-        F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 9).alias("ks"),
-        F.round(
-            F.sum((F.col("ca") - F.col("cb")) * F.log(F.col("ca") / F.col("cb"))), 9
-        ).alias("psi"),
-        F.round(0.5 * F.sum("_js_a") + 0.5 * F.sum("_js_b"), 9).alias("js"),
-        F.round(
-            F.sum(F.abs(F.col("cdf_a") - F.col("cdf_b")) * F.col("_gap"))
-            * F.lit(bucket_width),
-            9,
-        ).alias("emd"),
+    return _reduce_distribution_stats(
+        joined,
+        ["group"],
+        (hi - lo) / n_buckets,
+        n_buckets,
+        eps,
+        carry=("na", "nb"),
+        extra_aggs=(F.sum("na").alias("n_a"), F.sum("nb").alias("n_b")),
     )
 
 
@@ -423,66 +422,14 @@ def categorical_drift(
     cardinality columns (fmt, language, source tags); for unbounded ids
     use :func:`drift_metrics` with ``hash_columns`` instead — a category
     histogram over 10^9 distinct ids answers no question chi2 can pose.
+
+    Delegates to :func:`categorical_drift_metrics` (the multi-column
+    form) so the statistics have exactly one implementation; a column
+    that is entirely NULL on both sides therefore yields an EMPTY result
+    instead of a row of nulls, and categories are counted after a
+    distinctness-preserving cast to string.
     """
-    ha = (
-        df_a.filter(F.col(column).isNotNull())
-        .groupBy(F.col(column).alias("cat"))
-        .agg(F.count(F.lit(1)).alias("na"))
-    )
-    hb = (
-        df_b.filter(F.col(column).isNotNull())
-        .groupBy(F.col(column).alias("cat"))
-        .agg(F.count(F.lit(1)).alias("nb"))
-    )
-    j = ha.join(hb, "cat", "full_outer").select(
-        F.coalesce("na", F.lit(0)).cast("double").alias("na"),
-        F.coalesce("nb", F.lit(0)).cast("double").alias("nb"),
-    )
-    # totals via a single-partition window over the ≤ n_categories-row join
-    # (same shape as the numeric family's _with_share) — an agg + crossJoin
-    # would duplicate the whole histogram subtree into both crossJoin sides
-    # and re-scan each input twice (caught by the plan-shape test)
-    tot = Window.partitionBy()
-    enriched = j.select(
-        "na",
-        "nb",
-        F.count(F.lit(1)).over(tot).alias("k"),
-        F.sum("na").over(tot).alias("ta"),
-        F.sum("nb").over(tot).alias("tb"),
-    )
-    # expected count under homogeneity: E_side = (na+nb) * side_total / N
-    n_all = F.col("ta") + F.col("tb")
-    ea = (F.col("na") + F.col("nb")) * F.col("ta") / n_all
-    eb = (F.col("na") + F.col("nb")) * F.col("tb") / n_all
-    term = F.when(
-        (F.col("ta") > 0) & (F.col("tb") > 0),
-        (F.col("na") - ea) * (F.col("na") - ea) / ea
-        + (F.col("nb") - eb) * (F.col("nb") - eb) / eb,
-    )
-    # try_divide: an empty side must yield NULL stats, not an ANSI
-    # divide-by-zero error (the chi2 term is already guarded by its WHEN)
-    tv_term = F.abs(
-        F.try_divide(F.col("na"), F.col("ta"))
-        - F.try_divide(F.col("nb"), F.col("tb"))
-    )
-    return (
-        enriched
-        .agg(
-            F.max("k").alias("n_categories"),
-            F.round(F.sum(term), 6).alias("chi2"),
-            (F.max("k") - 1).alias("dof"),
-            F.round(F.sqrt(F.sum(term) / F.max(n_all)), 6).alias("cramers_v"),
-            F.round(0.5 * F.sum(tv_term), 6).alias("tvd"),
-        )
-        .select(
-            F.lit(column).alias("column"),
-            "n_categories",
-            "chi2",
-            "dof",
-            "cramers_v",
-            "tvd",
-        )
-    )
+    return categorical_drift_metrics(df_a, df_b, [column])
 
 
 def categorical_drift_metrics(

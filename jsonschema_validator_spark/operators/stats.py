@@ -175,8 +175,12 @@ def heavy_hitters(
     Output: ``value (string), n, share`` — at most ``k`` rows with
     ``share >= min_share``, ordered by ``n`` desc then value asc
     (deterministic ties). NULLs count as a value (rendered as the string
-    ``NULL``) — a null-flood IS a heavy hitter worth surfacing, unlike in
-    the distribution tests where null handling belongs to null_ratio.
+    ``NULL`` BEFORE grouping, so a genuine null-flood and a literal
+    ``'NULL'`` string merge into one row — the string rendering cannot
+    distinguish them, and two tied rows with the same key would make the
+    ordering nondeterministic) — a null-flood IS a heavy hitter worth
+    surfacing, unlike in the distribution tests where null handling
+    belongs to null_ratio.
 
     Plan shape at 100 TB: one ``groupBy(column).count()`` scan (map-side
     partial agg — a hot key costs ONE row per task in the shuffle, never a
@@ -187,7 +191,9 @@ def heavy_hitters(
     top-k.
     """
     counts = (
-        df.select(F.col(column).cast("string").alias("value"))
+        df.select(
+            F.coalesce(F.col(column).cast("string"), F.lit("NULL")).alias("value")
+        )
         .groupBy("value")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -195,7 +201,7 @@ def heavy_hitters(
     return (
         counts.crossJoin(F.broadcast(total))
         .select(
-            F.coalesce("value", F.lit("NULL")).alias("value"),
+            "value",
             "n",
             F.round(F.col("n") / F.col("_total"), 6).alias("share"),
         )

@@ -186,6 +186,18 @@ class TestDriftEMD:
         expected = _emd_reference(va, vb, 0.5, 50.5, 50)
         assert row["emd"] == pytest.approx(expected, abs=1e-9)
 
+    def test_one_sided_column_measures_full_tail(self, spark):
+        """A column all-NULL on one side keeps a CDF diff of 1 through the
+        overflow bucket — EMD = (n_buckets + 2 − bucket) × width, so a
+        vanished column outranks any in-range shift."""
+        from jsonschema_validator_spark.operators.drift import drift_metrics
+
+        da = spark.createDataFrame([(None,)] * 10, "x double")
+        db = spark.createDataFrame([(25.0,)] * 10, "x double")
+        row = drift_metrics(da, db, ["x"], 0.5, 50.5, 50).collect()[0]
+        assert row["ks"] == 1.0
+        assert row["emd"] == pytest.approx(27.0, abs=1e-9)
+
     def test_fractional_bucket_width(self, spark):
         """Non-unit bucket width scales EMD into value units."""
         from jsonschema_validator_spark.operators.drift import drift_metrics
@@ -217,6 +229,17 @@ class TestHeavyHitters:
             ("NULL", 6), ("a", 2), ("b", 2)
         ]
         assert rows[0]["share"] == 0.6
+
+    def test_genuine_null_merges_with_literal_null_string(self, spark):
+        """Coalescing happens BEFORE grouping: a genuine null-flood and a
+        literal 'NULL' string produce ONE row (two tied rows with the same
+        rendered key would be indistinguishable and nondeterministically
+        ordered), matching the DuckDB COALESCE-then-GROUP convention."""
+        df = spark.createDataFrame(
+            [(None,)] * 3 + [("NULL",)] * 2 + [("a",)] * 1, "v string"
+        )
+        rows = heavy_hitters(df, "v", k=10).collect()
+        assert [(r["value"], r["n"]) for r in rows] == [("NULL", 5), ("a", 1)]
 
     def test_min_share_filters(self, spark):
         counts = {"big": 98, "small": 2}
@@ -271,8 +294,14 @@ class TestDriftByGroup:
                 assert out[g][stat] == ref[stat], (g, stat)
         assert out["g1"]["ks"] == 0.0 and out["g1"]["emd"] == 0.0
         assert out["g2"]["emd"] == pytest.approx(10.0, abs=1e-9)
-        # one-sided group: nothing-vs-something is maximal drift
+        # one-sided group: nothing-vs-something is maximal drift, and EMD
+        # measures the FULL transport tail — mass at bucket 25 with a CDF
+        # diff of 1 persisting through the overflow bucket (50+2):
+        # (52-25) x width 1.0 = 27, NOT 1 bucket (a vanished/appeared
+        # partition must rank above g2's mild +10 shift)
         assert out["g3"]["ks"] == 1.0
+        assert out["g3"]["emd"] == pytest.approx(27.0, abs=1e-9)
+        assert out["g3"]["emd"] > out["g2"]["emd"]
         assert out["g3"]["n_a"] == 0 and out["g3"]["n_b"] == 50
 
     def test_one_scan_per_side(self, spark, tmp_path):
