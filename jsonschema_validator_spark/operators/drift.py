@@ -488,15 +488,27 @@ def categorical_drift_metrics(
             F.coalesce("nb", F.lit(0)).cast("double").alias("nb"),
         )
     )
-    tot = Window.partitionBy("column")
+    return _reduce_categorical_stats(j, ["column"])
+
+
+def _reduce_categorical_stats(j: DataFrame, keys: list[str]) -> DataFrame:
+    """Shared chi²/Cramér's V/TVD reduction over a ``(keys..., na, nb)``
+    category-count join — the ONE implementation of the contingency-table
+    statistics, keyed by column (:func:`categorical_drift_metrics`) or by
+    window (streaming ``categorical_drift_vs_baseline``). Totals attach
+    via a window partitioned by the keys (≤ n_categories rows per key —
+    an agg + crossJoin would duplicate the histogram subtree; see
+    PLANS.md §21)."""
+    tot = Window.partitionBy(*keys)
     enriched = j.select(
-        "column",
+        *keys,
         "na",
         "nb",
         F.count(F.lit(1)).over(tot).alias("k"),
         F.sum("na").over(tot).alias("ta"),
         F.sum("nb").over(tot).alias("tb"),
     )
+    # expected count under homogeneity: E_side = (na+nb) * side_total / N
     n_all = F.col("ta") + F.col("tb")
     ea = (F.col("na") + F.col("nb")) * F.col("ta") / n_all
     eb = (F.col("na") + F.col("nb")) * F.col("tb") / n_all
@@ -505,14 +517,29 @@ def categorical_drift_metrics(
         (F.col("na") - ea) * (F.col("na") - ea) / ea
         + (F.col("nb") - eb) * (F.col("nb") - eb) / eb,
     )
+    # try_divide: an empty side must yield NULL stats, not an ANSI
+    # divide-by-zero error (the chi2 term is already guarded by its WHEN)
     tv_term = F.abs(
         F.try_divide(F.col("na"), F.col("ta"))
         - F.try_divide(F.col("nb"), F.col("tb"))
     )
-    return enriched.groupBy("column").agg(
+    return enriched.groupBy(*keys).agg(
         F.max("k").alias("n_categories"),
         F.round(F.sum(term), 6).alias("chi2"),
         (F.max("k") - 1).alias("dof"),
         F.round(F.sqrt(F.sum(term) / F.max(n_all)), 6).alias("cramers_v"),
         F.round(0.5 * F.sum(tv_term), 6).alias("tvd"),
+    )
+
+
+def category_histogram(df: DataFrame, column: str) -> DataFrame:
+    """Category-count table ``cat (string), n`` — the categorical
+    counterpart of :func:`histogram`, shared by the batch operators and
+    the streaming baseline so both sides count with the identical
+    string-cast convention. NULLs excluded (they belong to null_ratio)."""
+    return (
+        df.select(F.col(column).cast("string").alias("cat"))
+        .filter(F.col("cat").isNotNull())
+        .groupBy("cat")
+        .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -116,4 +116,74 @@ def drift_vs_baseline(
     )
 
 
-__all__ = ["windowed_histograms", "drift_vs_baseline"]
+def windowed_category_counts(
+    stream: DataFrame,
+    ts_col: str,
+    column: str,
+    window: str = "1 day",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Streaming per-window category counts: ``window struct, cat, n`` —
+    the categorical counterpart of :func:`windowed_histograms`, and the
+    same (only) stateful shape: a watermarked streaming aggregation with
+    state O(windows × categories), independent of row volume. Values are
+    cast to string exactly like operators/drift.category_histogram so the
+    stream side and the batch baseline count with one convention."""
+    return (
+        stream.select(
+            F.col(ts_col).alias("_ts"),
+            F.col(column).cast("string").alias("cat"),
+        )
+        .filter(F.col("cat").isNotNull())
+        .withWatermark("_ts", watermark)
+        .groupBy(F.window(F.col("_ts"), window), "cat")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def categorical_drift_vs_baseline(
+    win_counts: DataFrame,
+    baseline_counts: DataFrame,
+) -> DataFrame:
+    """Per-window categorical drift vs a baseline (batch stage over the
+    drained sink): each window's category counts form a 2×k contingency
+    table with the baseline's — the same homogeneity chi² / Cramér's V /
+    TVD as operators/drift.categorical_drift, with the SAME shared
+    reducer (_reduce_categorical_stats keyed by window), so the batch and
+    streaming statistics cannot diverge.
+
+    ``win_counts``: ``window_start long, cat, n`` (cast ``window.start``
+    to long before calling — the drained-sink shape).
+    ``baseline_counts``: ``cat, n`` from
+    operators/drift.category_histogram.
+    Output: one row per window — ``window_start, n_categories, chi2,
+    dof, cramers_v, tvd`` (baseline is side a, the window side b).
+    Input is sketch-sized (n_windows × n_categories rows), never
+    row-scale.
+    """
+    from jsonschema_validator_spark.operators.drift import (
+        _reduce_categorical_stats,
+    )
+
+    # category grid per window = baseline cats ∪ window cats (the
+    # baseline rows must appear under EVERY window, or a category the
+    # window lost entirely would vanish from its table)
+    grid = (
+        win_counts.select("window_start")
+        .distinct()
+        .crossJoin(baseline_counts.select("cat", F.col("n").alias("n_base")))
+    )
+    j = grid.join(win_counts, ["window_start", "cat"], "full_outer").select(
+        "window_start",
+        F.coalesce("n_base", F.lit(0)).cast("double").alias("na"),
+        F.coalesce("n", F.lit(0)).cast("double").alias("nb"),
+    )
+    return _reduce_categorical_stats(j, ["window_start"])
+
+
+__all__ = [
+    "windowed_histograms",
+    "drift_vs_baseline",
+    "windowed_category_counts",
+    "categorical_drift_vs_baseline",
+]

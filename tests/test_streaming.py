@@ -301,3 +301,122 @@ def test_drift_vs_baseline_identity_and_shift(spark):
     }
     assert out[100] == (0.0, 0.0)
     assert out[200][0] > 0.1 and out[200][1] > 0.1
+
+
+def test_categorical_drift_vs_baseline_identity_and_shift(spark):
+    """Batch stage: a window with the baseline's own category counts has
+    chi2 = tvd = 0; a drifted window > 0; values equal the batch
+    categorical_drift on the equivalent row sets (shared reducer)."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.drift import (
+        categorical_drift,
+        category_histogram,
+    )
+    from jsonschema_validator_spark.streaming.drift import (
+        categorical_drift_vs_baseline,
+    )
+
+    def rows(counts):
+        out = []
+        for c, n in counts.items():
+            out.extend([(c,)] * n)
+        return out
+
+    base_counts = {"jpeg": 60, "png": 30, "webp": 10}
+    drift_counts = {"jpeg": 10, "png": 30, "gif": 60}
+    df_base = spark.createDataFrame(rows(base_counts), "fmt string")
+    df_drift = spark.createDataFrame(rows(drift_counts), "fmt string")
+    base = category_histogram(df_base, "fmt")
+    win = (
+        base.select(F.lit(100).alias("window_start"), "cat", "n")
+        .unionAll(
+            category_histogram(df_drift, "fmt").select(
+                F.lit(200).alias("window_start"), "cat", "n"
+            )
+        )
+    )
+    out = {
+        r["window_start"]: r
+        for r in categorical_drift_vs_baseline(win, base).collect()
+    }
+    assert out[100]["chi2"] == 0.0 and out[100]["tvd"] == 0.0
+    assert out[200]["chi2"] > 0 and out[200]["tvd"] > 0
+    # parity with the batch operator on the same two samples
+    ref = categorical_drift(df_base, df_drift, "fmt").collect()[0]
+    for stat in ("n_categories", "chi2", "dof", "cramers_v", "tvd"):
+        assert out[200][stat] == ref[stat], stat
+
+
+def test_streaming_windowed_categorical_drift_end_to_end(spark, tmp_path):
+    """File stream → watermarked per-day category counts (the only
+    stateful stage) drained to a memory sink → per-window chi2/TVD vs the
+    batch baseline; each window's stats must equal batch
+    categorical_drift between the baseline rows and that window's rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        StringType, StructField, StructType, TimestampType,
+    )
+
+    from jsonschema_validator_spark.operators.drift import (
+        categorical_drift,
+        category_histogram,
+    )
+    from jsonschema_validator_spark.streaming.drift import (
+        categorical_drift_vs_baseline,
+        windowed_category_counts,
+    )
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        schema = StructType(
+            [StructField("ts", TimestampType()), StructField("fmt", StringType())]
+        )
+        d1, d2 = datetime(2026, 1, 1, 6), datetime(2026, 1, 2, 6)
+        day1 = {"jpeg": 30, "png": 20}
+        day2 = {"jpeg": 5, "png": 20, "gif": 25}
+        rows = [(d1, c) for c, n in day1.items() for _ in range(n)]
+        rows += [(d2, c) for c, n in day2.items() for _ in range(n)]
+        rows += [(d1, None)]  # NULL category must be excluded
+        src_dir = str(tmp_path / "cat_src")
+        spark.createDataFrame(rows, schema).coalesce(1).write.json(src_dir)
+        stream = spark.readStream.schema(schema).json(src_dir)
+
+        counts = windowed_category_counts(stream, "ts", "fmt", window="1 day")
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("cat_sink")
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        win = spark.sql(
+            "SELECT CAST(window.start AS LONG) AS window_start, cat, n "
+            "FROM cat_sink"
+        )
+        win = spark.createDataFrame(win.collect(), win.schema)
+
+        baseline = {"jpeg": 25, "png": 25}
+        df_base = spark.createDataFrame(
+            [(c,) for c, n in baseline.items() for _ in range(n)], "fmt string"
+        )
+        out = {
+            r["window_start"]: r
+            for r in categorical_drift_vs_baseline(
+                win, category_histogram(df_base, "fmt")
+            ).collect()
+        }
+        assert len(out) == 2
+        for start, day in zip(sorted(out), (day1, day2)):
+            df_day = spark.createDataFrame(
+                [(c,) for c, n in day.items() for _ in range(n)], "fmt string"
+            )
+            ref = categorical_drift(df_base, df_day, "fmt").collect()[0]
+            for stat in ("n_categories", "chi2", "dof", "cramers_v", "tvd"):
+                assert out[start][stat] == ref[stat], (start, stat)
+        # day2 lost most jpegs and gained gif — more drifted than day1
+        assert out[max(out)]["tvd"] > out[min(out)]["tvd"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
