@@ -491,14 +491,18 @@ def categorical_drift_metrics(
     return _reduce_categorical_stats(j, ["column"])
 
 
-def _reduce_categorical_stats(j: DataFrame, keys: list[str]) -> DataFrame:
+def _reduce_categorical_stats(
+    j: DataFrame, keys: list[str], extra_aggs: tuple = ()
+) -> DataFrame:
     """Shared chi²/Cramér's V/TVD reduction over a ``(keys..., na, nb)``
     category-count join — the ONE implementation of the contingency-table
-    statistics, keyed by column (:func:`categorical_drift_metrics`) or by
-    window (streaming ``categorical_drift_vs_baseline``). Totals attach
-    via a window partitioned by the keys (≤ n_categories rows per key —
-    an agg + crossJoin would duplicate the histogram subtree; see
-    PLANS.md §21)."""
+    statistics, keyed by column (:func:`categorical_drift_metrics`), by
+    group (:func:`categorical_drift_by_group`), or by window (streaming
+    ``categorical_drift_vs_baseline``). Totals attach via a window
+    partitioned by the keys (≤ n_categories rows per key — an agg +
+    crossJoin would duplicate the histogram subtree; see PLANS.md §21).
+    ``extra_aggs`` prepend to the stat columns (e.g. per-side row
+    counts)."""
     tot = Window.partitionBy(*keys)
     enriched = j.select(
         *keys,
@@ -524,11 +528,65 @@ def _reduce_categorical_stats(j: DataFrame, keys: list[str]) -> DataFrame:
         - F.try_divide(F.col("nb"), F.col("tb"))
     )
     return enriched.groupBy(*keys).agg(
+        *extra_aggs,
         F.max("k").alias("n_categories"),
         F.round(F.sum(term), 6).alias("chi2"),
         (F.max("k") - 1).alias("dof"),
         F.round(F.sqrt(F.sum(term) / F.max(n_all)), 6).alias("cramers_v"),
         F.round(0.5 * F.sum(tv_term), 6).alias("tvd"),
+    )
+
+
+def categorical_drift_by_group(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    group_col: str,
+    column: str,
+) -> DataFrame:
+    """Per-group CATEGORICAL drift localization — chi²/Cramér's V/TVD for
+    every group in one scan per side, the categorical counterpart of
+    :func:`drift_by_group` (which localizes numeric drift). Same plan
+    contract: ``groupBy(group, cat)`` per side with map-side partial
+    aggregation (shuffle ≤ n_groups × n_categories rows), then the shared
+    reducer keyed by group.
+
+    A group present on only one side gets NULL stats (a contingency table
+    needs both samples — unlike EMD there is no meaningful chi² for
+    nothing-vs-something; detect appeared/vanished groups from the
+    ``n_a``/``n_b`` columns instead).
+
+    Output: one row per group — ``group (string), n_a, n_b,
+    n_categories, chi2, dof, cramers_v, tvd``.
+    """
+
+    def hist(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.filter(
+                F.col(group_col).isNotNull() & F.col(column).isNotNull()
+            )
+            .groupBy(
+                F.col(group_col).cast("string").alias("group"),
+                F.col(column).cast("string").alias("cat"),
+            )
+            .agg(F.count(F.lit(1)).alias(f"n{side}"))
+        )
+
+    j = (
+        hist(df_a, "a")
+        .join(hist(df_b, "b"), ["group", "cat"], "full_outer")
+        .select(
+            "group",
+            F.coalesce("na", F.lit(0)).cast("double").alias("na"),
+            F.coalesce("nb", F.lit(0)).cast("double").alias("nb"),
+        )
+    )
+    return _reduce_categorical_stats(
+        j,
+        ["group"],
+        extra_aggs=(
+            F.sum("na").cast("long").alias("n_a"),
+            F.sum("nb").cast("long").alias("n_b"),
+        ),
     )
 
 

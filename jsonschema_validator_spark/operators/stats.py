@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
@@ -208,4 +208,60 @@ def heavy_hitters(
         .filter(F.col("share") >= min_share)
         .orderBy(F.col("n").desc(), F.col("value").asc())
         .limit(k)
+    )
+
+
+def heavy_hitters_by_group(
+    df: DataFrame,
+    group_col: str,
+    column: str,
+    k: int = 20,
+    min_share: float = 0.0,
+) -> DataFrame:
+    """Top-``k`` values of ``column`` WITHIN each group — the per-partition
+    hot-key / mode-collapse detector (which ingest day went 90% one
+    caption; which shard carries the skewed join key). The localization
+    counterpart of :func:`heavy_hitters`, like drift_by_group is to
+    drift_metrics.
+
+    Output: ``group (string), value (string), n, share`` — share is
+    within-group; at most ``k`` rows per group with ``share >=
+    min_share``, rank by ``n`` desc then value asc (deterministic ties).
+    NULL group and NULL value each render as the string ``NULL`` before
+    grouping (same convention as :func:`heavy_hitters`).
+
+    Plan shape at 100 TB: ONE ``groupBy(group, value).count()`` scan
+    (map-side partial agg — raw rows never shuffle), then rank + total
+    windows over the distinct (group, value) pairs partitioned by group.
+    Unlike the global operator's TakeOrderedAndProject, exact per-group
+    top-k needs the group's distinct values co-located — that shuffle
+    moves only distinct pairs, and group count scales the parallelism
+    rather than fighting it.
+    """
+    counts = (
+        df.select(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("NULL")).alias(
+                "group"
+            ),
+            F.coalesce(F.col(column).cast("string"), F.lit("NULL")).alias(
+                "value"
+            ),
+        )
+        .groupBy("group", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_tot = Window.partitionBy("group")
+    w_rank = Window.partitionBy("group").orderBy(
+        F.col("n").desc(), F.col("value").asc()
+    )
+    return (
+        counts.select(
+            "group",
+            "value",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(w_tot), 6).alias("share"),
+            F.row_number().over(w_rank).alias("_rk"),
+        )
+        .filter((F.col("_rk") <= k) & (F.col("share") >= min_share))
+        .drop("_rk")
     )

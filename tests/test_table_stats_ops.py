@@ -385,3 +385,101 @@ class TestCategoricalDriftMetrics:
         assert out["lang"]["chi2"] is None and out["lang"]["tvd"] is None
         # fmt has categories on both sides (disjoint) -> real stats
         assert out["fmt"]["tvd"] == 1.0
+
+
+class TestCategoricalDriftByGroup:
+    def test_per_group_parity_and_one_sided_group(self, spark):
+        from jsonschema_validator_spark.operators.drift import (
+            categorical_drift,
+            categorical_drift_by_group,
+        )
+
+        rows_a = [("g1", "jpeg")] * 60 + [("g1", "png")] * 40 \
+            + [("g2", "jpeg")] * 50 + [("g2", "png")] * 50
+        rows_b = [("g1", "jpeg")] * 60 + [("g1", "png")] * 40 \
+            + [("g2", "jpeg")] * 10 + [("g2", "gif")] * 90 \
+            + [("g3", "webp")] * 20
+        da = spark.createDataFrame(rows_a, "g string, fmt string")
+        db = spark.createDataFrame(rows_b, "g string, fmt string")
+        out = {
+            r["group"]: r
+            for r in categorical_drift_by_group(da, db, "g", "fmt").collect()
+        }
+        assert set(out) == {"g1", "g2", "g3"}
+        for g in ("g1", "g2"):
+            ref = categorical_drift(
+                da.filter(F.col("g") == g), db.filter(F.col("g") == g), "fmt"
+            ).collect()[0]
+            for stat in ("n_categories", "chi2", "dof", "cramers_v", "tvd"):
+                assert out[g][stat] == ref[stat], (g, stat)
+        assert out["g1"]["chi2"] == 0.0
+        assert out["g2"]["tvd"] > 0.5
+        # one-sided group: no contingency table -> NULL stats, counts tell
+        assert out["g3"]["chi2"] is None and out["g3"]["tvd"] is None
+        assert out["g3"]["n_a"] == 0 and out["g3"]["n_b"] == 20
+
+    def test_one_scan_per_side(self, spark, tmp_path):
+        from jsonschema_validator_spark.operators.drift import (
+            categorical_drift_by_group,
+        )
+        import contextlib, io, re
+
+        p = str(tmp_path / "t.parquet")
+        spark.createDataFrame(
+            [("g1", "jpeg", 1)], "g string, fmt string, extra int"
+        ).write.parquet(p)
+        df = spark.read.parquet(p)
+        out = categorical_drift_by_group(
+            df.filter("extra >= 0"), df.filter("extra >= 1"), "g", "fmt"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert len(re.findall(r"\(\d+\) Scan parquet\b", plan)) == 2
+
+
+class TestHeavyHittersByGroup:
+    def test_within_group_topk_and_shares(self, spark):
+        from jsonschema_validator_spark.operators.stats import (
+            heavy_hitters_by_group,
+        )
+
+        rows = [("d1", "cat")] * 6 + [("d1", "dog")] * 3 + [("d1", "fox")] * 1 \
+            + [("d2", "dog")] * 8 + [("d2", "cat")] * 2
+        df = spark.createDataFrame(rows, "day string, caption string")
+        out = heavy_hitters_by_group(df, "day", "caption", k=2).collect()
+        got = {(r["group"], r["value"]): (r["n"], r["share"]) for r in out}
+        assert got == {
+            ("d1", "cat"): (6, 0.6),
+            ("d1", "dog"): (3, 0.3),
+            ("d2", "dog"): (8, 0.8),
+            ("d2", "cat"): (2, 0.2),
+        }
+
+    def test_ties_rank_by_value_and_nulls_render(self, spark):
+        from jsonschema_validator_spark.operators.stats import (
+            heavy_hitters_by_group,
+        )
+
+        rows = [("d1", "b")] * 2 + [("d1", "a")] * 2 + [(None, None)] * 3
+        df = spark.createDataFrame(rows, "day string, caption string")
+        out = heavy_hitters_by_group(df, "day", "caption", k=1).collect()
+        got = {(r["group"], r["value"]): r["n"] for r in out}
+        # tie (a=2, b=2) resolves to 'a' (value asc); NULL group/value render
+        assert got == {("d1", "a"): 2, ("NULL", "NULL"): 3}
+
+    def test_min_share_within_group(self, spark):
+        from jsonschema_validator_spark.operators.stats import (
+            heavy_hitters_by_group,
+        )
+
+        rows = [("d1", "big")] * 98 + [("d1", "small")] * 2 \
+            + [("d2", "small")] * 10
+        df = spark.createDataFrame(rows, "day string, caption string")
+        out = heavy_hitters_by_group(
+            df, "day", "caption", k=10, min_share=0.05
+        ).collect()
+        got = sorted((r["group"], r["value"]) for r in out)
+        # 'small' is 2% of d1 (dropped) but 100% of d2 (kept)
+        assert got == [("d1", "big"), ("d2", "small")]
