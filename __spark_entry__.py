@@ -285,12 +285,15 @@ def q_documents_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries (token_counts/text_quality/langid/fingerprint_documents) from
     rounds 2-3: same operators, same oracle expressions, one scan instead
     of four — and it frees driver-gate slots (the driver verifies at most
-    50 queries)."""
+    50 queries). Round 4 adds the Gopher-style repetition signals
+    (top_{1,2,3}gram_frac — text.repetition_struct) to the same
+    projection: still one scan, still pure codegen Column algebra."""
     from jsonschema_validator_spark.operators.dedup import _norm
     from jsonschema_validator_spark.operators.text import (
         bpe_ish_token_count,
         langid_struct,
         quality_struct,
+        repetition_struct,
         whitespace_token_count,
     )
 
@@ -301,11 +304,12 @@ def q_documents_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         whitespace_token_count(t).alias("n_ws_tokens"),
         bpe_ish_token_count(t).alias("n_bpe_tokens"),
         quality_struct(t).alias("_q"),
+        repetition_struct(t).alias("_r"),
         langid_struct(t)["predicted_lang"].alias("predicted_lang"),
         F.substring(F.md5(_norm(t)), 1, 16).alias("fingerprint"),
     ).select(
-        "doc_id", "n_ws_tokens", "n_bpe_tokens", "_q.*", "predicted_lang",
-        "fingerprint",
+        "doc_id", "n_ws_tokens", "n_bpe_tokens", "_q.*", "_r.*",
+        "predicted_lang", "fingerprint",
     )
 
 
@@ -1804,12 +1808,34 @@ WITH base AS (
                / greatest(n_tokens, 1), 6) AS ses,
          round(CAST(len(list_filter(toks, x -> list_contains({_FR_STOP}, x))) AS DOUBLE)
                / greatest(n_tokens, 1), 6) AS sfr,
+         CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+           round(CAST(list_max(list_transform(list_distinct(toks),
+                 d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
+                 / len(toks), 6) END AS top_1gram_frac,
+         CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+           round(CAST(list_max(list_transform(list_distinct(
+                   list_transform(generate_series(1, len(toks) - 1),
+                     i -> array_to_string(list_slice(toks, i, i + 1), ' '))),
+                 d -> len(list_filter(
+                   list_transform(generate_series(1, len(toks) - 1),
+                     i -> array_to_string(list_slice(toks, i, i + 1), ' ')),
+                   x -> x = d)))) AS DOUBLE)
+                 / (len(toks) - 1), 6) END AS top_2gram_frac,
+         CASE WHEN len(toks) < 3 THEN 0.0 ELSE
+           round(CAST(list_max(list_transform(list_distinct(
+                   list_transform(generate_series(1, len(toks) - 2),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' '))),
+                 d -> len(list_filter(
+                   list_transform(generate_series(1, len(toks) - 2),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')),
+                   x -> x = d)))) AS DOUBLE)
+                 / (len(toks) - 2), 6) END AS top_3gram_frac,
          fingerprint
   FROM base
 )
 SELECT doc_id, n_ws_tokens, n_bpe_tokens, n_chars, n_tokens, mean_token_len,
        punct_ratio, digit_ratio, upper_ratio, stopword_ratio,
-       distinct_token_ratio,
+       distinct_token_ratio, top_1gram_frac, top_2gram_frac, top_3gram_frac,
        round((CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END)
            + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
            + (CASE WHEN digit_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)

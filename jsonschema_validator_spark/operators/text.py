@@ -90,6 +90,73 @@ def quality_struct(t: Column) -> Column:
     )
 
 
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array as an array<string> (space-joined).
+
+    n=1 returns the token array itself. Arrays shorter than ``n`` yield an
+    EMPTY array (never a partial gram) — note ``F.sequence(1, 0)`` would
+    produce the descending ``[1, 0]``, so the short case must be guarded
+    explicitly rather than left to the sequence bounds.
+    """
+    if n == 1:
+        return toks
+    length = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(length - (n - 1), F.lit(1)))
+    return F.when(length < n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def _top_ngram_frac(toks: Column, n: int) -> Column:
+    """Fraction of word n-grams accounted for by the single most frequent
+    n-gram (rounded to 6 dp; 0.0 when fewer than ``n`` tokens).
+
+    Pure Column algebra: mode count via nested transform/filter over the
+    distinct grams — O(distinct × total) comparisons per row, which stays
+    trivially cheap for natural documents (hundreds of tokens) and keeps
+    the whole expression inside whole-stage codegen (no UDF, no shuffle).
+    """
+    grams = _word_ngrams(toks, n)
+    total = F.size(grams)
+    mode = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    return F.when(total <= 0, F.lit(0.0)).otherwise(F.round(mode / total, 6))
+
+
+def repetition_struct(t: Column, max_n: int = 3) -> Column:
+    """Gopher-style repetition signals as ONE struct expression: for each
+    n in 1..max_n, ``top_{n}gram_frac`` = share of the document's word
+    n-grams taken by its single most frequent n-gram (Rae et al. 2021,
+    "Scaling Language Models", Table A1 uses the same top-n-gram family to
+    gate repetitive documents). High values flag boilerplate / degenerate
+    repetition that distinct-token ratio alone misses (a doc alternating
+    two tokens has distinct_token_ratio ≈ 0 but top_2gram_frac ≈ 1).
+
+    Tokenization matches :func:`quality_struct` (lowercase, trim, split on
+    whitespace) so the signals compose with the quality family in the same
+    single-scan projection.
+    """
+    toks = F.split(F.lower(F.trim(t)), _WS)
+    return F.struct(
+        *[
+            _top_ngram_frac(toks, n).alias(f"top_{n}gram_frac")
+            for n in range(1, max_n + 1)
+        ]
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_n: int = 3
+) -> DataFrame:
+    """Per-document repetition metrics (see :func:`repetition_struct`)."""
+    rs = repetition_struct(F.col(text_col), max_n)
+    return df.select(F.col(id_col), rs.alias("_r")).select(id_col, "_r.*")
+
+
 def quality_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
