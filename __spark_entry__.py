@@ -443,9 +443,11 @@ def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END training-corpus curation pipeline (the document twin
     of images_suite_verdicts): non-null → quality gate → language gate →
     exact dedup → near-dup dedup (LSH→Jaccard pairs → cluster
-    representatives), emitting the per-stage funnel
-    (stage, stage_idx, n_in, n_removed, n_out). Oracle: the identical
-    funnel in DuckDB SQL with the golden pair set as the cluster edges."""
+    representatives) → benchmark decontamination (5-gram shingle overlap
+    ≥ 0.5 vs the deterministic eval slice doc_id % 97 == 0), emitting the
+    per-stage funnel (stage, stage_idx, n_in, n_removed, n_out). Oracle:
+    the identical funnel in DuckDB SQL with the golden pair set as the
+    cluster edges and the same list-algebra shingle overlap."""
     from jsonschema_validator_spark.operators.curation import curate_corpus
     from jsonschema_validator_spark.operators.dedup import (
         minhash_lsh_candidates,
@@ -456,7 +458,13 @@ def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = minhash_lsh_candidates(df, n_hashes=32, bands=8)
     pairs = ngram_jaccard_pairs(df, threshold=0.5, candidates=cand)
     _, stats = curate_corpus(
-        df, min_quality=1.0, keep_langs=("en",), near_dup_pairs=pairs
+        df,
+        min_quality=1.0,
+        keep_langs=("en",),
+        near_dup_pairs=pairs,
+        benchmark=df.filter(F.col("doc_id") % 97 == 0),
+        contamination_k=5,
+        contamination_threshold=0.5,
     )
     return stats.orderBy("stage_idx")
 
@@ -2402,18 +2410,44 @@ s5 AS (
     FROM s4 LEFT JOIN clusters c ON s4.doc_id = c.doc_id
   ) WHERE cluster_id IS NULL OR rn = 1
 ),
+-- stage 6: benchmark decontamination — 5-word shingle overlap vs the
+-- deterministic eval slice (doc_id % 97 == 0), same canonicalization as
+-- word_shingles (lower/trim/collapse-ws; < k tokens -> whole text)
+bsh AS (
+  SELECT CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
+              i -> array_to_string(list_slice(t, i, i + 4), ' '))) END AS sh
+  FROM (SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+        FROM documents WHERE doc_id % 97 = 0 AND text IS NOT NULL)
+),
+bset AS (SELECT DISTINCT unnest(sh) AS s FROM bsh),
+dsh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
+              i -> array_to_string(list_slice(t, i, i + 4), ' '))) END AS sh
+  FROM (SELECT s5.doc_id,
+               string_split(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'), ' ') AS t
+        FROM s5 JOIN documents d USING (doc_id))
+),
+dexp AS (SELECT doc_id, unnest(sh) AS s FROM dsh),
+dm AS (SELECT e.doc_id, count(*) AS n, count(b.s) AS m
+       FROM dexp e LEFT JOIN bset b ON e.s = b.s GROUP BY e.doc_id),
+s6 AS (SELECT doc_id FROM dm WHERE round(CAST(m AS DOUBLE) / n, 6) < 0.5),
 n0 AS (SELECT count(*) AS c FROM documents),
 n1 AS (SELECT count(*) AS c FROM s1),
 n2 AS (SELECT count(*) AS c FROM s2),
 n3 AS (SELECT count(*) AS c FROM s3),
 n4 AS (SELECT count(*) AS c FROM s4),
-n5 AS (SELECT count(*) AS c FROM s5)
+n5 AS (SELECT count(*) AS c FROM s5),
+n6 AS (SELECT count(*) AS c FROM s6)
 SELECT 'non_null_text' AS stage, 0 AS stage_idx,
        n0.c AS n_in, n0.c - n1.c AS n_removed, n1.c AS n_out FROM n0, n1
 UNION ALL SELECT 'quality_gate', 1, n1.c, n1.c - n2.c, n2.c FROM n1, n2
 UNION ALL SELECT 'language_gate', 2, n2.c, n2.c - n3.c, n3.c FROM n2, n3
 UNION ALL SELECT 'exact_dedup', 3, n3.c, n3.c - n4.c, n4.c FROM n3, n4
 UNION ALL SELECT 'near_dup_dedup', 4, n4.c, n4.c - n5.c, n5.c FROM n4, n5
+UNION ALL SELECT 'decontamination', 5, n5.c, n5.c - n6.c, n6.c FROM n5, n6
 ORDER BY stage_idx
 """
 

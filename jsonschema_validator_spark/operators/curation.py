@@ -16,6 +16,11 @@ already-shrunk survivor set):
                    corpus pair set so the decision is stable under gate
                    reordering, then applied among survivors: within each
                    cluster the minimum-id survivor is kept)
+6. decontamination (operators/dedup.ngram_contamination vs an eval/
+                   benchmark table — docs whose k-gram shingle overlap
+                   with the benchmark reaches the threshold are scrubbed;
+                   skipped when no benchmark is given, with the stage row
+                   still emitted at 0 removed)
 
 Outputs both the clean corpus and a per-stage funnel stats table
 (``stage, stage_idx, n_in, n_removed, n_out``) — the audit trail.
@@ -39,7 +44,11 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from jsonschema_validator_spark.operators.dedup import _norm, duplicate_clusters
+from jsonschema_validator_spark.operators.dedup import (
+    _norm,
+    duplicate_clusters,
+    ngram_contamination,
+)
 from jsonschema_validator_spark.operators.text import langid_struct, quality_struct
 
 
@@ -50,12 +59,22 @@ def curate_corpus(
     min_quality: float = 1.0,
     keep_langs: Sequence[str] = ("en",),
     near_dup_pairs: Optional[DataFrame] = None,
+    benchmark: Optional[DataFrame] = None,
+    contamination_k: int = 5,
+    contamination_threshold: float = 0.5,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the curation funnel; return ``(clean_df, stats_df)``.
 
     ``near_dup_pairs``: verified near-duplicate pairs (id_a, id_b) —
     typically ``ngram_jaccard_pairs(df, candidates=minhash_lsh_candidates(df))``.
     ``None`` skips stage 5 (the stage row still appears with 0 removed).
+
+    ``benchmark``: evaluation-corpus table for the decontamination stage
+    (text column named ``text_col``). ``None`` skips stage 6 (the stage
+    row still appears with 0 removed). Contamination is computed on the
+    FULL corpus (same stability-under-reordering convention as the
+    cluster stage) and only the flagged ids join back — the join side is
+    the (small) contaminated set, not the per-doc flag table.
     """
     base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
@@ -96,8 +115,29 @@ def curate_corpus(
         )
     else:
         ann = ann.withColumn("_p5", F.col("_p4"))
+    # stage 6 — benchmark decontamination: flags computed on the FULL
+    # corpus; only the contaminated ids (a small set — eval overlaps are
+    # rare by construction) join back, so AQE can broadcast the probe side.
+    if benchmark is not None:
+        contaminated = (
+            ngram_contamination(
+                base,
+                benchmark,
+                text_col="text",
+                id_col="doc_id",
+                bench_text_col=text_col,
+                shingle_k=contamination_k,
+                threshold=contamination_threshold,
+            )
+            .filter("contaminated")
+            .select("doc_id", F.lit(True).alias("_contam"))
+        )
+        ann = ann.join(contaminated, "doc_id", "left")
+        ann = ann.withColumn("_p6", F.col("_p5") & F.col("_contam").isNull())
+    else:
+        ann = ann.withColumn("_p6", F.col("_p5"))
 
-    clean = ann.filter("_p5").select("doc_id", "text")
+    clean = ann.filter("_p6").select("doc_id", "text")
 
     # funnel stats: ONE aggregate over the annotated frame, unpivoted via
     # explode (no per-stage lineage re-runs, no crossJoins)
@@ -105,7 +145,7 @@ def curate_corpus(
         F.count(F.lit(1)).alias("_n0"),
         *[
             F.coalesce(F.sum(F.col(f"_p{k}").cast("long")), F.lit(0)).alias(f"_n{k}")
-            for k in range(1, 6)
+            for k in range(1, 7)
         ],
     )
     names = [
@@ -114,6 +154,7 @@ def curate_corpus(
         "language_gate",
         "exact_dedup",
         "near_dup_dedup",
+        "decontamination",
     ]
     entries = [
         F.struct(

@@ -227,6 +227,79 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per-document n-gram overlap against an
+    evaluation corpus (the standard train/test-contamination check — e.g.
+    GPT-3 appendix C / PaLM appendix D scrub training docs whose k-gram
+    shingles collide with eval-set shingles).
+
+    A document's contamination fraction is |shingles(doc) ∩
+    shingles(benchmark)| / |shingles(doc)| over distinct k-word shingles
+    (the same :func:`word_shingles` canonicalization as the Jaccard
+    family); ``contaminated`` flags docs at/above ``threshold`` (compared
+    on the 6-dp-rounded fraction, the engine-wide oracle convention).
+
+    Scale shape: the benchmark side reduces to a DISTINCT set of 64-bit
+    shingle hashes — eval sets are tiny next to a training corpus, so with
+    ``broadcast_benchmark=True`` (default) the membership probe is a
+    broadcast hash join evaluated map-side: the corpus is scanned ONCE,
+    exploded shingles never shuffle, and the only exchange is the
+    per-doc count aggregation (partial-agg collapses it to O(docs) rows
+    keyed by doc id — balanced by construction). For an unusually large
+    benchmark pass ``broadcast_benchmark=False`` to fall back to a shuffled
+    equi-join on the shingle hash. Never quadratic in either mode.
+
+    NULL-text documents are dropped (no content ⇒ no shingles ⇒ nothing to
+    contaminate); callers wanting them keep their own rows (see
+    curation.curate_corpus, which treats missing flags as clean).
+
+    Output: ``doc_id, n_shingles, n_matched, contamination_frac,
+    contaminated``.
+    """
+    bench_set = (
+        benchmark.filter(F.col(bench_text_col).isNotNull())
+        .select(
+            F.explode(word_shingles(F.col(bench_text_col), shingle_k)).alias("_s")
+        )
+        .select(F.xxhash64("_s").alias("_bh"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_set = F.broadcast(bench_set)
+    docs = _spread_small_input(
+        df.select(F.col(id_col), F.col(text_col))
+    ).filter(F.col(text_col).isNotNull())
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_s"),
+    ).select("doc_id", F.xxhash64("_s").alias("_dh"))
+    agg = (
+        ex.join(bench_set, ex["_dh"] == bench_set["_bh"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_bh").alias("n_matched"),
+        )
+    )
+    frac = F.round(F.col("n_matched") / F.col("n_shingles"), 6)
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_matched",
+        frac.alias("contamination_frac"),
+        (frac >= threshold).alias("contaminated"),
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 2
 ) -> DataFrame:

@@ -87,3 +87,144 @@ class TestRepetitionMetrics:
             tuple(top_frac(t.lower().split(), n) for n in (1, 2, 3)) for t in texts
         ]
         assert _rep_rows(spark, texts) == expected
+
+
+class TestNgramContamination:
+    def _docs(self, spark):
+        rows = [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),  # = bench 100
+            (1, "alpha beta gamma delta epsilon omega psi chi"),  # half-overlap
+            (2, "one two three four five six seven eight"),  # clean
+            (3, "short doc"),  # < k tokens -> single whole-text shingle
+            (4, None),  # null text -> dropped
+        ]
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    def _bench(self, spark):
+        return spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+             (101, "short doc")],
+            "bench_id int, text string",
+        )
+
+    def test_fraction_and_flag(self, spark):
+        from jsonschema_validator_spark.operators.dedup import ngram_contamination
+
+        out = ngram_contamination(
+            self._docs(spark), self._bench(spark), shingle_k=5, threshold=0.5
+        )
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert set(rows) == {0, 1, 2, 3}  # null text dropped
+        # doc 0: 4 distinct 5-gram shingles, all in bench
+        assert rows[0]["n_shingles"] == 4 and rows[0]["contamination_frac"] == 1.0
+        assert rows[0]["contaminated"]
+        # doc 1 shares exactly the first shingle with bench doc 100
+        assert rows[1]["n_matched"] == 1 and rows[1]["contamination_frac"] == 0.25
+        assert not rows[1]["contaminated"]
+        assert rows[2]["n_matched"] == 0 and not rows[2]["contaminated"]
+        # doc 3 (< k tokens): whole text is ONE shingle, exact-matches bench 101
+        assert rows[3]["n_shingles"] == 1 and rows[3]["contamination_frac"] == 1.0
+        assert rows[3]["contaminated"]
+
+    def test_threshold_on_rounded_fraction(self, spark):
+        from jsonschema_validator_spark.operators.dedup import ngram_contamination
+
+        out = ngram_contamination(
+            self._docs(spark), self._bench(spark), shingle_k=5, threshold=0.25
+        )
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[1]["contaminated"]  # 0.25 >= 0.25
+
+    def test_matches_independent_pandas(self, spark):
+        import duckdb
+        import numpy as np
+
+        from jsonschema_validator_spark.operators.dedup import ngram_contamination
+
+        docs = (
+            duckdb.sql(
+                "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet'"
+            ).df()
+        )
+        k, thr = 5, 0.5
+        bench_pd = docs[docs.doc_id % 17 == 0]
+
+        def shingles(t):
+            toks = " ".join(t.lower().strip().split()).split(" ")
+            if len(toks) < k:
+                return {" ".join(toks)}
+            return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+        bset = set().union(*(shingles(t) for t in bench_pd.text))
+        expected = {}
+        for r in docs.itertuples():
+            sh = shingles(r.text)
+            m = len(sh & bset)
+            frac = round(m / len(sh), 6)
+            expected[r.doc_id] = (len(sh), m, frac, frac >= thr)
+
+        sdocs = spark.createDataFrame(docs)
+        sbench = spark.createDataFrame(bench_pd)
+        got = {
+            r["doc_id"]: (
+                r["n_shingles"],
+                r["n_matched"],
+                r["contamination_frac"],
+                r["contaminated"],
+            )
+            for r in ngram_contamination(
+                sdocs, sbench, shingle_k=k, threshold=thr
+            ).collect()
+        }
+        assert got == expected
+        # the planted benchmark docs themselves must all be flagged
+        assert all(got[d][3] for d in bench_pd.doc_id)
+        assert np.mean([v[3] for v in got.values()]) < 0.5  # most docs clean
+
+    def test_funnel_decontamination_stage(self, spark):
+        from jsonschema_validator_spark.operators.curation import curate_corpus
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        bench = df.filter(F.col("doc_id") % 17 == 0)
+        clean, stats = curate_corpus(
+            df,
+            min_quality=0.0,  # pass everything through the cheap gates
+            keep_langs=("en", "de", "fr", "es", "und"),
+            benchmark=bench,
+            contamination_k=5,
+            contamination_threshold=0.5,
+        )
+        srows = {r["stage"]: r.asDict() for r in stats.collect()}
+        assert srows["decontamination"]["stage_idx"] == 5
+        assert (
+            srows["near_dup_dedup"]["n_out"] == srows["decontamination"]["n_in"]
+        )
+        assert srows["decontamination"]["n_out"] == clean.count()
+        # benchmark docs that survived the earlier stages must be scrubbed
+        kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+        bench_ids = {r["doc_id"] for r in bench.select("doc_id").collect()}
+        assert kept.isdisjoint(bench_ids)
+        assert srows["decontamination"]["n_removed"] >= 1
+
+    def test_funnel_without_benchmark_stage_is_noop(self, spark):
+        from jsonschema_validator_spark.operators.curation import curate_corpus
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        clean, stats = curate_corpus(df)
+        srows = {r["stage"]: r.asDict() for r in stats.collect()}
+        assert srows["decontamination"]["n_removed"] == 0
+        assert srows["decontamination"]["n_out"] == clean.count()
+
+    def test_broadcast_plan_and_shuffle_fallback(self, spark):
+        from jsonschema_validator_spark.operators.dedup import ngram_contamination
+
+        bcast = ngram_contamination(self._docs(spark), self._bench(spark))
+        plan = bcast._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # hint binds pre-AQE
+        merge = ngram_contamination(
+            self._docs(spark), self._bench(spark), broadcast_benchmark=False
+        )
+        # fallback (large-benchmark path) computes identical results
+        a = {tuple(r) for r in bcast.collect()}
+        b = {tuple(r) for r in merge.collect()}
+        assert a == b
