@@ -86,12 +86,24 @@ def q_validate_events_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_column_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jsonschema_validator_spark.operators.stats import column_profile
+    """Per-column profile (null/min/max/distinct) joined with the robust
+    outlier statistics (quartiles, MAD, Tukey + robust-z outlier counts —
+    stats.robust_outlier_stats, round 4). Both long-form frames are one
+    row per column, so the join is a 3x3 assembly; parity needs no
+    rounding because Spark's sort-based percentile and DuckDB's
+    quantile_cont are bit-identical (verified incl. interpolated
+    midpoints) and both engines evaluate the fence arithmetic in the same
+    operation order."""
+    from jsonschema_validator_spark.operators.stats import (
+        column_profile,
+        robust_outlier_stats,
+    )
 
     df = _t(spark, sf_dir, "lineitem")
-    return column_profile(
-        df, ["l_quantity", "l_extendedprice", "l_discount"], approx_distinct=False
-    )
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    prof = column_profile(df, cols, approx_distinct=False)
+    rob = robust_outlier_stats(df, cols, exact=True)
+    return prof.join(rob, "column")
 
 
 def q_quantiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1549,13 +1561,33 @@ _EVENTS_VERDICT_SQL = _verdict_union(
 _STATS_SQL = "\nUNION ALL\n".join(
     f"""
 SELECT '{c}' AS "column",
-       CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS null_ratio,
-       CAST(min({c}) AS VARCHAR) AS min_value,
-       CAST(max({c}) AS VARCHAR) AS max_value,
-       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
-FROM lineitem
+       t.n_rows, t.n_null, t.null_ratio, t.min_value, t.max_value,
+       t.n_distinct,
+       s.q1, s.median, s.q3, s.q3 - s.q1 AS iqr, m.mad,
+       t.n_rows - t.n_null AS n_values,
+       o.n_tukey_outliers, o.n_robust_outliers
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS null_ratio,
+         CAST(min({c}) AS VARCHAR) AS min_value,
+         CAST(max({c}) AS VARCHAR) AS max_value,
+         CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+  FROM lineitem
+) t,
+(SELECT CAST(quantile_cont({c}, 0.25) AS DOUBLE) AS q1,
+        CAST(quantile_cont({c}, 0.5) AS DOUBLE) AS median,
+        CAST(quantile_cont({c}, 0.75) AS DOUBLE) AS q3
+ FROM lineitem) s,
+LATERAL (SELECT CAST(quantile_cont(abs({c} - s.median), 0.5) AS DOUBLE) AS mad
+         FROM lineitem) m,
+LATERAL (SELECT
+           CAST(sum(CASE WHEN {c} < s.q1 - 1.5 * (s.q3 - s.q1)
+                           OR {c} > s.q3 + 1.5 * (s.q3 - s.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_tukey_outliers,
+           CAST(sum(CASE WHEN abs({c} - s.median) > 3.0 * 1.4826 * m.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_robust_outliers
+         FROM lineitem) o
 """
     for c in ["l_quantity", "l_extendedprice", "l_discount"]
 )

@@ -483,3 +483,73 @@ class TestHeavyHittersByGroup:
         got = sorted((r["group"], r["value"]) for r in out)
         # 'small' is 2% of d1 (dropped) but 100% of d2 (kept)
         assert got == [("d1", "big"), ("d2", "small")]
+
+
+class TestRobustOutlierStats:
+    def test_known_outliers(self, spark):
+        from jsonschema_validator_spark.operators.stats import robust_outlier_stats
+
+        # 1..20 plus two gross outliers and a null
+        vals = [float(i) for i in range(1, 21)] + [1000.0, -1000.0, None]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        (r,) = robust_outlier_stats(df, ["x"]).collect()
+        assert r["n_values"] == 22
+        assert r["median"] == pytest.approx(10.5)
+        # both gross outliers trip both detectors; nothing else does
+        assert r["n_tukey_outliers"] == 2
+        assert r["n_robust_outliers"] == 2
+        assert r["iqr"] == pytest.approx(r["q3"] - r["q1"])
+        assert r["mad"] > 0
+
+    def test_constant_column_degenerate(self, spark):
+        from jsonschema_validator_spark.operators.stats import robust_outlier_stats
+
+        df = spark.createDataFrame([(5.0,)] * 10 + [(6.0,)], "x double")
+        (r,) = robust_outlier_stats(df, ["x"]).collect()
+        assert r["mad"] == 0.0 and r["iqr"] == 0.0
+        # with zero spread, the single deviating value IS an outlier
+        assert r["n_tukey_outliers"] == 1
+        assert r["n_robust_outliers"] == 1
+
+    def test_matches_duckdb_reference(self, spark):
+        from jsonschema_validator_spark.operators.stats import robust_outlier_stats
+
+        sf = "/root/testdata/sf0.001"
+        df = spark.read.parquet(f"{sf}/lineitem.parquet")
+        got = {
+            r["column"]: r.asDict()
+            for r in robust_outlier_stats(
+                df, ["l_quantity", "l_extendedprice"]
+            ).collect()
+        }
+        con = duckdb.connect()
+        for c in ["l_quantity", "l_extendedprice"]:
+            exp = con.sql(
+                f"""
+                WITH s AS (SELECT quantile_cont({c}, 0.25) q1,
+                                  quantile_cont({c}, 0.5) med,
+                                  quantile_cont({c}, 0.75) q3
+                           FROM '{sf}/lineitem.parquet'),
+                m AS (SELECT quantile_cont(abs({c} - (SELECT med FROM s)), 0.5) mad
+                      FROM '{sf}/lineitem.parquet')
+                SELECT s.q1, s.med, s.q3, m.mad,
+                       (SELECT sum(CASE WHEN abs({c} - s.med) > 3.0*1.4826*m.mad
+                                   THEN 1 ELSE 0 END)
+                        FROM '{sf}/lineitem.parquet') AS rob
+                FROM s, m
+                """
+            ).fetchone()
+            g = got[c]
+            assert (g["q1"], g["median"], g["q3"], g["mad"]) == exp[:4]
+            assert g["n_robust_outliers"] == exp[4]
+
+    def test_approx_path_close_to_exact(self, spark):
+        from jsonschema_validator_spark.operators.stats import robust_outlier_stats
+
+        df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        ex = robust_outlier_stats(df, ["l_extendedprice"], exact=True).collect()[0]
+        ap = robust_outlier_stats(
+            df, ["l_extendedprice"], exact=False, accuracy=10000
+        ).collect()[0]
+        assert ap["median"] == pytest.approx(ex["median"], rel=0.01)
+        assert ap["mad"] == pytest.approx(ex["mad"], rel=0.02)
