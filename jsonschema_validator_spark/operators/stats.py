@@ -175,6 +175,98 @@ def robust_outlier_stats(
     return out_row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
+def robust_outlier_stats_by_group(
+    df: DataFrame,
+    group_col: str,
+    columns: Optional[Sequence[str]] = None,
+    z_threshold: float = 3.0,
+    tukey_k: float = 1.5,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group robust outlier LOCALIZATION — the
+    :func:`robust_outlier_stats` statistics keyed by ``group_col``, so one
+    job answers *which* partition/ingest-day/source grew a heavy tail
+    instead of re-scanning the table once per group.
+
+    Same three-pass shape as the global operator with the group key joined
+    through every stage: pass N aggregates ``groupBy(group)`` (map-side
+    partial aggregation; shuffle volume = O(n_groups) rows), and the
+    per-group scalar frames broadcast-join back on the group key for the
+    next pass. Intended for bounded group cardinality (days, sources,
+    shards) — the scalar frames must broadcast, which holds for any
+    realistic partition count.
+
+    Conventions match :func:`heavy_hitters_by_group`/``drift_by_group``:
+    group rendered as string, NULL groups excluded like NULL values.
+
+    Output: one row per (group, column) —
+    ``group, column, q1, median, q3, iqr, mad, n_values,
+    n_tukey_outliers, n_robust_outliers``.
+    """
+    cols = _numeric_cols(df, columns)
+
+    def pctl(value, probs):
+        if exact:
+            return F.percentile(value, F.lit(probs))
+        return F.percentile_approx(value, F.lit(probs), F.lit(accuracy))
+
+    base = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("_g"), *[F.col(c) for c in cols]
+    )
+    q_rows = base.groupBy("_g").agg(
+        *[pctl(F.col(c), [0.25, 0.5, 0.75]).alias(f"_q_{c}") for c in cols]
+    ).localCheckpoint()
+    with_q = base.join(F.broadcast(q_rows), "_g")
+    m_rows = with_q.groupBy("_g").agg(
+        *[
+            pctl(F.abs(F.col(c) - F.col(f"_q_{c}")[1]), 0.5).alias(f"_mad_{c}")
+            for c in cols
+        ]
+    )
+    scalars = q_rows.join(m_rows, "_g").localCheckpoint()
+    with_s = base.join(F.broadcast(scalars), "_g")
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        q1 = F.col(f"_q_{c}")[0]
+        med = F.col(f"_q_{c}")[1]
+        q3 = F.col(f"_q_{c}")[2]
+        iqr = q3 - q1
+        mad = F.col(f"_mad_{c}")
+        tukey = (col < q1 - F.lit(tukey_k) * iqr) | (
+            col > q3 + F.lit(tukey_k) * iqr
+        )
+        robust = F.abs(col - med) > F.lit(z_threshold) * F.lit(1.4826) * mad
+        aggs.append(F.count(col).alias(f"_n_{c}"))
+        aggs.append(
+            F.coalesce(F.sum(tukey.cast("long")), F.lit(0)).alias(f"_t_{c}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(robust.cast("long")), F.lit(0)).alias(f"_r_{c}")
+        )
+    counts = with_s.groupBy("_g").agg(*aggs)
+
+    out = scalars.join(counts, "_g")
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"_q_{c}")[0].cast("double").alias("q1"),
+            F.col(f"_q_{c}")[1].cast("double").alias("median"),
+            F.col(f"_q_{c}")[2].cast("double").alias("q3"),
+            (F.col(f"_q_{c}")[2] - F.col(f"_q_{c}")[0]).cast("double").alias("iqr"),
+            F.col(f"_mad_{c}").cast("double").alias("mad"),
+            F.col(f"_n_{c}").alias("n_values"),
+            F.col(f"_t_{c}").alias("n_tukey_outliers"),
+            F.col(f"_r_{c}").alias("n_robust_outliers"),
+        )
+        for c in cols
+    ]
+    return out.select(
+        F.col("_g").alias("group"), F.explode(F.array(*structs)).alias("s")
+    ).select("group", "s.*")
+
+
 def numeric_quantiles(
     df: DataFrame,
     columns: Optional[Sequence[str]] = None,

@@ -553,3 +553,44 @@ class TestRobustOutlierStats:
         ).collect()[0]
         assert ap["median"] == pytest.approx(ex["median"], rel=0.01)
         assert ap["mad"] == pytest.approx(ex["mad"], rel=0.02)
+
+
+class TestRobustOutlierStatsByGroup:
+    def test_per_group_parity_with_global(self, spark):
+        from jsonschema_validator_spark.operators.stats import (
+            robust_outlier_stats,
+            robust_outlier_stats_by_group,
+        )
+
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/lineitem.parquet"
+        ).withColumn("grp", F.col("l_linenumber") % 3)
+        got = {
+            (r["group"], r["column"]): r.asDict()
+            for r in robust_outlier_stats_by_group(
+                df, "grp", ["l_quantity", "l_extendedprice"]
+            ).collect()
+        }
+        for g in ("0", "1", "2"):
+            exp = {
+                r["column"]: r.asDict()
+                for r in robust_outlier_stats(
+                    df.filter(F.col("grp").cast("string") == g),
+                    ["l_quantity", "l_extendedprice"],
+                ).collect()
+            }
+            for c, erow in exp.items():
+                grow = dict(got[(g, c)])
+                grow.pop("group")
+                assert grow == erow, (g, c)
+
+    def test_null_groups_excluded_and_group_is_string(self, spark):
+        from jsonschema_validator_spark.operators.stats import (
+            robust_outlier_stats_by_group,
+        )
+
+        rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), (None, 99.0)]
+        df = spark.createDataFrame(rows, "g string, x double")
+        out = robust_outlier_stats_by_group(df, "g", ["x"]).collect()
+        assert [r["group"] for r in out] == ["a"]
+        assert out[0]["median"] == 2.0 and out[0]["n_values"] == 3
