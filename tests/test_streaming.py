@@ -420,3 +420,75 @@ def test_streaming_windowed_categorical_drift_end_to_end(spark, tmp_path):
         assert out[max(out)]["tvd"] > out[min(out)]["tvd"]
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_streaming_contamination_flags_end_to_end(spark, tmp_path):
+    """Stateless streaming decontamination: a file-source document stream
+    flagged against a static benchmark, exact per-doc parity (counts,
+    6-dp fraction, flag) with the batch ngram_contamination operator."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.dedup import ngram_contamination
+    from jsonschema_validator_spark.streaming.decontaminate import (
+        streaming_contamination_flags,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+
+    src = str(tmp_path / "contam_src")
+    os.makedirs(src)
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_contamination_flags(stream, bench, shingle_k=5, threshold=0.5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("contam_sink")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["doc_id"]: (
+            r["n_shingles"],
+            r["n_matched"],
+            r["contamination_frac"],
+            r["contaminated"],
+        )
+        for r in spark.sql("SELECT * FROM contam_sink").collect()
+    }
+    exp = {
+        r["doc_id"]: (
+            r["n_shingles"],
+            r["n_matched"],
+            r["contamination_frac"],
+            r["contaminated"],
+        )
+        for r in ngram_contamination(docs, bench, shingle_k=5, threshold=0.5).collect()
+    }
+    assert got == exp and len(got) > 0
+    assert any(v[3] for v in got.values())  # benchmark docs flagged
+
+
+def test_streaming_contamination_bench_size_guard(spark):
+    from jsonschema_validator_spark.streaming.decontaminate import (
+        benchmark_shingle_set,
+        streaming_contamination_flags,
+    )
+    import pytest as _pytest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with _pytest.raises(ValueError, match="max_bench_shingles"):
+        benchmark_shingle_set(docs, shingle_k=3, max_bench_shingles=10)
+    # the same guard fires through the operator entry point
+    with _pytest.raises(ValueError, match="max_bench_shingles"):
+        streaming_contamination_flags(docs, docs, max_bench_shingles=10)
