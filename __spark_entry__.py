@@ -842,14 +842,23 @@ def q_images_decode_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_images_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass per-column stats (null ratio / min / max / distinct) on
-    the image table; exact distinct here for oracle determinism (the scale
-    path is approx_count_distinct + mergeable HLL sketches)."""
-    from jsonschema_validator_spark.operators.stats import column_profile
+    the image table joined with robust outlier stats (quartiles/MAD/
+    Tukey+robust-z counts) for the dimension columns w/h; exact distinct
+    and exact percentiles here for oracle determinism (the scale path is
+    approx_count_distinct + mergeable HLL sketches and percentile_approx).
+    phash gets no robust stats: quantiles of a uniform hash are
+    meaningless (the t-digest density-cliff convention)."""
+    from jsonschema_validator_spark.operators.stats import (
+        column_profile,
+        robust_outlier_stats,
+    )
 
     df = _images(spark)
-    return column_profile(
+    prof = column_profile(
         df, ["w", "h", "fmt", "caption", "phash"], approx_distinct=False
     )
+    rob = robust_outlier_stats(df, ["w", "h"], exact=True)
+    return prof.join(rob, "column", "left")
 
 
 def q_images_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2313,9 +2322,13 @@ def _image_oracles() -> dict[str, str]:
         "images_stats_profile": o.values_sql(
             o.stats_profile_rows(n),
             ["column", "n_rows", "n_null", "null_ratio",
-             "min_value", "max_value", "n_distinct"],
+             "min_value", "max_value", "n_distinct",
+             "q1", "median", "q3", "iqr", "mad",
+             "n_values", "n_tukey_outliers", "n_robust_outliers"],
             ["VARCHAR", "BIGINT", "BIGINT", "DOUBLE",
-             "VARCHAR", "VARCHAR", "BIGINT"],
+             "VARCHAR", "VARCHAR", "BIGINT",
+             "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE",
+             "BIGINT", "BIGINT", "BIGINT"],
         ),
         "images_checkpoint_resume": o.values_sql(
             o.merged_verdict_rows([(1000, 42), (1000, 43), (1000, 45)]),

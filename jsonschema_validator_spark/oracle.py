@@ -174,9 +174,17 @@ def drift_rows(n: int, lo=0.5, hi=128.5, nb=128) -> list[tuple]:
 
 
 def stats_profile_rows(n: int, seed: int = 42) -> list[tuple]:
-    """Expected column_profile rows (exact distinct) for w/h/fmt/caption —
-    (column, n_rows, n_null, null_ratio, min_value, max_value, n_distinct).
-    min/max stringified the way Spark casts them (ints without decimal)."""
+    """Expected column_profile ⨝ robust_outlier_stats rows for the image
+    table — (column, n_rows, n_null, null_ratio, min_value, max_value,
+    n_distinct, q1, median, q3, iqr, mad, n_values, n_tukey_outliers,
+    n_robust_outliers). min/max stringified the way Spark casts them (ints
+    without decimal). Robust stats only for the dimension columns w/h
+    (NULL elsewhere): phash is a hash column — quantiles of a uniform
+    64-bit hash are meaningless (the t-digest density-cliff convention)
+    and int64→double precision loss could even reorder values. numpy's
+    linear percentile, Spark's percentile, and DuckDB's quantile_cont all
+    use the p*(n-1) position + linear interpolation, exact in double for
+    integer inputs, so these expected values are unrounded."""
     from jsonschema_validator_spark.sources.synth import generate_pandas
 
     df = generate_pandas(n, seed=seed)
@@ -189,8 +197,23 @@ def stats_profile_rows(n: int, seed: int = 42) -> list[tuple]:
             mn, mx = str(int(non.min())), str(int(non.max()))
         else:
             mn, mx = str(non.min()), str(non.max())
+        if c in ("w", "h"):
+            vals = non.to_numpy(dtype=np.float64)
+            q1, med, q3 = (
+                float(np.percentile(vals, p, method="linear"))
+                for p in (25, 50, 75)
+            )
+            iqr = q3 - q1
+            mad = float(np.percentile(np.abs(vals - med), 50, method="linear"))
+            tukey = int(
+                ((vals < q1 - 1.5 * iqr) | (vals > q3 + 1.5 * iqr)).sum()
+            )
+            robust = int((np.abs(vals - med) > 3.0 * 1.4826 * mad).sum())
+            ext = (q1, med, q3, iqr, mad, len(vals), tukey, robust)
+        else:
+            ext = (None,) * 8
         out.append(
-            (c, n, n_null, n_null / n, mn, mx, int(non.nunique()))
+            (c, n, n_null, n_null / n, mn, mx, int(non.nunique()), *ext)
         )
     return out
 
