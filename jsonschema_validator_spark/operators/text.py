@@ -111,19 +111,32 @@ def _top_ngram_frac(toks: Column, n: int) -> Column:
     """Fraction of word n-grams accounted for by the single most frequent
     n-gram (rounded to 6 dp; 0.0 when fewer than ``n`` tokens).
 
-    Pure Column algebra: mode count via nested transform/filter over the
-    distinct grams — O(distinct × total) comparisons per row, which stays
-    trivially cheap for natural documents (hundreds of tokens) and keeps
-    the whole expression inside whole-stage codegen (no UDF, no shuffle).
+    Pure Column algebra, O(n log n) per row: sort the grams, then ONE
+    ``aggregate`` pass tracks the longest equal-run (= the mode count).
+    The obvious nested transform/filter form is O(n²) string comparisons
+    per row — trivial on test docs but ~10^8 comparisons for a 10k-token
+    document, which is a per-row scale killer on a real corpus. No UDF,
+    no shuffle; the whole expression stays inside codegen.
     """
     grams = _word_ngrams(toks, n)
     total = F.size(grams)
-    mode = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g)),
-        )
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
     )
+
+    def step(acc: Column, x: Column) -> Column:
+        new_run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    mode = F.aggregate(F.array_sort(grams), zero, step, lambda acc: acc["best"])
     return F.when(total <= 0, F.lit(0.0)).otherwise(F.round(mode / total, 6))
 
 
