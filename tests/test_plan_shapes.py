@@ -382,3 +382,33 @@ def test_categorical_drift_shuffles_counts_not_rows(spark):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "l_returnflag" in read_schema
     assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_robust_outlier_stats_scan_bound(spark):
+    """robust_outlier_stats: localCheckpoint truncates the scalar frames'
+    lineage, so the FINAL plan scans the table at most twice (counts pass
+    + the AQE subplan); without it every downstream consumer re-derives
+    every upstream scalar (measured 10 scans — PLANS.md §22)."""
+    from jsonschema_validator_spark.operators.stats import robust_outlier_stats
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = robust_outlier_stats(df, ["l_quantity", "l_extendedprice"])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Scan parquet", plan)) <= 2
+
+
+def test_ngram_contamination_broadcast_probe_single_corpus_scan(spark):
+    """ngram_contamination (default broadcast path): the CORPUS side scans
+    once and the benchmark probe is a BroadcastHashJoin — the shape that
+    keeps the 100 TB side shuffle-free except the O(docs) count agg
+    (PLANS.md §23)."""
+    from jsonschema_validator_spark.operators.dedup import ngram_contamination
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    out = ngram_contamination(docs, bench)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    # two scans total: corpus + benchmark (same file here by construction)
+    assert _op_count(plan, "Scan parquet") == 2
