@@ -153,17 +153,20 @@ def time_executions(df, runs: int) -> list[float]:
     return ts
 
 
-def measure(df, runs: int) -> tuple[float, dict]:
-    """Median-of-N timing with spread reporting (bench hygiene: BENCH_r02's
-    1.6-1.9x phantom regressions on sub-second queries were best-of-2 noise).
-    If the spread across the first N runs exceeds 1.5x, the query is
-    re-measured with two extra runs and the median is taken over all of
-    them — a single noisy run can no longer define the reported number."""
+def time_callable(run_once, runs: int) -> list[float]:
+    ts = []
+    for _ in range(max(runs, 1)):
+        t0 = time.perf_counter()
+        run_once()
+        ts.append(time.perf_counter() - t0)
+    return ts
+
+
+def _median_with_spread(ts: list[float], retime) -> tuple[float, dict]:
     import statistics
 
-    ts = time_executions(df, runs)
     if len(ts) > 1 and min(ts) > 0 and max(ts) / min(ts) > 1.5:
-        ts += time_executions(df, 2)
+        ts += retime(2)
     return (
         round(statistics.median(ts), 4),
         {
@@ -171,6 +174,29 @@ def measure(df, runs: int) -> tuple[float, dict]:
             "max": round(max(ts), 4),
             "n": len(ts),
         },
+    )
+
+
+def measure(df, runs: int) -> tuple[float, dict]:
+    """Median-of-N timing with spread reporting (bench hygiene: BENCH_r02's
+    1.6-1.9x phantom regressions on sub-second queries were best-of-2 noise).
+    If the spread across the first N runs exceeds 1.5x, the query is
+    re-measured with two extra runs and the median is taken over all of
+    them — a single noisy run can no longer define the reported number."""
+    return _median_with_spread(
+        time_executions(df, runs), lambda n: time_executions(df, n)
+    )
+
+
+def measure_callable(run_once, runs: int) -> tuple[float, dict]:
+    """measure() for queries that execute work during PLAN BUILD (eager
+    scalar passes, snapshot-table construction): each timed run rebuilds
+    the plan and forces it, so the build-time jobs are inside the timed
+    region. Slightly overcounts (plan analysis is re-timed per run) —
+    stated in BASELINE.md; the alternative silently undercounts by the
+    whole build-time execution."""
+    return _median_with_spread(
+        time_callable(run_once, runs), lambda n: time_callable(run_once, n)
     )
 
 
@@ -305,9 +331,23 @@ def main() -> int:
     # also the first timed query, so its measurement follows its own warm-up)
     force(next(iter(qs.values()))(spark, sf_dir))
 
+    # queries whose CONSTRUCTION executes Spark jobs (checkpointed scalar
+    # passes, snapshot-table builds): timing executions of a prebuilt plan
+    # would silently exclude most of their work, so these rebuild per run
+    BUILD_EXECUTES = {
+        "column_stats_lineitem",
+        "images_stats_profile",
+        "images_checkpoint_resume",
+    }
+
     timings: dict[str, float] = {}
     spreads: dict[str, dict] = {}
     for name, fn in qs.items():
+        if name in BUILD_EXECUTES:
+            timings[name], spreads[name] = measure_callable(
+                lambda fn=fn: force(fn(spark, sf_dir)), args.runs
+            )
+            continue
         # build the plan ONCE per query (driver-side spec-compile + Catalyst
         # analysis is a per-query constant, irrelevant at the target scale);
         # time the forced end-to-end EXECUTIONS, median-of-N with spread

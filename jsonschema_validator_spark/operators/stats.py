@@ -122,9 +122,12 @@ def robust_outlier_stats(
     # localCheckpoint truncates the 1-row frames' lineage so each pass
     # scans the table exactly once — without it the final plan re-derives
     # every upstream scalar per consumer (measured 10 scans instead of 3).
+    # NOTE: even with eager=False, AQE materializes the checkpoint's query
+    # stages at construction (RDD conversion), so building this DataFrame
+    # RUNS passes 1-2 — bench.py times this operator build+execute.
     q_row = df.agg(
         *[pctl(F.col(c), [0.25, 0.5, 0.75]).alias(f"_q_{c}") for c in cols]
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # pass 2: MAD per column against the broadcast medians
     with_q = df.crossJoin(F.broadcast(q_row))
     m_row = with_q.agg(
@@ -133,7 +136,7 @@ def robust_outlier_stats(
             for c in cols
         ]
     )
-    scalars = q_row.crossJoin(m_row).localCheckpoint()  # 1x1
+    scalars = q_row.crossJoin(m_row).localCheckpoint(eager=False)  # 1x1
     # pass 3: outlier + value counts against the broadcast scalars
     with_s = df.crossJoin(F.broadcast(scalars))
     aggs = []
@@ -216,7 +219,7 @@ def robust_outlier_stats_by_group(
     )
     q_rows = base.groupBy("_g").agg(
         *[pctl(F.col(c), [0.25, 0.5, 0.75]).alias(f"_q_{c}") for c in cols]
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     with_q = base.join(F.broadcast(q_rows), "_g")
     m_rows = with_q.groupBy("_g").agg(
         *[
@@ -224,7 +227,7 @@ def robust_outlier_stats_by_group(
             for c in cols
         ]
     )
-    scalars = q_rows.join(m_rows, "_g").localCheckpoint()
+    scalars = q_rows.join(m_rows, "_g").localCheckpoint(eager=False)
     with_s = base.join(F.broadcast(scalars), "_g")
     aggs = []
     for c in cols:
