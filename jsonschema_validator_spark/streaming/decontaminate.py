@@ -50,11 +50,17 @@ def _round6(x: float) -> float:
 
 def _py_shingles(text: str, k: int) -> set:
     """Pure-Python twin of operators.dedup.word_shingles (distinct k-word
-    shingles of the canonicalized text; whole text when < k tokens)."""
-    toks = " ".join(text.lower().strip().split()).split(" ")
-    if len(toks) < k:
-        return {" ".join(toks)}
-    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    shingles of the canonicalized text; whole text when < k tokens).
+
+    Delegates to oracle._word_shingles, which replicates the JVM
+    canonicalization EXACTLY: Spark's ``trim`` strips 0x20 only (NOT tabs/
+    newlines — those collapse to a single space, leaving an empty leading/
+    trailing token) and Java ``\\s`` is ASCII-only. A ``.strip()``-based
+    twin silently diverges on tab-led documents (caught by
+    test_py_shingles_matches_jvm_word_shingles)."""
+    from jsonschema_validator_spark.oracle import _word_shingles
+
+    return set(_word_shingles(text, k))
 
 
 def benchmark_shingle_set(

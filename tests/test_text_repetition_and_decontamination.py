@@ -228,3 +228,42 @@ class TestNgramContamination:
         a = {tuple(r) for r in bcast.collect()}
         b = {tuple(r) for r in merge.collect()}
         assert a == b
+
+
+def test_py_shingles_matches_jvm_word_shingles(spark):
+    """The streaming decontamination twin computes shingles in Python
+    (_py_shingles); its batch-parity guarantee rests on that function
+    being EXACTLY operators.dedup.word_shingles. Pin the equivalence on a
+    randomized corpus covering the canonicalization edge cases (mixed
+    case, repeated/mixed whitespace incl. tabs+newlines, short docs,
+    empty, unicode)."""
+    import random
+
+    from jsonschema_validator_spark.operators.dedup import word_shingles
+    from jsonschema_validator_spark.streaming.decontaminate import _py_shingles
+
+    rng = random.Random(4242)
+    words = ["Alpha", "beta", "GAMMA", "δέλτα", "e", "Zeta42", "##", "x-y"]
+    seps = [" ", "  ", "\t", " \t ", "\n", "   "]
+    texts = [""]
+    for _ in range(200):
+        k = rng.randint(1, 12)
+        toks = [rng.choice(words) for _ in range(k)]
+        t = seps[0].join(toks)
+        # random leading/trailing + internal separator noise
+        t = rng.choice(["", " ", "\t"]) + t + rng.choice(["", "  ", "\n"])
+        t = t.replace(" ", rng.choice(seps), rng.randint(0, 3))
+        texts.append(t)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    for k in (3, 5):
+        got = {
+            r["i"]: set(r["sh"])
+            for r in df.select(
+                "i", word_shingles(F.col("text"), k).alias("sh")
+            ).collect()
+        }
+        exp = {i: _py_shingles(t, k) for i, t in enumerate(texts)}
+        assert got == exp, f"k={k}"
