@@ -298,29 +298,35 @@ def q_documents_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds 2-3: same operators, same oracle expressions, one scan instead
     of four — and it frees driver-gate slots (the driver verifies at most
     50 queries). Round 4 adds the Gopher-style repetition signals
-    (top_{1,2,3}gram_frac — text.repetition_struct) to the same
-    projection: still one scan, still pure codegen Column algebra."""
+    (top_{1,2,3}gram_frac — text.with_repetition_columns) via STAGED
+    projections: the inline struct form recomputes the tokenize/gram
+    subtrees per field and, because higher-order functions are
+    CodegenFallback, gets no CSE — measured 17 s vs ~1.5 s staged on the
+    sf0.1 corpus. Still one scan, zero shuffles (stacked map-stage
+    projections)."""
     from jsonschema_validator_spark.operators.dedup import _norm
     from jsonschema_validator_spark.operators.text import (
         bpe_ish_token_count,
         langid_struct,
         quality_struct,
-        repetition_struct,
         whitespace_token_count,
+        with_repetition_columns,
     )
 
     df = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    return df.select(
+    base = df.select(
         "doc_id",
+        "text",
         whitespace_token_count(t).alias("n_ws_tokens"),
         bpe_ish_token_count(t).alias("n_bpe_tokens"),
         quality_struct(t).alias("_q"),
-        repetition_struct(t).alias("_r"),
         langid_struct(t)["predicted_lang"].alias("predicted_lang"),
         F.substring(F.md5(_norm(t)), 1, 16).alias("fingerprint"),
-    ).select(
-        "doc_id", "n_ws_tokens", "n_bpe_tokens", "_q.*", "_r.*",
+    )
+    return with_repetition_columns(base, "text").select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens", "_q.*",
+        "top_1gram_frac", "top_2gram_frac", "top_3gram_frac",
         "predicted_lang", "fingerprint",
     )
 

@@ -88,6 +88,35 @@ class TestRepetitionMetrics:
         ]
         assert _rep_rows(spark, texts) == expected
 
+    def test_staged_matches_inline_struct_and_never_shuffles(self, spark):
+        # with_repetition_columns is the hot-path twin of repetition_struct:
+        # identical values, staged projections instead of one duplicated
+        # expression tree (the inline form loses codegen CSE via the HOF
+        # CodegenFallback and re-evaluates the tokenize/gram subtrees —
+        # measured ~13x slower at sf0.1). Values must match exactly and the
+        # plan must stay a pure map stage (no Exchange).
+        from jsonschema_validator_spark.operators.text import (
+            with_repetition_columns,
+        )
+
+        texts = [
+            "a b a b a b", "x y z", "q q q q", "w", "",
+            "buy now " * 50, "  A a  ", "the cat sat on the mat the cat",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+        )
+        staged = with_repetition_columns(df, "text")
+        inline = df.select(
+            "doc_id", "text", repetition_struct(F.col("text")).alias("_r")
+        ).select("doc_id", "text", "_r.*")
+        assert (
+            staged.orderBy("doc_id").collect()
+            == inline.orderBy("doc_id").collect()
+        )
+        plan = staged._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
 
 class TestNgramContamination:
     def _docs(self, spark):
