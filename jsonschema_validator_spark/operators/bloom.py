@@ -1,0 +1,253 @@
+"""Distributed Bloom filter in pure DataFrame algebra + incremental dedup.
+
+Training-pipeline addition (not in the reference — SURVEY.md §2.5 scope
+extension mandated by the build brief): deduplicate a NEW crawl increment
+against an existing, much larger "seen" corpus without anti-joining every
+increment against the full corpus key set.
+
+Why not ``df.stat.bloomFilter``: Spark's sketch builds the filter
+distributed but returns it to the DRIVER as a JVM object that PySpark can
+only probe row-at-a-time driver-side — useless in a plan. This module
+keeps the filter IN the data plane as a one-row-per-word bitmap frame
+(``word_idx bigint, bits bigint``), so both build and probe are ordinary
+DataFrame ops that Catalyst/AQE can plan, broadcast, and re-use.
+
+Shapes (all bounded, never quadratic):
+- build: one scan of ``seen`` → k probe positions per key (explode of a
+  k-element literal array, k ≈ 7) → ``groupBy(word_idx).agg(bit_or)``.
+  Partial aggregation collapses each map task to at most
+  ``min(rows·k, m/64)`` distinct words before the exchange, so the
+  shuffle is bounded by the bitmap size per task — the same cost profile
+  as the classic ``treeAggregate`` bitmap build, expressed declaratively.
+- probe: k-row explode of the increment's keys → equi-join on
+  ``word_idx`` against the bitmap frame (broadcast when it fits — 1 M
+  keys @1 % ≈ 150k words ≈ 2.3 MB; AQE decides otherwise) →
+  ``groupBy(key).agg(bool_and(bit set))``.
+- incremental dedup: bloom-miss rows are DEFINITELY new (Bloom filters
+  have no false negatives) and skip the corpus entirely; only the
+  maybe-seen sliver (|new ∩ seen| + fpp·|new| rows) pays the exact
+  anti-join against ``seen``. At 100 TB with a mostly-fresh increment
+  this turns a full-corpus shuffle into a tiny one.
+
+Merge: two bitmaps with identical (m, k) OR together row-wise —
+``merge_blooms`` — so per-shard / per-day filters compose, same algebra
+as the HLL and t-digest families in this repo.
+
+Determinism: probe positions come from ``xxhash64(key, seed)`` with fixed
+integer seeds, so filters are reproducible across runs and portable to the
+pure-Python xxh64 twin used by the golden-oracle tests (xxh64.py).
+
+NULL keys: ``xxhash64`` skips NULL inputs, so every NULL key collapses to
+the per-seed hash of the seed alone — i.e. NULL behaves as one ordinary
+(shared) key value. Filter NULLs out beforehand if that is not wanted.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class BloomFrame:
+    """A Bloom filter living in the data plane.
+
+    ``words``: DataFrame ``(word_idx bigint, bits bigint)`` — only words
+    with at least one set bit are present (sparse). ``m``: total bits
+    (multiple of 64). ``k``: number of hash probes per key.
+    """
+
+    words: DataFrame
+    m: int
+    k: int
+
+    @property
+    def n_words(self) -> int:
+        return self.m // 64
+
+
+def optimal_params(expected_items: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: m = -n·ln p / (ln 2)², k = (m/n)·ln 2.
+
+    m is rounded UP to a multiple of 64 (whole words); k is clamped to
+    ≥ 1. Raises on a non-positive n or p outside (0, 1).
+    """
+    if expected_items <= 0:
+        raise ValueError(f"expected_items must be positive, got {expected_items}")
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    m = int(math.ceil(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round((m / expected_items) * math.log(2)))
+    return m, k
+
+
+def _probe_words(key: Column, m: int, k: int) -> Column:
+    """array<struct<word_idx,mask>> of the k probe positions for ``key``.
+
+    Position_i = pmod(xxhash64(key, i), m); the struct splits it into the
+    64-bit word index and the single-bit mask for that word. Pure Column
+    algebra — the SQL form of shiftleft accepts a column shift amount
+    (the pyspark ``F.shiftleft`` wrapper does not).
+    """
+    probes = []
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m))
+        probes.append(
+            F.struct(
+                F.floor(pos / 64).cast("long").alias("word_idx"),
+                F.pmod(pos, F.lit(64)).cast("int").alias("bit"),
+            )
+        )
+    return F.array(*probes)
+
+
+def bloom_build(
+    seen: DataFrame,
+    key_col: str,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    m: int | None = None,
+    k: int | None = None,
+) -> BloomFrame:
+    """Build a Bloom filter over ``seen[key_col]`` as a bitmap frame.
+
+    Sizing comes from (``expected_items``, ``fpp``) via
+    :func:`optimal_params`, or pass (``m``, ``k``) directly. When
+    ``expected_items`` is None and no explicit m/k are given, the builder
+    counts ``seen`` first (one metadata-cheap job on parquet sources) —
+    at production scale prefer passing the known approximate count.
+
+    ONE scan of ``seen``; shuffle bounded by min(rows·k, m/64) rows per
+    map task (see module docstring).
+    """
+    if m is None or k is None:
+        n = expected_items if expected_items is not None else seen.count()
+        m, k = optimal_params(n, fpp)
+    if m % 64 != 0 or m <= 0 or k <= 0:
+        raise ValueError(f"m must be a positive multiple of 64 and k >= 1, got m={m} k={k}")
+    probes = _probe_words(F.col(key_col), m, k)
+    words = (
+        seen.select(F.explode(probes).alias("p"))
+        .select(
+            F.col("p.word_idx").alias("word_idx"),
+            F.expr("shiftleft(1L, p.bit)").alias("_mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_mask").alias("bits"))
+    )
+    return BloomFrame(words=words, m=m, k=k)
+
+
+def merge_blooms(a: BloomFrame, b: BloomFrame) -> BloomFrame:
+    """OR two filters with identical (m, k) — the mergeable-sketch algebra
+    (same shape as merge_hll_sketches): union the word frames, bit_or per
+    word. Raises on parameter mismatch (the bitmaps are not comparable)."""
+    if (a.m, a.k) != (b.m, b.k):
+        raise ValueError(
+            f"cannot merge blooms with different params: (m={a.m},k={a.k}) vs (m={b.m},k={b.k})"
+        )
+    words = (
+        a.words.unionByName(b.words)
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    return BloomFrame(words=words, m=a.m, k=a.k)
+
+
+def bloom_might_contain(
+    items: DataFrame,
+    bloom: BloomFrame,
+    key_col: str,
+    flag_col: str = "might_contain",
+    broadcast_words: bool | None = None,
+) -> DataFrame:
+    """Append ``flag_col``: true iff ALL k probe bits are set (maybe seen),
+    false iff ANY probe bit is clear (DEFINITELY not in the build set).
+
+    Probe = k-row explode → equi-join on word_idx → bool_and per key.
+    ``broadcast_words``: None lets AQE pick (with a broadcast hint when
+    m/64 ≤ 4M words ≈ 64 MB); True/False force it. The join is a LEFT
+    join from probes: an absent word means those bits were never set →
+    probe misses (coalesce false).
+
+    Rows are keyed by an internal monotonic id, so duplicate and NULL
+    ``key_col`` values survive the round-trip unchanged.
+    """
+    wid = "_bloom_row_id"
+    with_id = items.withColumn(wid, F.monotonically_increasing_id())
+    probes = with_id.select(
+        wid, F.explode(_probe_words(F.col(key_col), bloom.m, bloom.k)).alias("p")
+    ).select(
+        wid,
+        F.col("p.word_idx").alias("word_idx"),
+        F.expr("shiftleft(1L, p.bit)").alias("_mask"),
+    )
+    words = bloom.words
+    if broadcast_words is True or (
+        broadcast_words is None and bloom.n_words <= 4_000_000
+    ):
+        words = F.broadcast(words)
+    hits = (
+        probes.join(words, "word_idx", "left")
+        .select(
+            wid,
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_mask")) != 0).alias(
+                "_hit"
+            ),
+        )
+        .groupBy(wid)
+        .agg(F.bool_and("_hit").alias(flag_col))
+    )
+    return with_id.join(hits, wid, "left").drop(wid)
+
+
+def incremental_new_rows(
+    new: DataFrame,
+    seen: DataFrame,
+    key_col: str,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    bloom: BloomFrame | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Rows of ``new`` whose ``key_col`` is NOT present in ``seen`` —
+    the incremental-crawl dedup primitive.
+
+    Two phases:
+    1. Bloom probe — bloom-miss rows are definitely new (no false
+       negatives) and never touch ``seen`` again.
+    2. Exact anti-join — ONLY the maybe-seen sliver (true matches +
+       fpp·|new| false positives) joins against ``seen[key_col]``,
+       removing the false positives. Result is exact.
+
+    Pass a prebuilt/merged ``bloom`` to amortize the build across many
+    increments (the intended production pattern: build once per corpus
+    snapshot, probe per increment).
+
+    Honest scale note on phase 2: the anti-join's RIGHT side is still the
+    full seen key column (a left-anti build side cannot be pruned by the
+    left), so it shuffles — but it is the column-pruned key alone, ~1000×
+    narrower than the corpus, and the LEFT side shrinks from |new| to the
+    maybe sliver. ``exact=False`` skips phase 2 entirely and returns only
+    bloom-miss rows: the probe never touches ``seen`` at all (pure
+    broadcast lookup), at the cost of wrongly dropping ~fpp of the
+    genuinely-new rows — the standard at-scale trade when increments
+    outnumber corpus snapshots.
+
+    With ``exact=True`` the output is exactly
+    ``new.join(seen, key_col, 'left_anti')`` — pinned by tests — modulo
+    row order.
+    """
+    if bloom is None:
+        bloom = bloom_build(seen, key_col, expected_items=expected_items, fpp=fpp)
+    flagged = bloom_might_contain(new, bloom, key_col, flag_col="_maybe_seen")
+    definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    if not exact:
+        return definitely_new
+    maybe = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    verified_new = maybe.join(seen.select(key_col), key_col, "left_anti")
+    return definitely_new.unionByName(verified_new)

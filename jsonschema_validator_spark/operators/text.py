@@ -13,7 +13,9 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny built-in stopword lexicons for the langid heuristic
@@ -116,7 +118,9 @@ def _top_ngram_frac(toks: Column, n: int) -> Column:
     The obvious nested transform/filter form is O(n²) string comparisons
     per row — trivial on test docs but ~10^8 comparisons for a 10k-token
     document, which is a per-row scale killer on a real corpus. No UDF,
-    no shuffle; the whole expression stays inside codegen.
+    no shuffle. NOTE: higher-order functions are CodegenFallback, so the
+    containing projection is interpreted — callers must not duplicate the
+    gram subtrees (see :func:`with_repetition_columns` / PLANS.md §24).
     """
     grams = _word_ngrams(toks, n)
     total = F.size(grams)
@@ -356,3 +360,122 @@ def fingerprint(
         t = F.regexp_replace(F.lower(F.trim(t)), _WS, " ")
     fp = F.substring(F.md5(t), 1, 16)
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def corpus_token_budget(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("lang", "source"),
+    text_col: str = "text",
+    tokenizer: str = "whitespace",
+) -> DataFrame:
+    """Training-mix planning rollup: token budget per group.
+
+    For each combination of ``group_cols`` (e.g. language × source):
+    document count, token sum, token share of the corpus, and the
+    cumulative share when groups are ranked by size (``cum_share`` — read
+    off "the top-p coverage" directly: the first row with cum_share ≥ p).
+    Deterministic total order: share DESC, then group columns ASC.
+
+    Output: ``*group_cols, n_docs, n_tokens, token_share, cum_share``
+    (shares rounded to 6 dp, HALF_UP-free: plain ROUND over exact long
+    sums is engine-portable).
+
+    Scale shape: tokens are counted in the map stage (pure Column
+    algebra), then ONE partial-aggregated groupBy over the group keys —
+    group cardinality is tiny by construction (langs × sources), so the
+    window over the grouped frame is a single-partition window over a few
+    hundred rows, not over the corpus. One scan, one exchange.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    t = F.col(text_col)
+    if tokenizer == "whitespace":
+        n_tok = whitespace_token_count(t)
+    elif tokenizer == "bpe-ish":
+        n_tok = bpe_ish_token_count(t)
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r} (whitespace | bpe-ish)")
+    grouped = (
+        df.select(*group_cols, n_tok.alias("_n_tok"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n_tok").alias("n_tokens"),
+        )
+    )
+    order = [F.desc("n_tokens")] + [F.asc(c) for c in group_cols]
+    w_total = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy(*order)
+    return (
+        grouped.withColumn("_total", F.sum("n_tokens").over(w_total))
+        .select(
+            *group_cols,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_total"), 6).alias("token_share"),
+            F.round(
+                F.sum("n_tokens").over(w_cum) / F.col("_total"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy(*order)
+    )
+
+
+def quality_retention_curve(
+    df: DataFrame,
+    thresholds: Sequence[float],
+    text_col: str = "text",
+    score_col: Optional[str] = None,
+) -> DataFrame:
+    """Threshold-sweep retention curve for curation planning: for each
+    candidate quality threshold, how many documents and tokens survive
+    ``quality_score >= threshold``.
+
+    Output: ``threshold, n_docs, n_tokens, doc_retention, token_retention``
+    (retentions = fraction of the UNFILTERED corpus, 6 dp), one row per
+    requested threshold, ascending. ``score_col`` reuses a precomputed
+    score column; otherwise the score is computed inline via
+    :func:`quality_struct`.
+
+    Scale shape: ONE scan — every threshold is a conditional aggregate
+    over the same pass (``sum(when(score >= t, ...))``), so sweeping 20
+    thresholds costs the same scan as one. No shuffle beyond the single
+    global-aggregate reduction; the per-threshold rows are exploded from
+    the 1-row aggregate.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    ts = sorted(set(float(t) for t in thresholds))
+    score = (
+        F.col(score_col)
+        if score_col is not None
+        else quality_struct(F.col(text_col))["quality_score"]
+    )
+    n_tok = whitespace_token_count(F.col(text_col))
+    base = df.select(score.alias("_score"), n_tok.alias("_n_tok"))
+    aggs = [
+        F.count(F.lit(1)).alias("_docs_all"),
+        F.coalesce(F.sum("_n_tok"), F.lit(0)).alias("_toks_all"),
+    ]
+    for i, t in enumerate(ts):
+        keep = F.col("_score") >= F.lit(t)
+        aggs.append(F.sum(keep.cast("long")).alias(f"_d{i}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(keep, F.col("_n_tok"))), F.lit(0)).alias(f"_t{i}")
+        )
+    row = base.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(t).alias("threshold"),
+            F.col(f"_d{i}").alias("n_docs"),
+            F.col(f"_t{i}").alias("n_tokens"),
+            F.round(F.col(f"_d{i}") / F.greatest(F.col("_docs_all"), F.lit(1)), 6).alias(
+                "doc_retention"
+            ),
+            F.round(
+                F.col(f"_t{i}") / F.greatest(F.col("_toks_all"), F.lit(1)), 6
+            ).alias("token_retention"),
+        )
+        for i, t in enumerate(ts)
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
