@@ -696,3 +696,125 @@ def audio_features(
             )
 
     return sel.mapInPandas(run, schema=schema)
+
+
+def image_quality_metrics(
+    df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Curation-oriented per-image quality metrics over decoded pixels —
+    the image-side twin of text.quality_struct: signals that GATE images
+    for a training set rather than describe them (that is
+    :func:`image_features`' job).
+
+    Output per decodable image:
+    - ``sharpness``: variance of the 3x3 Laplacian of the grayscale —
+      the standard blur detector (flat or defocused images ~ 0).
+    - ``entropy``: Shannon entropy of the 256-bin grayscale histogram in
+      bits (0 for a constant image, ~8 for uniform noise).
+    - ``clip_low_frac`` / ``clip_high_frac``: fraction of pixels at the
+      0 / 255 rails — under/over-exposure detectors.
+    - ``colorfulness``: Hasler–Süsstrunk metric (std/mean magnitude of
+      the rg/yb opponent axes); 0 for pure grayscale content.
+    - ``dynamic_range``: (max - min) of the grayscale, 0..255.
+
+    Undecodable payloads are dropped (decode violations are
+    :func:`image_invariant_violations`'s job). All numpy-vectorized per
+    image inside Arrow-batched mapInPandas — a pure map stage with no
+    shuffle at any scale; values rounded to 1e-6 for cross-engine
+    comparability.
+    """
+    from jsonschema_validator_spark.sources.codecs import decode_image
+
+    sel = df.select(F.col(id_col).alias("image_id"), F.col(bytes_col).alias("bytes"))
+    schema = (
+        "image_id string, sharpness double, entropy double, "
+        "clip_low_frac double, clip_high_frac double, colorfulness double, "
+        "dynamic_range double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data in zip(b["image_id"], b["bytes"]):
+                try:
+                    px = decode_image(bytes(data)).astype(np.float64)
+                except ValueError:
+                    continue
+                gray = px.mean(axis=2)
+                h, w = gray.shape
+                if h >= 3 and w >= 3:
+                    lap = (
+                        -4.0 * gray[1:-1, 1:-1]
+                        + gray[:-2, 1:-1]
+                        + gray[2:, 1:-1]
+                        + gray[1:-1, :-2]
+                        + gray[1:-1, 2:]
+                    )
+                    sharpness = float(lap.var())
+                else:
+                    sharpness = 0.0
+                hist, _ = np.histogram(gray, bins=256, range=(0.0, 256.0))
+                p = hist[hist > 0] / gray.size
+                entropy = float(-(p * np.log2(p)).sum())
+                clip_low = float((gray <= 0.0).mean())
+                clip_high = float((gray >= 255.0).mean())
+                r, g, bl = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+                rg = r - g
+                yb = 0.5 * (r + g) - bl
+                std_root = float(np.sqrt(rg.std() ** 2 + yb.std() ** 2))
+                mean_root = float(np.sqrt(rg.mean() ** 2 + yb.mean() ** 2))
+                colorfulness = std_root + 0.3 * mean_root
+                rows.append(
+                    (
+                        iid,
+                        round(sharpness, 6),
+                        round(entropy, 6),
+                        round(clip_low, 6),
+                        round(clip_high, 6),
+                        round(colorfulness, 6),
+                        round(float(gray.max() - gray.min()), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "sharpness", "entropy", "clip_low_frac",
+                    "clip_high_frac", "colorfulness", "dynamic_range",
+                ],
+            )
+
+    return sel.mapInPandas(run, schema=schema)
+
+
+def image_quality_gate(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    min_sharpness: float = 10.0,
+    min_entropy: float = 1.0,
+    max_clip_frac: float = 0.5,
+    min_dynamic_range: float = 16.0,
+) -> DataFrame:
+    """Keep/drop verdict per image from :func:`image_quality_metrics`,
+    with per-signal flag columns (the text curation funnel's flag-column
+    design: one annotated projection, stats derivable without re-scans).
+
+    Output: ``image_id, <metrics...>, flag_blurry, flag_low_entropy,
+    flag_clipped, flag_flat, keep`` — ``keep`` is true iff no flag fires.
+    Pure Column algebra over the metrics frame (one decode pass total).
+    """
+    m = image_quality_metrics(df, id_col=id_col, bytes_col=bytes_col)
+    flag_blurry = F.col("sharpness") < min_sharpness
+    flag_low_entropy = F.col("entropy") < min_entropy
+    flag_clipped = (
+        F.greatest(F.col("clip_low_frac"), F.col("clip_high_frac")) > max_clip_frac
+    )
+    flag_flat = F.col("dynamic_range") < min_dynamic_range
+    return m.select(
+        "*",
+        flag_blurry.alias("flag_blurry"),
+        flag_low_entropy.alias("flag_low_entropy"),
+        flag_clipped.alias("flag_clipped"),
+        flag_flat.alias("flag_flat"),
+        (~(flag_blurry | flag_low_entropy | flag_clipped | flag_flat)).alias("keep"),
+    )
