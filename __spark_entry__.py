@@ -107,11 +107,30 @@ def q_column_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quantiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantile values (value-parity vs DuckDB quantile_cont) AND
+    the percentile_approx scale-path gate in ONE slot: each approx
+    quantile must land within 0.5% relative error of the exact percentile
+    (accuracy=10000 ⇒ rank error ≤1e-4; deterministic for fixed input, so
+    the booleans are oracle-stable). Merged from the former
+    quantiles_approx_accuracy query to free a driver-gate slot (the
+    driver verifies at most 50 queries)."""
     from jsonschema_validator_spark.operators.stats import numeric_quantiles
 
     df = _t(spark, sf_dir, "lineitem")
-    q = numeric_quantiles(df, ["l_extendedprice"], (0.25, 0.5, 0.75), exact=True)
-    return q.select("column", "p", F.round("value", 6).alias("value"))
+    probs = (0.25, 0.5, 0.75)
+    exact = numeric_quantiles(df, ["l_extendedprice"], probs, exact=True)
+    approx = numeric_quantiles(df, ["l_extendedprice"], probs, exact=False)
+    j = exact.withColumnRenamed("value", "_e").join(
+        approx.withColumnRenamed("value", "_a"), ["column", "p"]
+    )
+    return j.select(
+        "column",
+        "p",
+        F.round("_e", 6).alias("value"),
+        (F.abs(F.col("_a") - F.col("_e")) / F.abs(F.col("_e")) <= 0.005).alias(
+            "approx_within_tol"
+        ),
+    )
 
 
 def q_duplicate_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,27 +168,17 @@ def q_ref_verdict_lineitem_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_quantiles_approx_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The percentile_approx scale path under the driver gate: each approx
-    quantile must land within 0.5% relative error of the exact percentile
-    (accuracy=10000 ⇒ rank error ≤1e-4; both are deterministic for fixed
-    input, so the booleans are oracle-stable as a VALUES table)."""
-    from jsonschema_validator_spark.operators.stats import numeric_quantiles
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planning rollup (text.corpus_token_budget): token
+    budget per lang x source with corpus share and cumulative coverage
+    ranked by size. One scan, one exchange; the share/cumulative windows
+    run over the tiny grouped frame (97 groups at sf0.01), never the
+    corpus. Oracle: the identical rollup in DuckDB SQL (regexp_split
+    token count, window shares)."""
+    from jsonschema_validator_spark.operators.text import corpus_token_budget
 
-    df = _t(spark, sf_dir, "lineitem")
-    probs = (0.25, 0.5, 0.75)
-    approx = numeric_quantiles(df, ["l_extendedprice"], probs, exact=False)
-    exact = numeric_quantiles(df, ["l_extendedprice"], probs, exact=True)
-    j = approx.withColumnRenamed("value", "_a").join(
-        exact.withColumnRenamed("value", "_e"), ["column", "p"]
-    )
-    return j.select(
-        "column",
-        "p",
-        (F.abs(F.col("_a") - F.col("_e")) / F.abs(F.col("_e")) <= 0.005).alias(
-            "within_tol"
-        ),
-    )
+    df = _t(spark, sf_dir, "documents")
+    return corpus_token_budget(df, ("lang", "source"))
 
 
 def q_tdigest_quantiles_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1145,8 +1154,12 @@ def q_images_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal pipeline): channel means, grayscale std, brightness and
     gradient edge-energy per decoded image, Arrow-batched numpy — over the
     deterministic 1-in-8 id slice (500 images; the slice's residues dodge
-    every synth injection, so all selected rows decode). Oracle: the
-    independent pandas/numpy re-implementation (oracle.feature_rows)."""
+    every synth injection, so all selected rows decode). Late round 4 adds
+    the six curation quality metrics (Laplacian-variance sharpness,
+    histogram entropy, clip fractions, colorfulness, dynamic range —
+    multimodal.image_quality_metrics) computed in the SAME decode pass.
+    Oracle: the independent pandas/numpy re-implementation
+    (oracle.feature_rows)."""
     from jsonschema_validator_spark.operators.multimodal import image_features
 
     df = _images(spark)
@@ -1157,7 +1170,7 @@ def q_images_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         )
     )
-    return image_features(sel).orderBy("image_id")
+    return image_features(sel, include_quality=True).orderBy("image_id")
 
 
 _PHASH_PLANT_STEP = 200  # planted variant every 200th row, offset 9
@@ -1431,7 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_stats_lineitem": q_column_stats_lineitem,
         "quantiles_extendedprice": q_quantiles_extendedprice,
         "hll_distinct_accuracy": q_hll_distinct_accuracy,
-        "quantiles_approx_accuracy": q_quantiles_approx_accuracy,
+        "corpus_token_budget": q_corpus_token_budget,
         "tdigest_quantiles_accuracy": q_tdigest_quantiles_accuracy,
         "duplicate_orderkeys": q_duplicate_orderkeys,
         "uniqueness_salted_verdict": q_uniqueness_salted_verdict,
@@ -1610,11 +1623,38 @@ LATERAL (SELECT
 _QUANTILES_SQL = "\nUNION ALL\n".join(
     f"""
 SELECT 'l_extendedprice' AS "column", CAST({p} AS DOUBLE) AS p,
-       round(CAST(quantile_cont(l_extendedprice, {p}) AS DOUBLE), 6) AS value
+       round(CAST(quantile_cont(l_extendedprice, {p}) AS DOUBLE), 6) AS value,
+       TRUE AS approx_within_tol
 FROM lineitem
 """
     for p in [0.25, 0.5, 0.75]
 )
+
+# corpus_token_budget oracle: identical rollup — whitespace token count
+# (empty-after-trim => 0; NULL text => NULL, skipped by sum on both
+# engines), per-(lang, source) sums, share + cumulative share over the
+# size-desc / group-asc total order (ROWS frame == Spark's RANGE frame
+# because the order is total).
+_TOKEN_BUDGET_SQL = r"""
+WITH tok AS (
+  SELECT lang, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+  FROM documents
+), g AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_tokens,
+       round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share,
+       round(sum(n_tokens) OVER (ORDER BY n_tokens DESC, lang ASC, source ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS cum_share
+FROM g
+ORDER BY n_tokens DESC, lang ASC, source ASC
+"""
 
 _DUP_KEYS_SQL = """
 SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_dup
@@ -2344,9 +2384,12 @@ def _image_oracles() -> dict[str, str]:
         "images_feature_extract": o.values_sql(
             o.feature_rows(n),
             ["image_id", "f_w", "f_h", "mean_r", "mean_g", "mean_b",
-             "std_gray", "brightness", "edge_energy"],
+             "std_gray", "brightness", "edge_energy",
+             "sharpness", "entropy", "clip_low_frac", "clip_high_frac",
+             "colorfulness", "dynamic_range"],
             ["VARCHAR", "INT", "INT", "DOUBLE", "DOUBLE", "DOUBLE",
-             "DOUBLE", "DOUBLE", "DOUBLE"],
+             "DOUBLE", "DOUBLE", "DOUBLE",
+             "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE"],
         ),
         # golden oracle: the planted pair set (dup id sorts before img id;
         # hamming == number of flipped bits, distinct by construction)
@@ -2581,10 +2624,7 @@ def oracle_sql() -> dict[str, str]:
 SELECT "column", TRUE AS approx_within_tol, TRUE AS merged_sketch_within_tol
 FROM (VALUES ('l_orderkey'), ('l_suppkey')) AS t("column")
 """,
-        "quantiles_approx_accuracy": """
-SELECT 'l_extendedprice' AS "column", CAST(p AS DOUBLE) AS p, TRUE AS within_tol
-FROM (VALUES (0.25), (0.5), (0.75)) AS t(p)
-""",
+        "corpus_token_budget": _TOKEN_BUDGET_SQL,
         "tdigest_quantiles_accuracy": """
 SELECT 'l_extendedprice' AS "column", CAST(p AS DOUBLE) AS p, TRUE AS within_tol
 FROM (VALUES (0.25), (0.5), (0.75)) AS t(p)

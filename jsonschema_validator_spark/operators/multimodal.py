@@ -450,7 +450,10 @@ def psnr_vs_reference(
 
 
 def image_features(
-    df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    include_quality: bool = False,
 ) -> DataFrame:
     """Feature extraction over decoded pixels (the feature-extract stage of
     the brief's multimodal pipeline): per image, channel means, grayscale
@@ -460,15 +463,32 @@ def image_features(
     :func:`image_invariant_violations`'s job, not this operator's).
 
     Output: ``image_id, f_w, f_h, mean_r, mean_g, mean_b, std_gray,
-    brightness, edge_energy``.
+    brightness, edge_energy``. ``include_quality=True`` appends the six
+    :func:`image_quality_metrics` columns computed in the SAME decode
+    pass (one decode per image, never two) — identical values to the
+    standalone operator (shared ``_quality_stats``).
     """
     from jsonschema_validator_spark.sources.codecs import decode_image
 
     sel = df.select(F.col(id_col).alias("image_id"), F.col(bytes_col).alias("bytes"))
+    base_cols = [
+        "image_id", "f_w", "f_h", "mean_r", "mean_g", "mean_b",
+        "std_gray", "brightness", "edge_energy",
+    ]
+    quality_cols = [
+        "sharpness", "entropy", "clip_low_frac", "clip_high_frac",
+        "colorfulness", "dynamic_range",
+    ]
+    cols = base_cols + (quality_cols if include_quality else [])
     schema = (
         "image_id string, f_w int, f_h int, mean_r double, mean_g double, "
         "mean_b double, std_gray double, brightness double, edge_energy double"
     )
+    if include_quality:
+        schema += (
+            ", sharpness double, entropy double, clip_low_frac double, "
+            "clip_high_frac double, colorfulness double, dynamic_range double"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -482,26 +502,21 @@ def image_features(
                 gray = px.mean(axis=2)
                 gx = np.abs(np.diff(gray, axis=1)).mean() if w > 1 else 0.0
                 gy = np.abs(np.diff(gray, axis=0)).mean() if h > 1 else 0.0
-                rows.append(
-                    (
-                        iid,
-                        int(w),
-                        int(h),
-                        round(float(px[:, :, 0].mean()), 6),
-                        round(float(px[:, :, 1].mean()), 6),
-                        round(float(px[:, :, 2].mean()), 6),
-                        round(float(gray.std()), 6),
-                        round(float(gray.mean() / 255.0), 6),
-                        round(float(gx + gy), 6),
-                    )
+                row = (
+                    iid,
+                    int(w),
+                    int(h),
+                    round(float(px[:, :, 0].mean()), 6),
+                    round(float(px[:, :, 1].mean()), 6),
+                    round(float(px[:, :, 2].mean()), 6),
+                    round(float(gray.std()), 6),
+                    round(float(gray.mean() / 255.0), 6),
+                    round(float(gx + gy), 6),
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "image_id", "f_w", "f_h", "mean_r", "mean_g", "mean_b",
-                    "std_gray", "brightness", "edge_energy",
-                ],
-            )
+                if include_quality:
+                    row = row + _quality_stats(px, gray)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
 
     return sel.mapInPandas(run, schema=schema)
 
@@ -698,6 +713,44 @@ def audio_features(
     return sel.mapInPandas(run, schema=schema)
 
 
+def _quality_stats(px: np.ndarray, gray: np.ndarray) -> tuple:
+    """(sharpness, entropy, clip_low, clip_high, colorfulness,
+    dynamic_range) for float64 pixels — shared by image_quality_metrics
+    and image_features(include_quality=True) so both emit bit-identical
+    values (the oracle mirrors this exact operation order)."""
+    h, w = gray.shape
+    if h >= 3 and w >= 3:
+        lap = (
+            -4.0 * gray[1:-1, 1:-1]
+            + gray[:-2, 1:-1]
+            + gray[2:, 1:-1]
+            + gray[1:-1, :-2]
+            + gray[1:-1, 2:]
+        )
+        sharpness = float(lap.var())
+    else:
+        sharpness = 0.0
+    hist, _ = np.histogram(gray, bins=256, range=(0.0, 256.0))
+    p = hist[hist > 0] / gray.size
+    entropy = float(-(p * np.log2(p)).sum())
+    clip_low = float((gray <= 0.0).mean())
+    clip_high = float((gray >= 255.0).mean())
+    r, g, bl = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    rg = r - g
+    yb = 0.5 * (r + g) - bl
+    colorfulness = float(
+        np.sqrt(rg.std() ** 2 + yb.std() ** 2)
+    ) + 0.3 * float(np.sqrt(rg.mean() ** 2 + yb.mean() ** 2))
+    return (
+        round(sharpness, 6),
+        round(entropy, 6),
+        round(clip_low, 6),
+        round(clip_high, 6),
+        round(colorfulness, 6),
+        round(float(gray.max() - gray.min()), 6),
+    )
+
+
 def image_quality_metrics(
     df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
 ) -> DataFrame:
@@ -741,40 +794,7 @@ def image_quality_metrics(
                 except ValueError:
                     continue
                 gray = px.mean(axis=2)
-                h, w = gray.shape
-                if h >= 3 and w >= 3:
-                    lap = (
-                        -4.0 * gray[1:-1, 1:-1]
-                        + gray[:-2, 1:-1]
-                        + gray[2:, 1:-1]
-                        + gray[1:-1, :-2]
-                        + gray[1:-1, 2:]
-                    )
-                    sharpness = float(lap.var())
-                else:
-                    sharpness = 0.0
-                hist, _ = np.histogram(gray, bins=256, range=(0.0, 256.0))
-                p = hist[hist > 0] / gray.size
-                entropy = float(-(p * np.log2(p)).sum())
-                clip_low = float((gray <= 0.0).mean())
-                clip_high = float((gray >= 255.0).mean())
-                r, g, bl = px[:, :, 0], px[:, :, 1], px[:, :, 2]
-                rg = r - g
-                yb = 0.5 * (r + g) - bl
-                std_root = float(np.sqrt(rg.std() ** 2 + yb.std() ** 2))
-                mean_root = float(np.sqrt(rg.mean() ** 2 + yb.mean() ** 2))
-                colorfulness = std_root + 0.3 * mean_root
-                rows.append(
-                    (
-                        iid,
-                        round(sharpness, 6),
-                        round(entropy, 6),
-                        round(clip_low, 6),
-                        round(clip_high, 6),
-                        round(colorfulness, 6),
-                        round(float(gray.max() - gray.min()), 6),
-                    )
-                )
+                rows.append((iid, *_quality_stats(px, gray)))
             yield pd.DataFrame(
                 rows,
                 columns=[

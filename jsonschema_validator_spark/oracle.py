@@ -576,6 +576,29 @@ def feature_rows(n: int, seed: int = 42, mod: int = 8) -> list[tuple]:
         gray = px.mean(axis=2)
         gx = float(np.abs(np.diff(gray, axis=1)).mean()) if w > 1 else 0.0
         gy = float(np.abs(np.diff(gray, axis=0)).mean()) if h > 1 else 0.0
+        # quality metrics (pandas re-statement of the same published
+        # formulas: Laplacian-variance blur, histogram entropy, clip
+        # fractions, Hasler-Susstrunk colorfulness) — operation order
+        # mirrors the operator so 6-dp rounding is bit-stable
+        if h >= 3 and w >= 3:
+            lap = (
+                -4.0 * gray[1:-1, 1:-1]
+                + gray[:-2, 1:-1]
+                + gray[2:, 1:-1]
+                + gray[1:-1, :-2]
+                + gray[1:-1, 2:]
+            )
+            sharpness = float(lap.var())
+        else:
+            sharpness = 0.0
+        hist, _ = np.histogram(gray, bins=256, range=(0.0, 256.0))
+        p = hist[hist > 0] / gray.size
+        entropy = float(-(p * np.log2(p)).sum())
+        rg = px[:, :, 0] - px[:, :, 1]
+        yb = 0.5 * (px[:, :, 0] + px[:, :, 1]) - px[:, :, 2]
+        colorfulness = float(
+            np.sqrt(rg.std() ** 2 + yb.std() ** 2)
+        ) + 0.3 * float(np.sqrt(rg.mean() ** 2 + yb.mean() ** 2))
         rows.append(
             (
                 str(iid),
@@ -587,6 +610,12 @@ def feature_rows(n: int, seed: int = 42, mod: int = 8) -> list[tuple]:
                 round(float(gray.std()), 6),
                 round(float(gray.mean() / 255.0), 6),
                 round(gx + gy, 6),
+                round(sharpness, 6),
+                round(entropy, 6),
+                round(float((gray <= 0.0).mean()), 6),
+                round(float((gray >= 255.0).mean()), 6),
+                round(colorfulness, 6),
+                round(float(gray.max() - gray.min()), 6),
             )
         )
     return sorted(rows)
