@@ -267,20 +267,42 @@ def _halves(spark, sf_dir):
     return df.filter(F.col("l_orderkey") % 2 == 0), df.filter(F.col("l_orderkey") % 2 == 1)
 
 
-def q_drift_stats_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KS + PSI + Jensen–Shannon + 1-Wasserstein (EMD) drift stats over the
-    even/odd orderkey halves in ONE scan per side
-    (operators/drift.drift_metrics): every row bucketizes once, one groupBy
-    builds the histograms, and all four
-    statistics reduce the same ≤(n_buckets+2)-row join — the shape that
-    replaces the three separate single-stat queries (3 scans per side)
-    from rounds 1-3. Round-4 consolidation: the driver gates at most 50
-    queries, so redundant single-stat variants made the tail unverifiable."""
-    from jsonschema_validator_spark.operators.drift import drift_metrics
+def q_drift_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS + PSI + Jensen–Shannon + 1-Wasserstein (EMD) drift stats, ONE
+    scan per side per family (operators/drift):
+
+    - numeric: even/odd l_orderkey halves of lineitem over ``l_quantity``
+      (drift_metrics — every row bucketizes once, one groupBy builds all
+      histograms, the four statistics reduce the same ≤(n_buckets+2)-row
+      join);
+    - embedding (array<float>): ``label < 5`` vs ``label >= 5`` halves of
+      the embeddings table via embedding_drift_metrics — Cramér–Wold
+      random-projection drift (4 cosine projections + the L2 norm,
+      rescaled into the shared bucket grid), then the SAME shared
+      drift_metrics reduction.
+
+    One query, one output schema (column, ks, psi, js, emd): the union of
+    both families. Round-4 consolidation: the driver gates at most 50
+    queries, so the drift family rides one slot (formerly
+    drift_stats_quantity; embedding rows added late round 4)."""
+    from jsonschema_validator_spark.operators.drift import (
+        drift_metrics,
+        embedding_drift_metrics,
+    )
 
     a, b = _halves(spark, sf_dir)
-    out = drift_metrics(a, b, ["l_quantity"], 0.5, 50.5, 50)
-    return out.select(
+    num = drift_metrics(a, b, ["l_quantity"], 0.5, 50.5, 50)
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = embedding_drift_metrics(
+        emb.filter(F.col("label") < 5),
+        emb.filter(F.col("label") >= 5),
+        dim=64,
+        n_projections=4,
+        seed=7,
+        n_buckets=64,
+        norm_hi=2.0,
+    )
+    return num.unionByName(vec).select(
         "column",
         F.round("ks", 6).alias("ks"),
         F.round("psi", 6).alias("psi"),
@@ -1450,7 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniqueness_salted_verdict": q_uniqueness_salted_verdict,
         "ref_orphans_nationkey": q_ref_orphans_nationkey,
         "ref_verdict_lineitem_part": q_ref_verdict_lineitem_part,
-        "drift_stats_quantity": q_drift_stats_quantity,
+        "drift_stats_profile": q_drift_stats_profile,
         "categorical_stats_profile": q_categorical_stats_profile,
         "dedup_exact_documents": q_dedup_exact_documents,
         "jaccard_neardups": q_jaccard_neardups,
@@ -1729,6 +1751,30 @@ SELECT 'l_quantity' AS "column",
        (SELECT round(sum(abs(ca - cb) * gap) * 1.0, 6) FROM c) AS emd
 """
 )
+
+_DRIFT_PROFILE_SQL_CACHE: str | None = None
+
+
+def _drift_stats_profile_sql() -> str:
+    """drift_stats_profile oracle: the l_quantity histogram statistics
+    computed by DuckDB itself (_DRIFT_STATS_SQL) UNION ALL the embedding
+    drift rows as a golden VALUES table — DuckDB's list_dot_product has an
+    unspecified summation order, so the projections come from the
+    independent sequential-left-fold reimplementation in
+    oracle.embedding_drift_stat_rows (the ann/audio golden convention).
+    Cached: the pure-Python folds cost ~0.5 s per call."""
+    global _DRIFT_PROFILE_SQL_CACHE
+    if _DRIFT_PROFILE_SQL_CACHE is None:
+        from jsonschema_validator_spark import oracle as o
+
+        vals = o.values_sql(
+            o.embedding_drift_stat_rows(),
+            ["column", "ks", "psi", "js", "emd"],
+            ["VARCHAR", "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE"],
+        )
+        _DRIFT_PROFILE_SQL_CACHE = _DRIFT_STATS_SQL + "\nUNION ALL\n" + vals
+    return _DRIFT_PROFILE_SQL_CACHE
+
 
 _FP_EXPR = "substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)"
 
@@ -2647,7 +2693,7 @@ ORDER BY config
         "uniqueness_salted_verdict": _UNIQ_VERDICT_SQL,
         "ref_orphans_nationkey": _REF_ORPHANS_SQL,
         "ref_verdict_lineitem_part": _REF_VERDICT_SQL,
-        "drift_stats_quantity": _DRIFT_STATS_SQL,
+        "drift_stats_profile": _drift_stats_profile_sql(),
         "categorical_stats_profile": _CATEGORICAL_PROFILE_SQL,
         "dedup_exact_documents": _DEDUP_EXACT_SQL,
         "jaccard_neardups": _JACCARD_SQL,

@@ -601,3 +601,173 @@ def category_histogram(df: DataFrame, column: str) -> DataFrame:
         .groupBy("cat")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-column drift
+# ---------------------------------------------------------------------------
+
+def _random_unit_directions(n: int, dim: int, seed: int):
+    """Deterministic random unit directions, shape ``(n, dim)`` float64.
+
+    numpy's MT19937 stream is stable across platforms/versions for
+    ``standard_normal`` via RandomState (legacy generator — frozen by
+    numpy's backwards-compatibility policy), so the same (n, dim, seed)
+    always yields the same directions on driver and oracle alike.
+    """
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    d = rs.standard_normal((n, dim))
+    d /= np.sqrt((d * d).sum(axis=1, keepdims=True))
+    return d
+
+
+def embedding_drift_metrics(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str = "embedding",
+    dim: int = 64,
+    n_projections: int = 4,
+    seed: int = 7,
+    n_buckets: int = 64,
+    eps: float = 1e-6,
+    include_norm: bool = True,
+    norm_hi: float = 2.0,
+) -> DataFrame:
+    """KS/PSI/JS/EMD drift over an ``array<float>`` embedding column.
+
+    A distribution over R^dim can't be histogrammed directly; by the
+    Cramér–Wold device two distributions agree iff every 1-D linear
+    projection agrees, so the standard scalable test is: project each
+    vector onto ``n_projections`` fixed random unit directions and run the
+    1-D drift statistics on each projection (plus the raw L2 norm, which
+    catches scale/model swaps that direction-invariant projections of
+    NORMALIZED vectors cannot). This detects centroid shifts, cluster
+    appearance/disappearance, and norm drift — the embedding analogue of
+    the w/h/phash histograms the north rule names.
+
+    Mechanics (one scan per side, zero Python in the hot path):
+
+    - cast to ``array<double>`` FIRST so every downstream op is a
+      sequential float64 fold — bit-reproducible by an independent
+      left-fold oracle (the audio_features/ann_lsh parity convention);
+    - rows with NULL / wrong-length / zero-norm vectors are excluded
+      (they belong to validation, not drift);
+    - projections are cosine projections ``dot(x, d) / ||x||`` ∈ [-1, 1];
+      the norm is affinely rescaled into the same [-1, 1] range so ALL
+      stat columns share one :func:`drift_metrics` pass (KS/PSI/JS are
+      affine-invariant; the norm row's EMD is scaled back to value units
+      afterwards);
+    - everything then reuses :func:`drift_metrics` — one explode, one
+      histogram groupBy per side, the shared 4-stat reducer.
+
+    At 100 TB: the embedding column is the dominant read; this touches it
+    exactly once per side. The k+1 fold expressions are HOFs
+    (CodegenFallback), so the shared ``_nrm`` is a STAGED projection —
+    multi-referenced aliases are never inlined (PLANS.md §24), the norm
+    fold runs once per row, not once per projection.
+
+    Output: one row per stat column (``emb_proj_{i}``, ``emb_norm``) with
+    ``ks, psi, js, emd``.
+
+    ``norm_hi`` must cover the expected norm range: as with any fixed-grid
+    histogram, mass outside [0, norm_hi) lands in the shared
+    under/overflow buckets — a one-sided excursion is still detected, but
+    drift WITHIN out-of-range mass is not (both sides collapse into the
+    same bucket). The default 2.0 fits unit-normalized embeddings; raw
+    (unnormalized) embeddings need a caller-supplied bound.
+    """
+    dirs = _random_unit_directions(n_projections, dim, seed)
+    names = [f"emb_proj_{i}" for i in range(n_projections)] + (
+        ["emb_norm"] if include_norm else []
+    )
+
+    def scalars(df: DataFrame) -> DataFrame:
+        emb = F.col(column).cast("array<double>")
+        d = (
+            df.filter(F.col(column).isNotNull() & (F.size(F.col(column)) == dim))
+            .select(emb.alias("_emb"))
+            .select(
+                "_emb",
+                F.sqrt(
+                    F.aggregate(
+                        "_emb", F.lit(0.0).cast("double"), lambda a, v: a + v * v
+                    )
+                ).alias("_nrm"),
+            )
+            .filter(F.col("_nrm") > 0.0)
+        )
+        cols = []
+        for i in range(n_projections):
+            lit = F.array(*[F.lit(float(v)) for v in dirs[i]])
+            p = (
+                F.aggregate(
+                    F.zip_with("_emb", lit, lambda x, y: x * y),
+                    F.lit(0.0).cast("double"),
+                    lambda a, v: a + v,
+                )
+                / F.col("_nrm")
+            )
+            cols.append(p.alias(f"emb_proj_{i}"))
+        if include_norm:
+            # affine map [0, norm_hi) -> [-1, 1): shares the projection
+            # bucket grid; KS/PSI/JS unchanged, EMD un-scaled below
+            cols.append((F.col("_nrm") / F.lit(norm_hi) * 2.0 - 1.0).alias("emb_norm"))
+        return d.select(*cols)
+
+    out = drift_metrics(scalars(df_a), scalars(df_b), names, -1.0, 1.0, n_buckets, eps)
+    if include_norm:
+        out = out.withColumn(
+            "emd",
+            F.when(
+                F.col("column") == "emb_norm",
+                F.round(F.col("emd") * F.lit(norm_hi / 2.0), 9),
+            ).otherwise(F.col("emd")),
+        )
+    return out
+
+
+def embedding_centroid_shift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Centroid displacement between two embedding populations.
+
+    One row: ``n_a, n_b, centroid_l2`` (L2 distance between the two mean
+    vectors) ``, centroid_cos`` (cosine similarity between them). The
+    companion summary to :func:`embedding_drift_metrics` — a pure mean
+    shift can hide from marginal histograms when variance also grows, but
+    never from the centroid delta.
+
+    Shape: per-dimension means via ``posexplode`` → ``groupBy(pos)`` — the
+    shuffle carries ≤ 2·dim rows regardless of table size (partial aggs
+    reduce map-side); the final combine runs over the dim-row join. One
+    scan per side; no driver-side vectors.
+    """
+    def dim_means(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.filter(F.col(column).isNotNull() & (F.size(F.col(column)) == dim))
+            .select(F.posexplode(F.col(column).cast("array<double>")))
+            .groupBy("pos")
+            .agg(
+                F.avg("col").alias(f"m_{side}"),
+                F.count(F.lit(1)).alias(f"n_{side}"),
+            )
+        )
+
+    j = dim_means(df_a, "a").join(dim_means(df_b, "b"), "pos", "inner")
+    return j.agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.sqrt(F.sum((F.col("m_a") - F.col("m_b")) ** 2)).alias("centroid_l2"),
+        (
+            F.sum(F.col("m_a") * F.col("m_b"))
+            / (
+                F.sqrt(F.sum(F.col("m_a") * F.col("m_a")))
+                * F.sqrt(F.sum(F.col("m_b") * F.col("m_b")))
+            )
+        ).alias("centroid_cos"),
+    )

@@ -680,3 +680,109 @@ def audio_feature_rows(n: int = 24, seed: int = 42) -> list[tuple]:
             )
         )
     return rows
+
+
+def embedding_drift_stat_rows(
+    sf_dir: str | None = None,
+    dim: int = 64,
+    k: int = 4,
+    seed: int = 7,
+    nb: int = 64,
+    eps: float = 1e-6,
+    norm_hi: float = 2.0,
+) -> list[tuple]:
+    """Expected ``(column, ks, psi, js, emd)`` rows for the embedding half
+    of the drift_stats_profile query — an independent numpy/pure-Python
+    reimplementation of embedding_drift_metrics over the embeddings table
+    split by ``label < 5`` vs ``label >= 5``.
+
+    Parity contract (the audio/ann convention): float32 -> exact float64,
+    then SEQUENTIAL left-folds in element order (Spark ``aggregate``),
+    Spark's width_bucket formula ``long(nb*(v-lo)/(hi-lo))+1`` (verified
+    bit-exact), CDF sums sequential in bucket order. The psi/js/emd group
+    sums are order-insensitive only to ~1e-15 — far below the 9-dp HALF_UP
+    round both sides apply before the query's 6-dp round.
+    """
+    import numpy as np
+
+    # directions duplicated from operators/drift._random_unit_directions
+    # (numpy's frozen legacy RandomState stream — public, stable)
+    rs = np.random.RandomState(seed)
+    dirs = np.asarray(rs.standard_normal((k, dim)))
+    dirs /= np.sqrt((dirs * dirs).sum(axis=1, keepdims=True))
+
+    df = pd.read_parquet(f"{sf_dir or _sf_dir()}/embeddings.parquet")
+    names = [f"emb_proj_{i}" for i in range(k)] + ["emb_norm"]
+
+    def scalar_rows(side: pd.DataFrame) -> list[dict]:
+        out = []
+        for emb in side["embedding"]:
+            if emb is None or len(emb) != dim:
+                continue
+            xd = [float(v) for v in np.asarray(emb, dtype=np.float32)]
+            nrm = 0.0
+            for v in xd:
+                nrm = nrm + (v * v)
+            nrm = float(np.sqrt(nrm))
+            if nrm <= 0.0:
+                continue
+            r = {}
+            for i in range(k):
+                acc = 0.0
+                for x, d in zip(xd, dirs[i]):
+                    acc = acc + (x * float(d))
+                r[f"emb_proj_{i}"] = acc / nrm
+            r["emb_norm"] = nrm / norm_hi * 2.0 - 1.0
+            out.append(r)
+        return out
+
+    ra = scalar_rows(df[df["label"] < 5])
+    rb = scalar_rows(df[df["label"] >= 5])
+
+    def bucket(v: float) -> int:
+        if v < -1.0:
+            return 0
+        if v >= 1.0:
+            return nb + 1
+        return int((nb * (v - (-1.0))) / 2.0) + 1
+
+    rows = []
+    width = 2.0 / nb
+    for name in names:
+        ha: dict = {}
+        hb: dict = {}
+        for src, h in ((ra, ha), (rb, hb)):
+            for r in src:
+                b = bucket(r[name])
+                h[b] = h.get(b, 0) + 1
+        ta, tb = sum(ha.values()), sum(hb.values())
+        buckets = sorted(set(ha) | set(hb))
+        ks = psi = js = emd = 0.0
+        ca = cb = 0.0
+        for i, b in enumerate(buckets):
+            pa = ha.get(b, 0) / ta
+            pb_ = hb.get(b, 0) / tb
+            ca, cb = ca + pa, cb + pb_
+            gap = (buckets[i + 1] if i + 1 < len(buckets) else nb + 2) - b
+            ks = max(ks, abs(ca - cb))
+            qa, qb = max(pa, eps), max(pb_, eps)
+            psi += (qa - qb) * float(np.log(qa / qb))
+            m = (pa + pb_) / 2
+            if pa > 0:
+                js += 0.5 * pa * float(np.log(pa / m))
+            if pb_ > 0:
+                js += 0.5 * pb_ * float(np.log(pb_ / m))
+            emd += abs(ca - cb) * gap
+        emd = _round_half_up(emd * width, 9)
+        if name == "emb_norm":
+            emd = _round_half_up(emd * (norm_hi / 2.0), 9)
+        rows.append(
+            (
+                name,
+                _round_half_up(_round_half_up(ks, 9), 6),
+                _round_half_up(_round_half_up(psi, 9), 6),
+                _round_half_up(_round_half_up(js, 9), 6),
+                _round_half_up(emd, 6),
+            )
+        )
+    return rows

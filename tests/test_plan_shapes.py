@@ -340,16 +340,18 @@ def test_documents_text_profile_single_scan(spark):
 
 
 def test_drift_stats_single_scan_per_side(spark):
-    """drift_stats_quantity: KS+PSI+JS from ONE scan per side (two scans
-    total — the halves filter the same file) instead of the former three
-    queries x two scans each."""
+    """drift_stats_profile: KS+PSI+JS+EMD from ONE scan per side per
+    family — two lineitem scans (even/odd halves of the same file) plus
+    two embeddings scans (label halves), instead of the former three
+    queries x two scans each (and the k+1 embedding folds share one
+    staged norm, not one pass per projection)."""
     import __spark_entry__ as entry_mod
 
-    df = entry_mod.queries()["drift_stats_quantity"](
+    df = entry_mod.queries()["drift_stats_profile"](
         spark, "/root/testdata/sf0.001"
     )
     plan = _plan(df)
-    assert _op_count(plan, "Scan parquet") == 2  # side a + side b
+    assert _op_count(plan, "Scan parquet") == 4  # 2 tables x (side a + b)
 
 
 def test_curation_funnel_stats_single_scan(spark):
