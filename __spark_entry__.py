@@ -215,6 +215,64 @@ def q_tdigest_quantiles_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_accuracy_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both mergeable-sketch scale paths under ONE driver slot (late
+    round-4 merge freeing a slot under the 50-query cap): the HLL
+    approx/merged distinct gates and the t-digest quantile gates,
+    unpivoted to a common ``(sketch, target, within_tol)`` schema. The
+    HLL frame is unpivoted with one explode (NOT two union branches over
+    the same frame — that would recompute the exact count_distinct
+    reference side twice)."""
+    hll = q_hll_distinct_accuracy(spark, sf_dir)
+    td = q_tdigest_quantiles_accuracy(spark, sf_dir)
+    h = hll.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hll_approx").alias("sketch"),
+                    F.col("column").alias("target"),
+                    F.col("approx_within_tol").alias("within_tol"),
+                ),
+                F.struct(
+                    F.lit("hll_merged").alias("sketch"),
+                    F.col("column").alias("target"),
+                    F.col("merged_sketch_within_tol").alias("within_tol"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    t = td.select(
+        F.concat(
+            F.lit("tdigest_p"), F.round(F.col("p") * 100).cast("int").cast("string")
+        ).alias("sketch"),
+        F.col("column").alias("target"),
+        F.col("within_tol"),
+    )
+    return h.unionByName(t)
+
+
+def q_suggested_spec_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec bootstrap under the driver gate (suggest.suggest_spec): profile
+    lineitem in one aggregate pass (+ one pruned exact-enum pass), emit the
+    suggested keywords as rows, AND round-trip the suggested spec through
+    the real compile+validate path — ``roundtrip_valid`` is the engine's
+    own verdict that the spec it suggested passes on the corpus it
+    profiled. The oracle recomputes every keyword independently in DuckDB
+    (min/max/strlen/distinct/null counts)."""
+    from jsonschema_validator_spark import Spec, Validator
+    from jsonschema_validator_spark.suggest import spec_keyword_rows, suggest_spec
+
+    df = _t(spark, sf_dir, "lineitem")
+    spec = suggest_spec(df)
+    ok = Validator(Spec(spec)).validate(df).summary()["valid"]
+    rows = [(c, k, vn, vs, bool(ok)) for (c, k, vn, vs) in spec_keyword_rows(spec)]
+    return spark.createDataFrame(
+        rows,
+        "column string, keyword string, value_num double, value_str string, "
+        "roundtrip_valid boolean",
+    )
+
+
 def q_hll_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HLL scale path under the driver gate: both approx_count_distinct
     AND the mergeable per-partition sketch→union→estimate pipeline
@@ -1465,9 +1523,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_events_verdicts": q_validate_events_verdicts,
         "column_stats_lineitem": q_column_stats_lineitem,
         "quantiles_extendedprice": q_quantiles_extendedprice,
-        "hll_distinct_accuracy": q_hll_distinct_accuracy,
+        "sketch_accuracy_gates": q_sketch_accuracy_gates,
         "corpus_token_budget": q_corpus_token_budget,
-        "tdigest_quantiles_accuracy": q_tdigest_quantiles_accuracy,
+        "suggested_spec_lineitem": q_suggested_spec_lineitem,
         "duplicate_orderkeys": q_duplicate_orderkeys,
         "uniqueness_salted_verdict": q_uniqueness_salted_verdict,
         "ref_orphans_nationkey": q_ref_orphans_nationkey,
@@ -1751,6 +1809,59 @@ SELECT 'l_quantity' AS "column",
        (SELECT round(sum(abs(ca - cb) * gap) * 1.0, 6) FROM c) AS emd
 """
 )
+
+def _suggested_spec_sql() -> str:
+    """suggested_spec_lineitem oracle: every suggested keyword recomputed
+    independently in DuckDB over the same table — required from null
+    counts, numeric minimum/maximum from min/max, string byte-lengths from
+    strlen (DuckDB strlen = bytes = Spark octet_length), enum from exact
+    DISTINCT (emitted only when cardinality ≤ 8, the suggestion's exact
+    decision rule). ``type`` rows pin the expected dtype→keyword mapping
+    (integral → the tighter 'integer'; temporal → 'string')."""
+    num_cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    ]
+    int_cols = {"l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"}
+    str_cols = ["l_returnflag", "l_linestatus"]
+    type_vals = ", ".join(
+        [
+            f"('{c}', 'type', CAST(NULL AS DOUBLE), "
+            f"'{'integer' if c in int_cols else 'number'}')"
+            for c in num_cols
+        ]
+        + [f"('{c}', 'type', CAST(NULL AS DOUBLE), 'string')" for c in str_cols]
+        + ["('l_shipdate', 'type', CAST(NULL AS DOUBLE), 'string')"]
+    )
+    parts = [f"SELECT * FROM (VALUES {type_vals}) tv(c, k, vn, vs)"]
+    for c in num_cols + str_cols + ["l_shipdate"]:
+        parts.append(
+            f"SELECT '{c}', 'required', CAST(NULL AS DOUBLE), 'true' "
+            f"FROM lineitem HAVING count(*) = count({c}) AND count(*) > 0"
+        )
+    for c in num_cols:
+        for kw, fn in (("minimum", "min"), ("maximum", "max")):
+            parts.append(
+                f"SELECT '{c}', '{kw}', CAST({fn}({c}) AS DOUBLE), "
+                f"CAST(NULL AS VARCHAR) FROM lineitem HAVING count({c}) > 0"
+            )
+    for c in str_cols:
+        for kw, fn in (("minLength", "min"), ("maxLength", "max")):
+            parts.append(
+                f"SELECT '{c}', '{kw}', CAST({fn}(strlen({c})) AS DOUBLE), "
+                f"CAST(NULL AS VARCHAR) FROM lineitem HAVING count({c}) > 0"
+            )
+        parts.append(
+            f"SELECT '{c}', 'enum', CAST(NULL AS DOUBLE), v FROM "
+            f"(SELECT DISTINCT {c} AS v FROM lineitem WHERE {c} IS NOT NULL) "
+            f"WHERE (SELECT count(DISTINCT {c}) FROM lineitem) BETWEEN 1 AND 8"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return (
+        'SELECT c AS "column", k AS keyword, vn AS value_num, '
+        "vs AS value_str, TRUE AS roundtrip_valid FROM (\n" + union + "\n) u"
+    )
+
 
 _DRIFT_PROFILE_SQL_CACHE: str | None = None
 
@@ -2666,15 +2777,15 @@ def oracle_sql() -> dict[str, str]:
         "validate_events_verdicts": _EVENTS_VERDICT_SQL,
         "column_stats_lineitem": _STATS_SQL,
         "quantiles_extendedprice": _QUANTILES_SQL,
-        "hll_distinct_accuracy": """
-SELECT "column", TRUE AS approx_within_tol, TRUE AS merged_sketch_within_tol
-FROM (VALUES ('l_orderkey'), ('l_suppkey')) AS t("column")
+        "sketch_accuracy_gates": """
+SELECT sketch, target, TRUE AS within_tol
+FROM (VALUES ('hll_approx', 'l_orderkey'), ('hll_approx', 'l_suppkey'),
+             ('hll_merged', 'l_orderkey'), ('hll_merged', 'l_suppkey'),
+             ('tdigest_p25', 'l_extendedprice'), ('tdigest_p50', 'l_extendedprice'),
+             ('tdigest_p75', 'l_extendedprice')) AS t(sketch, target)
 """,
         "corpus_token_budget": _TOKEN_BUDGET_SQL,
-        "tdigest_quantiles_accuracy": """
-SELECT 'l_extendedprice' AS "column", CAST(p AS DOUBLE) AS p, TRUE AS within_tol
-FROM (VALUES (0.25), (0.5), (0.75)) AS t(p)
-""",
+        "suggested_spec_lineitem": _suggested_spec_sql(),
         "ann_recall_floor": """
 SELECT config, CAST(floor AS DOUBLE) AS floor, TRUE AS recall_ok
 FROM (VALUES ('multiprobe_lift_over_single', 0.5),

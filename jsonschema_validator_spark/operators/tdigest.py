@@ -24,8 +24,8 @@ how ``stats.hll_sketches`` + ``merge_hll_sketches`` treat distinct counts:
   ``tdigest_quantiles`` answers table-level quantiles without rescanning
   validated data.
 
-Driver gate: ``tdigest_quantiles_accuracy`` (merged digest within 0.5% of
-the exact percentile at sf0.01 — the hll_distinct_accuracy pattern).
+Driver gate: ``sketch_accuracy_gates`` tdigest rows (merged digest within
+0.5% of the exact percentile at sf0.01, sharing the HLL gate slot).
 
 Guarantee caveat (applies to every rank-based sketch, incl.
 ``percentile_approx``): the error bound is in RANK space (~q(1−q)/δ), not
