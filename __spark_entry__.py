@@ -528,6 +528,41 @@ def q_jaccard_via_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(df, threshold=0.5, candidates=cand)
 
 
+def q_jaccard_dedup_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both gates of the n-gram Jaccard dedup family under ONE driver slot
+    (the sketch_accuracy_gates merge pattern, freeing a slot under the
+    50-query verification cap): the exact all-pairs semantics on a bounded
+    slice (path 'all_pairs', live DuckDB oracle) and the PRODUCTION
+    MinHash-LSH→verify pipeline on the full corpus (path 'via_lsh', golden
+    XXH64 oracle). Each side keeps its original plan — the union is two
+    independent branches, no cross-branch shuffle."""
+    a = q_jaccard_neardups(spark, sf_dir).withColumn("path", F.lit("all_pairs"))
+    b = q_jaccard_via_lsh(spark, sf_dir).withColumn("path", F.lit("via_lsh"))
+    return a.unionByName(b)
+
+
+def q_spec_constraint_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint drift between two corpus snapshots (suggest.
+    constraint_drift): profile full lineitem vs a deterministically
+    drifted slice (l_quantity ≤ 40 AND l_returnflag ≠ 'R') and emit every
+    suggested constraint that tightened/loosened/changed — the spec-
+    monitoring loop over the same engine the bootstrap query gates. The
+    oracle recomputes both sides' profiles independently in DuckDB and
+    classifies each transition with the same bound-direction rules."""
+    from jsonschema_validator_spark.suggest import constraint_drift
+
+    df = _t(spark, sf_dir, "lineitem")
+    cols = [
+        "l_quantity",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_linestatus",
+    ]
+    new = df.filter((F.col("l_quantity") <= 40) & (F.col("l_returnflag") != "R"))
+    return constraint_drift(df, new, columns=cols)
+
+
 def q_dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The step AFTER pair generation that a dedup pipeline actually
     deletes with: LSH→Jaccard verified pairs → connected components →
@@ -1526,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_accuracy_gates": q_sketch_accuracy_gates,
         "corpus_token_budget": q_corpus_token_budget,
         "suggested_spec_lineitem": q_suggested_spec_lineitem,
+        "spec_constraint_drift": q_spec_constraint_drift,
         "duplicate_orderkeys": q_duplicate_orderkeys,
         "uniqueness_salted_verdict": q_uniqueness_salted_verdict,
         "ref_orphans_nationkey": q_ref_orphans_nationkey,
@@ -1533,13 +1569,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_stats_profile": q_drift_stats_profile,
         "categorical_stats_profile": q_categorical_stats_profile,
         "dedup_exact_documents": q_dedup_exact_documents,
-        "jaccard_neardups": q_jaccard_neardups,
+        "jaccard_dedup_paths": q_jaccard_dedup_paths,
         "documents_text_profile": q_documents_text_profile,
         "pii_scrub_documents": q_pii_scrub_documents,
         "stratified_split_documents": q_stratified_split_documents,
         "embedding_topk": q_embedding_topk,
         "minhash_candidates": q_minhash_candidates,
-        "jaccard_via_lsh": q_jaccard_via_lsh,
         "dedup_cluster_assignment": q_dedup_cluster_assignment,
         "corpus_curation_funnel": q_corpus_curation_funnel,
         "simhash_neardups": q_simhash_neardups,
@@ -1860,6 +1895,84 @@ def _suggested_spec_sql() -> str:
     return (
         'SELECT c AS "column", k AS keyword, vn AS value_num, '
         "vs AS value_str, TRUE AS roundtrip_valid FROM (\n" + union + "\n) u"
+    )
+
+
+def _spec_drift_sql() -> str:
+    """spec_constraint_drift oracle: recompute BOTH sides' suggested
+    profiles independently in DuckDB (full lineitem vs the drifted slice)
+    and classify every transition with the same bound-direction rules —
+    a lower bound rising / an upper bound falling / an enum shrinking is
+    'tightened', the reverse 'loosened', an incomparable enum 'changed'.
+    Only keywords whose value differs between sides emit a row (the
+    spec_diff contract); `type` never drifts (same schema both sides)."""
+    pred = "l_quantity <= 40 AND l_returnflag <> 'R'"
+    num_cols = ["l_quantity", "l_linenumber", "l_extendedprice"]
+    str_cols = ["l_returnflag", "l_linestatus"]
+    null_s = "CAST(NULL AS VARCHAR)"
+    null_n = "CAST(NULL AS DOUBLE)"
+    parts = []
+    for c in num_cols + str_cols:
+        # required flips (none expected on lineitem — kept so the oracle,
+        # not the query author, decides)
+        parts.append(
+            f"SELECT '{c}' AS c, 'required' AS k, {null_n} AS onum, "
+            f"{null_n} AS nnum, CASE WHEN o.r THEN 'true' END AS ostr, "
+            "CASE WHEN n.r THEN 'true' END AS nstr, "
+            "CASE WHEN n.r THEN 'tightened' ELSE 'loosened' END AS ch "
+            f"FROM (SELECT count(*) = count({c}) AND count(*) > 0 AS r "
+            "FROM lineitem) o, "
+            f"(SELECT count(*) = count({c}) AND count(*) > 0 AS r "
+            f"FROM lineitem WHERE {pred}) n WHERE o.r <> n.r"
+        )
+    for c in num_cols:
+        for kw, fn, tight in (
+            ("minimum", "min", "n.v > o.v"),
+            ("maximum", "max", "n.v < o.v"),
+        ):
+            parts.append(
+                f"SELECT '{c}', '{kw}', CAST(o.v AS DOUBLE), "
+                f"CAST(n.v AS DOUBLE), {null_s}, {null_s}, "
+                f"CASE WHEN {tight} THEN 'tightened' ELSE 'loosened' END "
+                f"FROM (SELECT {fn}({c}) v FROM lineitem) o, "
+                f"(SELECT {fn}({c}) v FROM lineitem WHERE {pred}) n "
+                "WHERE o.v <> n.v"
+            )
+    for c in str_cols:
+        for kw, fn, tight in (
+            ("minLength", "min", "n.v > o.v"),
+            ("maxLength", "max", "n.v < o.v"),
+        ):
+            parts.append(
+                f"SELECT '{c}', '{kw}', CAST(o.v AS DOUBLE), "
+                f"CAST(n.v AS DOUBLE), {null_s}, {null_s}, "
+                f"CASE WHEN {tight} THEN 'tightened' ELSE 'loosened' END "
+                f"FROM (SELECT {fn}(strlen({c})) v FROM lineitem) o, "
+                f"(SELECT {fn}(strlen({c})) v FROM lineitem WHERE {pred}) n "
+                "WHERE o.v <> n.v"
+            )
+        # enum drift: exact distinct sets, emitted only when BOTH sides
+        # suggest an enum (cardinality 1..8 — true for both columns here)
+        parts.append(
+            f"SELECT '{c}', 'enum', {null_n}, {null_n}, "
+            "array_to_string(o.l, ','), array_to_string(n.l, ','), "
+            "CASE WHEN len(list_intersect(n.l, o.l)) = len(n.l) "
+            "AND len(n.l) < len(o.l) THEN 'tightened' "
+            "WHEN len(list_intersect(n.l, o.l)) = len(o.l) "
+            "AND len(o.l) < len(n.l) THEN 'loosened' "
+            "ELSE 'changed' END "
+            f"FROM (SELECT list_sort(list(DISTINCT {c})) l FROM lineitem "
+            f"WHERE {c} IS NOT NULL) o, "
+            f"(SELECT list_sort(list(DISTINCT {c})) l FROM lineitem "
+            f"WHERE {c} IS NOT NULL AND {pred}) n "
+            "WHERE len(o.l) BETWEEN 1 AND 8 AND len(n.l) BETWEEN 1 AND 8 "
+            "AND o.l <> n.l"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return (
+        'SELECT c AS "column", k AS keyword, onum AS old_num, '
+        "nnum AS new_num, ostr AS old_str, nstr AS new_str, ch AS change "
+        "FROM (\n" + union + "\n) u"
     )
 
 
@@ -2724,10 +2837,18 @@ def _hash_oracles() -> dict[str, str]:
                 ["id_a", "id_b", "n_shared_bands"],
                 ["BIGINT", "BIGINT", "BIGINT"],
             ),
-            "jaccard_via_lsh": o.values_sql(
-                o.jaccard_rows_for_candidates(mh, threshold=0.5),
-                ["id_a", "id_b", "jaccard"],
-                ["BIGINT", "BIGINT", "DOUBLE"],
+            # both Jaccard gates share one slot: live-DuckDB all-pairs
+            # slice + golden-XXH64 production pipeline, tagged by path
+            "jaccard_dedup_paths": (
+                "SELECT 'all_pairs' AS path, j.* FROM ("
+                + _JACCARD_SQL
+                + ") j UNION ALL SELECT 'via_lsh' AS path, v.* FROM ("
+                + o.values_sql(
+                    o.jaccard_rows_for_candidates(mh, threshold=0.5),
+                    ["id_a", "id_b", "jaccard"],
+                    ["BIGINT", "BIGINT", "DOUBLE"],
+                )
+                + ") v"
             ),
             "dedup_cluster_assignment": _cluster_oracle_sql(
                 o.jaccard_rows_for_candidates(mh, threshold=0.5)
@@ -2786,6 +2907,7 @@ FROM (VALUES ('hll_approx', 'l_orderkey'), ('hll_approx', 'l_suppkey'),
 """,
         "corpus_token_budget": _TOKEN_BUDGET_SQL,
         "suggested_spec_lineitem": _suggested_spec_sql(),
+        "spec_constraint_drift": _spec_drift_sql(),
         "ann_recall_floor": """
 SELECT config, CAST(floor AS DOUBLE) AS floor, TRUE AS recall_ok
 FROM (VALUES ('multiprobe_lift_over_single', 0.5),
@@ -2807,7 +2929,6 @@ ORDER BY config
         "drift_stats_profile": _drift_stats_profile_sql(),
         "categorical_stats_profile": _CATEGORICAL_PROFILE_SQL,
         "dedup_exact_documents": _DEDUP_EXACT_SQL,
-        "jaccard_neardups": _JACCARD_SQL,
         "documents_text_profile": _TEXT_PROFILE_SQL,
         "pii_scrub_documents": _PII_SCRUB_SQL,
         "stratified_split_documents": _stratified_split_sql(),

@@ -186,7 +186,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity for candidate pairs.
 
     The production shape feeds :func:`minhash_lsh_candidates` output as
-    ``candidates`` (see the jaccard_via_lsh driver query). The quadratic
+    ``candidates`` (see the jaccard_dedup_paths driver query). The quadratic
     all-pairs shingle self-join (every pair sharing ≥1 shingle) is
     TEST-SCALE ONLY and must be opted into explicitly via
     ``all_pairs=True`` — calling without either raises, so a copy-pasted

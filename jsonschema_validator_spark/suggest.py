@@ -153,6 +153,131 @@ def suggest_spec(
     return {"type": "object", "required": required, "properties": props}
 
 
+# bound direction per keyword: raising a lower bound or lowering an upper
+# bound TIGHTENS the constraint (fewer values pass); the reverse LOOSENS it.
+_LOWER_BOUNDS = ("minimum", "minLength", "minItems")
+_UPPER_BOUNDS = ("maximum", "maxLength", "maxItems")
+
+
+def _bound_change(kw: str, old, new) -> Optional[str]:
+    """Classify a numeric-bound transition. None = no change."""
+    if old is None and new is None:
+        return None
+    if old is None:
+        return "tightened"  # a bound appeared where there was none
+    if new is None:
+        return "loosened"  # an existing bound was dropped
+    if new == old:
+        return None
+    if kw in _LOWER_BOUNDS:
+        return "tightened" if new > old else "loosened"
+    return "tightened" if new < old else "loosened"
+
+
+def spec_diff(old: dict, new: dict) -> list[tuple]:
+    """Diff two spec dicts (the ``suggest_spec`` shape: top-level
+    ``required`` + flat ``properties``) into rows ``(column, keyword,
+    old_num, new_num, old_str, new_str, change)`` — one row per constraint
+    that CHANGED, nothing for constraints that held.
+
+    ``change`` classification:
+
+    - ``tightened`` — the new spec accepts a subset of what the old one
+      did for this keyword: a lower bound rose, an upper bound fell, a
+      bound/enum/required appeared where there was none, or an enum lost
+      values.
+    - ``loosened`` — the reverse: a bound relaxed or disappeared, a column
+      stopped being required, an enum gained values.
+    - ``changed`` — neither direction is a subset: ``type`` switched, or
+      an enum both gained and lost values.
+
+    Driver-side pure function — specs are O(columns) dicts, never data.
+    Numeric keyword values go in ``old_num``/``new_num``; ``type``,
+    ``required`` and comma-joined sorted enum sets in ``old_str``/
+    ``new_str`` (the ``spec_keyword_rows`` convention)."""
+    rows: list[tuple] = []
+    op, np_ = old.get("properties", {}), new.get("properties", {})
+    oreq, nreq = set(old.get("required", [])), set(new.get("required", []))
+    for c in sorted(set(op) | set(np_)):
+        po, pn = op.get(c, {}), np_.get(c, {})
+        to, tn = po.get("type"), pn.get("type")
+        if to != tn:
+            change = "changed" if (to and tn) else (
+                "tightened" if tn else "loosened"
+            )
+            rows.append((c, "type", None, None, to, tn, change))
+        if (c in oreq) != (c in nreq):
+            rows.append((
+                c, "required", None, None,
+                "true" if c in oreq else None,
+                "true" if c in nreq else None,
+                "tightened" if c in nreq else "loosened",
+            ))
+        for kw in _LOWER_BOUNDS + _UPPER_BOUNDS:
+            vo, vn = po.get(kw), pn.get(kw)
+            ch = _bound_change(kw, vo, vn)
+            if ch is not None:
+                rows.append((
+                    c, kw,
+                    None if vo is None else float(vo),
+                    None if vn is None else float(vn),
+                    None, None, ch,
+                ))
+        eo, en = po.get("enum"), pn.get("enum")
+        if eo is not None or en is not None:
+            so, sn = set(eo or []), set(en or [])
+            if so != sn:
+                if eo is None:
+                    ch = "tightened"  # an enum constraint appeared
+                elif en is None:
+                    ch = "loosened"  # the enum constraint was dropped
+                elif sn < so:
+                    ch = "tightened"
+                elif so < sn:
+                    ch = "loosened"
+                else:
+                    ch = "changed"
+                rows.append((
+                    c, "enum", None, None,
+                    ",".join(sorted(so)) if eo is not None else None,
+                    ",".join(sorted(sn)) if en is not None else None,
+                    ch,
+                ))
+    return rows
+
+
+_DIFF_SCHEMA = (
+    "column string, keyword string, old_num double, new_num double, "
+    "old_str string, new_str string, change string"
+)
+
+
+def constraint_drift(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    columns: Optional[list[str]] = None,
+    enum_max_distinct: int = 8,
+    widen_numeric: float = 0.0,
+) -> DataFrame:
+    """Constraint drift between two corpus snapshots: profile each side
+    with :func:`suggest_spec` and report every suggested constraint that
+    tightened / loosened / changed between them — the monitoring loop that
+    tells you yesterday's pinned spec no longer describes today's data
+    BEFORE a validation run floods the quarantine sink.
+
+    Execution shape (design-for-100 TB): two profile passes per side (one
+    full aggregate + one pruned exact-enum aggregate — see
+    :func:`suggest_spec`), each reducing to ONE driver row; the diff
+    itself is a pure O(columns) driver-side function. No join, no shuffle
+    beyond the four 1-row aggregate reductions, regardless of table size.
+    """
+    old = suggest_spec(df_old, columns, enum_max_distinct, widen_numeric)
+    new = suggest_spec(df_new, columns, enum_max_distinct, widen_numeric)
+    return df_old.sparkSession.createDataFrame(
+        spec_diff(old, new), _DIFF_SCHEMA
+    )
+
+
 def spec_keyword_rows(spec: dict) -> list[tuple]:
     """Flatten a suggested spec into ``(column, keyword, value_num,
     value_str)`` rows — the display/gating projection. Numeric keyword

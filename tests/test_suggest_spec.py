@@ -6,7 +6,12 @@ import pytest
 from pyspark.sql import functions as F
 
 import jsonschema_validator_spark as jsv
-from jsonschema_validator_spark.suggest import spec_keyword_rows, suggest_spec
+from jsonschema_validator_spark.suggest import (
+    constraint_drift,
+    spec_diff,
+    spec_keyword_rows,
+    suggest_spec,
+)
 
 
 class TestSuggestSpec:
@@ -113,3 +118,92 @@ class TestSuggestSpec:
         assert ("id", "required", None, "true") in rows
         assert ("id", "minimum", 1.0, None) in rows
         assert ("s", "enum", None, "a") in rows
+
+
+def _props(**cols):
+    return {"type": "object", "required": [], "properties": cols}
+
+
+class TestSpecDiff:
+    def test_identical_specs_diff_empty(self):
+        s = _props(x={"type": "number", "minimum": 0.0, "maximum": 9.0})
+        s["required"] = ["x"]
+        assert spec_diff(s, s) == []
+
+    def test_bound_directions(self):
+        old = _props(x={"type": "number", "minimum": 0.0, "maximum": 10.0})
+        new = _props(x={"type": "number", "minimum": 2.0, "maximum": 12.0})
+        rows = {(r[1], r[6]) for r in spec_diff(old, new)}
+        # lower bound rose -> tightened; upper bound rose -> loosened
+        assert rows == {("minimum", "tightened"), ("maximum", "loosened")}
+
+    def test_bound_appear_disappear(self):
+        old = _props(x={"type": "number", "minimum": 0.0})
+        new = _props(x={"type": "number", "maximum": 5.0})
+        got = {r[1]: (r[2], r[3], r[6]) for r in spec_diff(old, new)}
+        assert got["minimum"] == (0.0, None, "loosened")  # bound dropped
+        assert got["maximum"] == (None, 5.0, "tightened")  # bound appeared
+
+    def test_required_flip(self):
+        old = _props(x={"type": "string"})
+        new = _props(x={"type": "string"})
+        new["required"] = ["x"]
+        (r,) = spec_diff(old, new)
+        assert r == ("x", "required", None, None, None, "true", "tightened")
+        (r,) = spec_diff(new, old)
+        assert r[6] == "loosened"
+
+    def test_enum_subset_superset_changed(self):
+        ab = _props(s={"type": "string", "enum": ["a", "b"]})
+        abc = _props(s={"type": "string", "enum": ["a", "b", "c"]})
+        bd = _props(s={"type": "string", "enum": ["b", "d"]})
+        none = _props(s={"type": "string"})
+        assert spec_diff(abc, ab)[0][6] == "tightened"
+        assert spec_diff(ab, abc)[0][6] == "loosened"
+        assert spec_diff(ab, bd)[0][6] == "changed"
+        assert spec_diff(none, ab)[0][6] == "tightened"  # enum appeared
+        assert spec_diff(ab, none)[0][6] == "loosened"  # enum dropped
+        # values rendered as comma-joined sorted sets
+        assert spec_diff(ab, bd)[0][4:6] == ("a,b", "b,d")
+
+    def test_type_change_and_column_add(self):
+        old = _props(x={"type": "number"})
+        new = _props(
+            x={"type": "string"}, y={"type": "integer", "minimum": 1.0}
+        )
+        got = {(r[0], r[1]): r[6] for r in spec_diff(old, new)}
+        assert got[("x", "type")] == "changed"
+        # new column: its type + bounds all appear as tightened additions
+        assert got[("y", "type")] == "tightened"
+        assert got[("y", "minimum")] == "tightened"
+
+    def test_constraint_drift_end_to_end(self, spark):
+        """The Spark operator: profile two snapshots, report the diff.
+        Shrinking the value range + dropping an enum value tightens; the
+        oracle-critical classification survives the real suggest path."""
+        old_df = spark.createDataFrame(
+            [(i, float(i % 50 + 1), ["A", "N", "R"][i % 3]) for i in range(300)],
+            "id bigint, qty double, flag string",
+        )
+        new_df = old_df.filter((F.col("qty") <= 40) & (F.col("flag") != "R"))
+        out = constraint_drift(old_df, new_df)
+        assert out.columns == [
+            "column", "keyword", "old_num", "new_num", "old_str", "new_str",
+            "change",
+        ]
+        got = {(r["column"], r["keyword"]): r for r in out.collect()}
+        qmax = got[("qty", "maximum")]
+        assert (qmax["old_num"], qmax["new_num"], qmax["change"]) == (
+            50.0, 40.0, "tightened",
+        )
+        fenum = got[("flag", "enum")]
+        assert (fenum["old_str"], fenum["new_str"], fenum["change"]) == (
+            "A,N,R", "A,N", "tightened",
+        )
+        # unchanged constraints emit nothing
+        assert ("qty", "minimum") not in got
+        assert ("id", "required") not in got
+
+    def test_constraint_drift_no_drift_is_empty(self, spark):
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+        assert constraint_drift(df, df).count() == 0
