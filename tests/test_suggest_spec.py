@@ -207,3 +207,67 @@ class TestSpecDiff:
     def test_constraint_drift_no_drift_is_empty(self, spark):
         df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
         assert constraint_drift(df, df).count() == 0
+
+
+# hypothesis strategies for arbitrary suggest-shaped specs
+def _spec_strategy():
+    from hypothesis import strategies as st
+
+    bound = st.floats(-100, 100, allow_nan=False, allow_infinity=False)
+    length = st.integers(0, 20)
+    prop = st.fixed_dictionaries(
+        {},
+        optional={
+            "type": st.sampled_from(["number", "integer", "string", "array"]),
+            "minimum": bound,
+            "maximum": bound,
+            "minLength": length,
+            "maxLength": length,
+            "minItems": length,
+            "maxItems": length,
+            "enum": st.lists(
+                st.sampled_from(list("abcdef")), max_size=4
+            ).map(lambda xs: sorted(set(xs))),
+        },
+    )
+    cols = st.sampled_from(["c1", "c2", "c3"])
+    return st.fixed_dictionaries(
+        {
+            "required": st.lists(cols, unique=True),
+            "properties": st.dictionaries(cols, prop, max_size=3),
+        }
+    )
+
+
+class TestSpecDiffProperties:
+    """Algebraic laws of spec_diff over arbitrary suggest-shaped specs."""
+
+    def test_reflexive_diff_empty(self):
+        from hypothesis import given, settings
+
+        @settings(max_examples=200, deadline=None)
+        @given(_spec_strategy())
+        def run(s):
+            assert spec_diff(s, s) == []
+
+        run()
+
+    def test_swap_involution(self):
+        """diff(b, a) is exactly diff(a, b) with (old, new) swapped and
+        tightened <-> loosened flipped ('changed' is its own mirror)."""
+        from hypothesis import given, settings
+
+        flip = {"tightened": "loosened", "loosened": "tightened",
+                "changed": "changed"}
+
+        @settings(max_examples=200, deadline=None)
+        @given(_spec_strategy(), _spec_strategy())
+        def run(a, b):
+            fwd = spec_diff(a, b)
+            mirrored = sorted(
+                (c, k, nn, on, ns, os_, flip[ch])
+                for (c, k, on, nn, os_, ns, ch) in fwd
+            )
+            assert sorted(spec_diff(b, a)) == mirrored
+
+        run()
