@@ -80,6 +80,19 @@ class TestSuggestSpec:
         assert p["minimum"] == pytest.approx(-1.0)
         assert p["maximum"] == pytest.approx(11.0)
 
+    def test_empty_dataframe_type_only(self, spark):
+        """Zero rows = zero evidence: no required, no bounds, no enum —
+        just the schema-derived types; the spec still compiles and passes
+        trivially."""
+        df = spark.createDataFrame([], "id int, s string, a array<int>")
+        spec = suggest_spec(df)
+        assert spec["required"] == []
+        assert spec["properties"]["id"] == {"type": "integer"}
+        assert spec["properties"]["s"] == {"type": "string"}
+        assert spec["properties"]["a"] == {"type": "array"}
+        res = jsv.Validator(jsv.Spec(spec)).validate(df)
+        assert res.summary()["valid"] is True
+
     def test_unknown_column_raises(self, spark):
         df = spark.createDataFrame([(1,)], "id int")
         with pytest.raises(ValueError, match="no such column"):
