@@ -45,15 +45,18 @@ from pyspark.sql import functions as F
 
 from jsonschema_validator_spark.rules.types import _json_type_of_dtype
 
-_INT_DTYPES = ("tinyint", "smallint", "int", "bigint", "long", "short", "byte")
+_INT_DTYPES = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "long", "short", "byte"}
+)
 
 
 def _suggested_type(dtype: str) -> str:
     """Suggested ``type`` keyword for a Spark dtype. Integral dtypes get
     the tighter ``integer`` (every value is whole, and ``integer`` accepts
     whole-valued numbers — type.go:92-108), everything else the JSON type
-    the reference would see."""
-    if dtype.startswith(_INT_DTYPES):
+    the reference would see. Exact-token membership, not a prefix test:
+    ``interval day to second``.simpleString() also starts with ``int``."""
+    if dtype in _INT_DTYPES:
         return "integer"
     return _json_type_of_dtype(dtype)
 
