@@ -338,6 +338,11 @@ def main() -> int:
         "column_stats_lineitem",
         "images_stats_profile",
         "images_checkpoint_resume",
+        # the suggest family profiles at plan-build time (driver-side
+        # collect) and returns a tiny local frame — timing only the
+        # prebuilt plan would measure a createDataFrame, not the profiling
+        "suggested_spec_lineitem",
+        "spec_constraint_drift",
     }
 
     timings: dict[str, float] = {}
