@@ -33,7 +33,9 @@ Execution shape (design-for-100 TB):
 What is deliberately NOT suggested: ``pattern`` (inferring regexes from
 data is guesswork), ``format`` (a format that happens to match today's
 corpus over-constrains tomorrow's), cross-field keywords. Temporal and
-nested-object columns get ``type`` (+ ``required``) only.
+map columns get ``type`` (+ ``required``) only; struct columns get a
+recursively suggested nested subschema (all levels profiled in the same
+single aggregate pass).
 """
 
 from __future__ import annotations
@@ -61,11 +63,38 @@ def _suggested_type(dtype: str) -> str:
     return _json_type_of_dtype(dtype)
 
 
+def _walk_units(fields, prefix: tuple, depth: int, max_depth: int) -> list:
+    """Flatten a schema into profile units ``(path_tuple, dataType)``,
+    recursing into StructType up to ``max_depth`` levels. Maps are not
+    walked (dynamic keys — no static field set to suggest on) and array
+    elements are not walked (element stats need an explode, which would
+    break the single-aggregate execution shape)."""
+    from pyspark.sql.types import StructType
+
+    units = []
+    for f in fields:
+        path = prefix + (f.name,)
+        units.append((path, f.dataType))
+        if isinstance(f.dataType, StructType) and depth < max_depth:
+            units.extend(_walk_units(f.dataType.fields, path, depth + 1, max_depth))
+    return units
+
+
+def _acc(path: tuple):
+    """Accessor Column for a (possibly nested) field path — getField
+    chaining, safe for any field name (no string-path parsing)."""
+    col = F.col(path[0])
+    for part in path[1:]:
+        col = col.getField(part)
+    return col
+
+
 def suggest_spec(
     df: DataFrame,
     columns: Optional[list[str]] = None,
     enum_max_distinct: int = 8,
     widen_numeric: float = 0.0,
+    max_depth: int = 8,
 ) -> dict:
     """Profile ``df`` and return a raw spec dict (``required`` +
     ``properties``) compilable by ``Spec(...)``.
@@ -78,71 +107,83 @@ def suggest_spec(
       Go ``len(string)`` convention the length keywords use), plus
       ``enum`` when the exact distinct count is ≤ ``enum_max_distinct``.
     - array: ``minItems`` / ``maxItems``.
-    - temporal / struct / map: ``type`` only.
+    - struct: ``type: object`` plus a nested ``properties`` /
+      ``required`` subschema suggested recursively (up to ``max_depth``
+      levels, all levels still profiled in the same ONE aggregate pass).
+      Nested ``required`` follows the engine's parent-present semantics:
+      a field is required iff it is never NULL **among rows where the
+      parent struct is present** (a NULL parent skips nested checks, so
+      the round-trip property is preserved).
+    - temporal / map: ``type`` only.
 
     An all-NULL column contributes ``type`` only (there is no evidence
     for value constraints, and ``required`` would instantly fail).
     """
+    from pyspark.sql.types import StructType
+
     cols = columns or df.columns
-    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    top = {f.name: f for f in df.schema.fields}
     for c in cols:
-        if c not in schema:
+        if c not in top:
             raise ValueError(f"suggest_spec: no such column: {c}")
 
+    units = _walk_units([top[c] for c in cols], (), 1, max_depth)
+    idx = {path: i for i, (path, _) in enumerate(units)}
+
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
-        dtype = schema[c]
+    for i, (path, dt) in enumerate(units):
+        dtype = dt.simpleString()
         jtype = _json_type_of_dtype(dtype)
-        aggs.append(F.count(F.col(c)).alias(f"nn__{c}"))
+        col = _acc(path)
+        aggs.append(F.count(col).alias(f"nn__{i}"))
         if jtype == "number":
             # min/max computed in the native type (exact for decimals and
             # int64), cast to double only on the way out
-            aggs.append(F.min(F.col(c)).cast("double").alias(f"min__{c}"))
-            aggs.append(F.max(F.col(c)).cast("double").alias(f"max__{c}"))
+            aggs.append(F.min(col).cast("double").alias(f"min__{i}"))
+            aggs.append(F.max(col).cast("double").alias(f"max__{i}"))
         elif jtype == "string" and not (
             dtype.startswith("timestamp") or dtype.startswith("date")
         ):
-            aggs.append(F.min(F.octet_length(F.col(c))).alias(f"min__{c}"))
-            aggs.append(F.max(F.octet_length(F.col(c))).alias(f"max__{c}"))
-            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"ad__{c}"))
+            aggs.append(F.min(F.octet_length(col)).alias(f"min__{i}"))
+            aggs.append(F.max(F.octet_length(col)).alias(f"max__{i}"))
+            aggs.append(F.approx_count_distinct(col).alias(f"ad__{i}"))
         elif jtype == "array":
-            aggs.append(F.min(F.size(F.col(c))).alias(f"min__{c}"))
-            aggs.append(F.max(F.size(F.col(c))).alias(f"max__{c}"))
+            aggs.append(F.min(F.size(col)).alias(f"min__{i}"))
+            aggs.append(F.max(F.size(col)).alias(f"max__{i}"))
     row = df.agg(*aggs).collect()[0].asDict()
 
     candidates = [
-        c
-        for c in cols
-        if f"ad__{c}" in row
-        and row[f"nn__{c}"] > 0
-        and row[f"ad__{c}"] <= 2 * enum_max_distinct
+        i
+        for i, _ in enumerate(units)
+        if f"ad__{i}" in row
+        and row[f"nn__{i}"] > 0
+        and row[f"ad__{i}"] <= 2 * enum_max_distinct
     ]
-    enums: dict[str, list[str]] = {}
+    enums: dict[int, list[str]] = {}
     if candidates:
         erow = (
             df.agg(
                 *[
-                    F.array_sort(F.collect_set(F.col(c))).alias(c)
-                    for c in candidates
+                    F.array_sort(F.collect_set(_acc(units[i][0]))).alias(f"e__{i}")
+                    for i in candidates
                 ]
             )
             .collect()[0]
             .asDict()
         )
-        for c in candidates:
-            vals = erow[c] or []
+        for i in candidates:
+            vals = erow[f"e__{i}"] or []
             if 0 < len(vals) <= enum_max_distinct:
-                enums[c] = list(vals)
+                enums[i] = list(vals)
 
-    required = [c for c in cols if row[f"nn__{c}"] == row["_n"] and row["_n"] > 0]
-    props: dict[str, dict] = {}
-    for c in cols:
-        dtype = schema[c]
+    def build_prop(path: tuple, dt) -> dict:
+        dtype = dt.simpleString()
         jtype = _json_type_of_dtype(dtype)
+        i = idx[path]
         p: dict = {"type": _suggested_type(dtype)}
-        if row[f"nn__{c}"] > 0:
-            if f"min__{c}" in row and row[f"min__{c}"] is not None:
-                lo, hi = row[f"min__{c}"], row[f"max__{c}"]
+        if row[f"nn__{i}"] > 0:
+            if f"min__{i}" in row and row[f"min__{i}"] is not None:
+                lo, hi = row[f"min__{i}"], row[f"max__{i}"]
                 if jtype == "number":
                     pad = widen_numeric * (hi - lo)
                     p["minimum"], p["maximum"] = lo - pad, hi + pad
@@ -150,9 +191,29 @@ def suggest_spec(
                     p["minLength"], p["maxLength"] = int(lo), int(hi)
                 elif jtype == "array":
                     p["minItems"], p["maxItems"] = int(lo), int(hi)
-            if c in enums:
-                p["enum"] = enums[c]
-        props[c] = p
+            if i in enums:
+                p["enum"] = enums[i]
+        if (
+            isinstance(dt, StructType)
+            and dt.fields
+            and (path + (dt.fields[0].name,)) in idx
+        ):
+            n_parent = row[f"nn__{i}"]
+            sub_props, sub_req = {}, []
+            for f in dt.fields:
+                cp = path + (f.name,)
+                sub_props[f.name] = build_prop(cp, f.dataType)
+                if n_parent > 0 and row[f"nn__{idx[cp]}"] == n_parent:
+                    sub_req.append(f.name)
+            p["properties"] = sub_props
+            if sub_req:
+                p["required"] = sub_req
+        return p
+
+    required = [
+        c for c in cols if row[f"nn__{idx[(c,)]}"] == row["_n"] and row["_n"] > 0
+    ]
+    props = {c: build_prop((c,), top[c].dataType) for c in cols}
     return {"type": "object", "required": required, "properties": props}
 
 
@@ -177,11 +238,33 @@ def _bound_change(kw: str, old, new) -> Optional[str]:
     return "tightened" if new < old else "loosened"
 
 
+def _flatten_spec(spec: dict, prefix: str = "") -> tuple[dict, set]:
+    """Flatten a (possibly nested) suggest-shaped spec into
+    ``({dotted_path: scalar_keywords}, {dotted required paths})`` —
+    nested ``properties``/``required`` recurse with dot-joined paths, so
+    the same diff/projection logic covers every nesting level."""
+    props: dict = {}
+    req: set = set()
+    for c in spec.get("required", []):
+        req.add(prefix + c)
+    for c, p in spec.get("properties", {}).items():
+        cp = prefix + c
+        props[cp] = {
+            k: v for k, v in p.items() if k not in ("properties", "required")
+        }
+        if "properties" in p or "required" in p:
+            sub_props, sub_req = _flatten_spec(p, cp + ".")
+            props.update(sub_props)
+            req |= sub_req
+    return props, req
+
+
 def spec_diff(old: dict, new: dict) -> list[tuple]:
     """Diff two spec dicts (the ``suggest_spec`` shape: top-level
-    ``required`` + flat ``properties``) into rows ``(column, keyword,
-    old_num, new_num, old_str, new_str, change)`` — one row per constraint
-    that CHANGED, nothing for constraints that held.
+    ``required`` + ``properties``, nested subschemas flattened to dotted
+    paths) into rows ``(column, keyword, old_num, new_num, old_str,
+    new_str, change)`` — one row per constraint that CHANGED, nothing for
+    constraints that held.
 
     ``change`` classification:
 
@@ -199,8 +282,8 @@ def spec_diff(old: dict, new: dict) -> list[tuple]:
     ``required`` and comma-joined sorted enum sets in ``old_str``/
     ``new_str`` (the ``spec_keyword_rows`` convention)."""
     rows: list[tuple] = []
-    op, np_ = old.get("properties", {}), new.get("properties", {})
-    oreq, nreq = set(old.get("required", [])), set(new.get("required", []))
+    op, oreq = _flatten_spec(old)
+    np_, nreq = _flatten_spec(new)
     for c in sorted(set(op) | set(np_)):
         po, pn = op.get(c, {}), np_.get(c, {})
         to, tn = po.get("type"), pn.get("type")
@@ -261,6 +344,7 @@ def constraint_drift(
     columns: Optional[list[str]] = None,
     enum_max_distinct: int = 8,
     widen_numeric: float = 0.0,
+    max_depth: int = 8,
 ) -> DataFrame:
     """Constraint drift between two corpus snapshots: profile each side
     with :func:`suggest_spec` and report every suggested constraint that
@@ -274,8 +358,8 @@ def constraint_drift(
     itself is a pure O(columns) driver-side function. No join, no shuffle
     beyond the four 1-row aggregate reductions, regardless of table size.
     """
-    old = suggest_spec(df_old, columns, enum_max_distinct, widen_numeric)
-    new = suggest_spec(df_new, columns, enum_max_distinct, widen_numeric)
+    old = suggest_spec(df_old, columns, enum_max_distinct, widen_numeric, max_depth)
+    new = suggest_spec(df_new, columns, enum_max_distinct, widen_numeric, max_depth)
     return df_old.sparkSession.createDataFrame(
         spec_diff(old, new), _DIFF_SCHEMA
     )
@@ -287,10 +371,10 @@ def spec_keyword_rows(spec: dict) -> list[tuple]:
     values go in ``value_num`` (no float→string formatting ambiguity);
     ``type`` goes in ``value_str``; ``required`` is one row per required
     column (value_str 'true'); ``enum`` is one row per VALUE (value_str),
-    in sorted order."""
+    in sorted order. Nested subschemas flatten to dotted paths."""
     rows = []
-    req = set(spec.get("required", []))
-    for c, p in sorted(spec.get("properties", {}).items()):
+    props, req = _flatten_spec(spec)
+    for c, p in sorted(props.items()):
         rows.append((c, "type", None, p["type"]))
         if c in req:
             rows.append((c, "required", None, "true"))
