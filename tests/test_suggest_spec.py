@@ -330,10 +330,19 @@ def _spec_strategy():
         },
     )
     cols = st.sampled_from(["c1", "c2", "c3"])
+    # one optional nesting level: an 'object' property carrying its own
+    # required + properties subschema (the suggest_spec struct shape)
+    nested = st.fixed_dictionaries(
+        {
+            "type": st.just("object"),
+            "required": st.lists(cols, unique=True, max_size=2),
+            "properties": st.dictionaries(cols, prop, max_size=2),
+        }
+    )
     return st.fixed_dictionaries(
         {
             "required": st.lists(cols, unique=True),
-            "properties": st.dictionaries(cols, prop, max_size=3),
+            "properties": st.dictionaries(cols, prop | nested, max_size=3),
         }
     )
 
