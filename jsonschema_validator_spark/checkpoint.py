@@ -43,6 +43,7 @@ class CheckpointStore:
         self.metrics_dir = os.path.join(root, "metrics")
         self.sketches_dir = os.path.join(root, "sketches")
         self.tdigests_dir = os.path.join(root, "tdigests")
+        self.specs_dir = os.path.join(root, "specs")
         self.lineage_path = os.path.join(root, "lineage.json")
 
     # lineage is tiny (one row per snapshot) → JSON for atomic updates
@@ -101,6 +102,45 @@ class CheckpointStore:
         )
         self._save_lineage(rows)
 
+    def record_spec(self, snapshot_id: str, spec: dict) -> None:
+        """Persist a snapshot's suggested spec (tiny JSON, atomic
+        replace). Recorded BEFORE the lineage append, so a crash leaves
+        the snapshot incomplete and the spec is simply overwritten on
+        re-validation — same idempotence contract as :meth:`record`."""
+        os.makedirs(self.specs_dir, exist_ok=True)
+        path = os.path.join(self.specs_dir, f"{snapshot_id}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(spec, f, indent=1)
+        os.replace(tmp, path)
+
+    def suggested_spec(self, snapshot_id: str) -> dict:
+        path = os.path.join(self.specs_dir, f"{snapshot_id}.json")
+        if not os.path.exists(path):
+            raise ValueError(
+                f"no suggested spec recorded for snapshot {snapshot_id!r} — "
+                "run validate_resumable(..., suggest_specs=True) or "
+                "record_spec() first"
+            )
+        with open(path) as f:
+            return json.load(f)
+
+    def spec_drift(
+        self, spark: SparkSession, old_snapshot: str, new_snapshot: str
+    ) -> DataFrame:
+        """Constraint drift between two ALREADY-PROFILED snapshots — a
+        pure diff of the persisted spec JSONs (suggest.spec_diff rows:
+        column, keyword, old/new values, tightened/loosened/changed).
+        Zero data rescans: the profiling cost was paid once per snapshot
+        at validation time, so asking "what drifted between yesterday and
+        today" is O(columns) driver work at any table size."""
+        from jsonschema_validator_spark.suggest import _DIFF_SCHEMA, spec_diff
+
+        rows = spec_diff(
+            self.suggested_spec(old_snapshot), self.suggested_spec(new_snapshot)
+        )
+        return spark.createDataFrame(rows, _DIFF_SCHEMA)
+
     def metrics(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.metrics_dir, "snapshot=*"))
 
@@ -152,13 +192,19 @@ def validate_resumable(
     store: CheckpointStore,
     sketch_columns: Optional[Sequence[str]] = None,
     tdigest_columns: Optional[Sequence[str]] = None,
+    suggest_specs: bool = False,
+    suggest_columns: Optional[Sequence[str]] = None,
 ) -> dict:
     """Validate all snapshots not yet checkpointed; return a run report.
 
     Idempotent: re-running after a crash (or after an append) only touches
     snapshots missing from the lineage. ``tdigest_columns`` additionally
     persists mergeable quantile digests per snapshot (answered later by
-    ``store.merged_quantiles`` without rescanning).
+    ``store.merged_quantiles`` without rescanning). ``suggest_specs``
+    additionally profiles each snapshot with ``suggest.suggest_spec`` and
+    persists the suggested spec, so ``store.spec_drift(old, new)`` later
+    answers "what constraints drifted between snapshots" with zero
+    rescans.
     """
     from jsonschema_validator_spark.operators.tdigest import tdigest_sketches
 
@@ -176,6 +222,15 @@ def validate_resumable(
             if tdigest_columns
             else None
         )
+        if suggest_specs:
+            from jsonschema_validator_spark.suggest import suggest_spec
+
+            store.record_spec(
+                sid,
+                suggest_spec(
+                    df, list(suggest_columns) if suggest_columns else None
+                ),
+            )
         n_rows = df.count()
         store.record(sid, verdicts, sk, n_rows, time.perf_counter() - t0, tdigests=td)
         validated.append(sid)

@@ -183,3 +183,43 @@ def test_tdigest_merge_across_snapshots(spark, tmp_path, table):
         # guarantees: RANK error of the estimate ≤ 2%
         rank = full.filter(f"phash <= {est[('phash', p)]}").count() / n
         assert abs(rank - p) <= 0.02, (p, rank)
+
+
+def test_spec_drift_across_snapshots(spark, tmp_path, table):
+    """suggest_specs=True persists each snapshot's suggested spec; the
+    store answers cross-snapshot constraint drift with ZERO rescans (pure
+    diff of the persisted JSONs). snap_b is a deliberately drifted slice
+    (filtered fmt) so the enum constraint tightens."""
+    from pyspark.sql import functions as F
+
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    cols = ["image_id", "w", "h", "fmt"]
+    validate_resumable(
+        spark, table, SPEC, store, suggest_specs=True, suggest_columns=cols
+    )
+    drifted = (
+        synth.generate_spark(spark, N2, seed=42, start=N1, partitions=4)
+        .filter(F.col("fmt") != "webp")
+    )
+    table.append(drifted, "snap_b")
+    validate_resumable(
+        spark, table, SPEC, store, suggest_specs=True, suggest_columns=cols
+    )
+
+    # persisted specs round-trip and reflect each snapshot's data
+    spec_a = store.suggested_spec("snap_a")
+    assert "webp" in spec_a["properties"]["fmt"]["enum"]
+    spec_b = store.suggested_spec("snap_b")
+    assert "webp" not in spec_b["properties"]["fmt"]["enum"]
+
+    drift = {
+        (r["column"], r["keyword"]): r
+        for r in store.spec_drift(spark, "snap_a", "snap_b").collect()
+    }
+    fmt_enum = drift[("fmt", "enum")]
+    assert fmt_enum["change"] == "tightened"
+    assert "webp" in fmt_enum["old_str"] and "webp" not in fmt_enum["new_str"]
+
+    # unknown snapshot fails loudly, not with a confusing file error
+    with pytest.raises(ValueError, match="no suggested spec recorded"):
+        store.spec_drift(spark, "snap_a", "nope")
