@@ -147,7 +147,9 @@ def suggest_spec(
             aggs.append(F.min(F.octet_length(col)).alias(f"min__{i}"))
             aggs.append(F.max(F.octet_length(col)).alias(f"max__{i}"))
             aggs.append(F.approx_count_distinct(col).alias(f"ad__{i}"))
-        elif jtype == "array":
+        elif jtype == "array" or dtype.startswith("map"):
+            # array → minItems/maxItems; map → minProperties/maxProperties
+            # (F.size = element count for both container kinds)
             aggs.append(F.min(F.size(col)).alias(f"min__{i}"))
             aggs.append(F.max(F.size(col)).alias(f"max__{i}"))
     row = df.agg(*aggs).collect()[0].asDict()
@@ -191,6 +193,8 @@ def suggest_spec(
                     p["minLength"], p["maxLength"] = int(lo), int(hi)
                 elif jtype == "array":
                     p["minItems"], p["maxItems"] = int(lo), int(hi)
+                elif dtype.startswith("map"):
+                    p["minProperties"], p["maxProperties"] = int(lo), int(hi)
             if i in enums:
                 p["enum"] = enums[i]
         if (
@@ -219,8 +223,8 @@ def suggest_spec(
 
 # bound direction per keyword: raising a lower bound or lowering an upper
 # bound TIGHTENS the constraint (fewer values pass); the reverse LOOSENS it.
-_LOWER_BOUNDS = ("minimum", "minLength", "minItems")
-_UPPER_BOUNDS = ("maximum", "maxLength", "maxItems")
+_LOWER_BOUNDS = ("minimum", "minLength", "minItems", "minProperties")
+_UPPER_BOUNDS = ("maximum", "maxLength", "maxItems", "maxProperties")
 
 
 def _bound_change(kw: str, old, new) -> Optional[str]:
@@ -385,6 +389,8 @@ def spec_keyword_rows(spec: dict) -> list[tuple]:
             "maxLength",
             "minItems",
             "maxItems",
+            "minProperties",
+            "maxProperties",
         ):
             if kw in p:
                 rows.append((c, kw, float(p[kw]), None))

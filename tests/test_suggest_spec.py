@@ -74,6 +74,19 @@ class TestSuggestSpec:
         assert p["type"] == "array"
         assert p["minItems"] == 2 and p["maxItems"] == 4
 
+    def test_map_properties_bounds(self, spark):
+        df = spark.createDataFrame(
+            [({"a": 1},), ({"a": 1, "b": 2, "c": 3},)],
+            "m map<string,int>",
+        )
+        spec = suggest_spec(df)
+        p = spec["properties"]["m"]
+        assert p["type"] == "object"
+        assert p["minProperties"] == 1 and p["maxProperties"] == 3
+        # round-trips through the engine's map accessors
+        res = jsv.Validator(jsv.Spec(spec)).validate(df)
+        assert res.summary()["valid"] is True
+
     def test_widen_numeric(self, spark):
         df = spark.createDataFrame([(0.0,), (10.0,)], "x double")
         p = suggest_spec(df, widen_numeric=0.1)["properties"]["x"]
