@@ -32,8 +32,9 @@ Execution shape (design-for-100 TB):
 
 What is deliberately NOT suggested: ``pattern`` (inferring regexes from
 data is guesswork), ``format`` (a format that happens to match today's
-corpus over-constrains tomorrow's), cross-field keywords. Temporal and
-map columns get ``type`` (+ ``required``) only; struct columns get a
+corpus over-constrains tomorrow's), cross-field keywords. Temporal
+columns get ``type`` (+ ``required``) only; map columns additionally get
+``minProperties``/``maxProperties`` size bounds; struct columns get a
 recursively suggested nested subschema (all levels profiled in the same
 single aggregate pass).
 """
@@ -114,7 +115,9 @@ def suggest_spec(
       a field is required iff it is never NULL **among rows where the
       parent struct is present** (a NULL parent skips nested checks, so
       the round-trip property is preserved).
-    - temporal / map: ``type`` only.
+    - map: ``type: object`` plus ``minProperties`` / ``maxProperties``
+      size bounds (keys are dynamic, so no nested subschema).
+    - temporal: ``type`` only.
 
     An all-NULL column contributes ``type`` only (there is no evidence
     for value constraints, and ``required`` would instantly fail).
