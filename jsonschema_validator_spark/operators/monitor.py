@@ -1,0 +1,248 @@
+"""Cross-snapshot metrics monitoring: control charts and verdict flips.
+
+The north rule requires runs "resumable from checkpoint with per-partition
+lineage + metrics rows persisted" (BASELINE.json); ``checkpoint.py``
+persists those rows but nothing *watches* them. This module closes the
+loop: given the per-snapshot metrics history, detect (a) verdict FLIPS —
+a rule that passed yesterday and fails today (or recovered) — and
+(b) metric ANOMALIES — a fail-rate / throughput / stat series that jumps
+outside its own historical band (Shewhart-style control chart, with a
+robust median/IQR variant that tolerates outliers in the history itself).
+
+The reference library validates one payload at a time and has no notion
+of runs or history (SURVEY.md §2.5) — this is a Spark-native extension in
+the same family as ``suggest.constraint_drift`` (which diffs suggested
+specs) but over the *observed verdict metrics* instead of the inferred
+constraints.
+
+Scale notes
+-----------
+- Input is the METRICS table, not the data: O(rules × partitions ×
+  snapshots) rows — for a 10^12-row table with 10^3 rules, 10^4
+  partitions and daily snapshots this is ~10^9 rows/year worst case,
+  trivially Spark-sized and ~10^5 rows in the common un-partitioned
+  verdict layout. The monitored table's size never appears.
+- One shuffle, keyed by the series id (rule_id × tag × ...): thousands
+  of balanced keys. Per-series state is the series' own history
+  (``collect_list`` over the preceding frame) — bounded by the snapshot
+  count, e.g. 365 points for a year of daily snapshots.
+- Everything is Column algebra (window + array expressions) inside
+  whole-stage codegen; no Python touches the data.
+- The expanding quantiles use rank = p·(n−1) with linear interpolation —
+  the exact convention shared by Spark ``percentile``, DuckDB
+  ``quantile_cont`` and ``numpy.percentile(method="linear")``, so
+  oracles need no rounding.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# IQR → sigma for a normal distribution: IQR = 2·Φ⁻¹(0.75)·σ = 1.3489795·σ.
+_IQR_TO_SIGMA = 1.3489795003921634
+
+
+def _interp_quantile(sorted_arr: Column, n: Column, p: float) -> Column:
+    """Linear-interpolated quantile of a SORTED array column (1-indexed
+    ``element_at``; caller guarantees n ≥ 1 on evaluated rows)."""
+    idx = F.lit(float(p)) * (n.cast("double") - F.lit(1.0))
+    lo = F.floor(idx).cast("int")
+    frac = idx - lo.cast("double")
+    lo_v = F.element_at(sorted_arr, lo + F.lit(1)).cast("double")
+    # ceil(idx) == lo when frac == 0; element_at(lo+2) would be out of
+    # bounds on the last element under ANSI mode, so guard the hi probe.
+    hi_v = F.when(frac > 0, F.element_at(sorted_arr, lo + F.lit(2)).cast("double")).otherwise(lo_v)
+    return lo_v + (hi_v - lo_v) * frac
+
+
+def control_chart(
+    df: DataFrame,
+    series_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    min_history: int = 3,
+    z_threshold: float = 3.0,
+    method: str = "robust",
+) -> DataFrame:
+    """Expanding control chart over per-snapshot series.
+
+    For every row, the PRECEDING rows of its series (``series_cols``,
+    ordered by ``order_col``) form the history; the row is flagged when
+    its value sits more than ``z_threshold`` estimated standard
+    deviations from the history's center. Rows with fewer than
+    ``min_history`` prior points are never flagged (the chart is still
+    warming up).
+
+    ``method="robust"`` (default): center = expanding median, scale =
+    IQR/1.349 — one planted outlier in the history barely moves the
+    band, so a spike does not mask the next one. ``method="classic"``:
+    center = mean, scale = sample stddev (textbook Shewhart).
+
+    Zero-scale histories (a constant series — the common case for a
+    fail-rate that has always been 0) flag ANY deviation: ``z`` is null
+    but ``is_anomaly`` is true whenever the value differs from the
+    center. Null values are never flagged and do not enter histories.
+
+    Adds columns: ``n_history, center, scale, z, is_anomaly``.
+    """
+    if method not in ("robust", "classic"):
+        raise ValueError(f"method must be 'robust' or 'classic', got {method!r}")
+    if min_history < 1:
+        raise ValueError(f"min_history must be >= 1, got {min_history}")
+    w = (
+        Window.partitionBy(*[F.col(c) for c in series_cols])
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    v = F.col(value_col).cast("double")
+    if method == "robust":
+        # materialize the sorted history ONCE: every further expression is
+        # a projection over the array column, so the plan carries a single
+        # collect_list buffer (12 duplicated window expressions otherwise —
+        # Spark does not CSE window expressions across aliases).
+        df = df.withColumn(
+            "_hist", F.sort_array(F.collect_list(v).over(w))
+        ).withColumn("n_history", F.size(F.col("_hist")))
+        hist, n = F.col("_hist"), F.col("n_history")
+        warm = n >= F.lit(min_history)
+        center = F.when(warm, _interp_quantile(hist, n, 0.5))
+        iqr = F.when(
+            warm, _interp_quantile(hist, n, 0.75) - _interp_quantile(hist, n, 0.25)
+        )
+        scale = iqr / F.lit(_IQR_TO_SIGMA)
+    else:
+        df = df.withColumn("n_history", F.count(v).over(w))
+        warm = F.col("n_history") >= F.lit(min_history)
+        center = F.when(warm, F.avg(v).over(w))
+        scale = F.when(warm, F.coalesce(F.stddev_samp(v).over(w), F.lit(0.0)))
+    df = df.withColumn("center", center).withColumn("scale", scale)
+    z = F.when(F.col("scale") > 0, (v - F.col("center")) / F.col("scale"))
+    return (
+        df.withColumn("z", z)
+        .withColumn(
+            "is_anomaly",
+            F.when(~warm | v.isNull(), F.lit(False)).otherwise(
+                F.coalesce(
+                    F.abs(F.col("z")) > F.lit(float(z_threshold)),
+                    # constant history (scale == 0): any deviation is anomalous
+                    v != F.col("center"),
+                )
+            ),
+        )
+        .drop("_hist")
+    )
+
+
+def verdict_flips(
+    df: DataFrame,
+    series_cols: Sequence[str] = ("rule_id", "tag"),
+    order_col: str = "snapshot_ord",
+    pass_col: str = "pass",
+) -> DataFrame:
+    """Rows whose pass/fail verdict FLIPPED vs the same series' previous
+    snapshot. ``direction`` = 'regressed' (pass→fail — page someone) or
+    'recovered' (fail→pass). First observation of a series never flips.
+
+    One shuffle keyed by the series id; ``lag`` over the per-series
+    order. Input is the metrics history (see :func:`metrics_history`),
+    so cost is independent of the monitored table's size.
+    """
+    w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy(order_col)
+    prev = F.lag(F.col(pass_col)).over(w)
+    return (
+        df.withColumn("prev_pass", prev)
+        .filter(F.col("prev_pass").isNotNull() & (F.col("prev_pass") != F.col(pass_col)))
+        .withColumn(
+            "direction",
+            F.when(F.col(pass_col), F.lit("recovered")).otherwise(F.lit("regressed")),
+        )
+    )
+
+
+def metrics_history(spark: SparkSession, store) -> DataFrame:
+    """The checkpoint store's metrics rows with a dense per-snapshot
+    ordinal (validation order from the lineage) and a ``fail_rate``
+    column — the canonical input for :func:`verdict_flips` and
+    :func:`control_chart`.
+
+    The lineage is one tiny row per snapshot (broadcast); the metrics
+    table is O(rules × snapshots) rows. No scan of the validated data.
+    """
+    lineage = store._load_lineage()
+    if not lineage:
+        raise ValueError(
+            "checkpoint store has no completed snapshots — run "
+            "validate_resumable() first"
+        )
+    ords = spark.createDataFrame(
+        [(r["snapshot_id"], i, int(r["n_rows"]), float(r["wall_sec"])) for i, r in enumerate(lineage)],
+        schema="snapshot_id string, snapshot_ord int, n_rows long, wall_sec double",
+    )
+    m = store.metrics(spark)
+    return m.join(F.broadcast(ords.drop("n_rows", "wall_sec")), "snapshot_id").withColumn(
+        "fail_rate",
+        F.when(
+            F.col("n_checked") > 0, F.col("n_failed") / F.col("n_checked")
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def metric_anomalies(
+    spark: SparkSession,
+    store,
+    value_col: str = "fail_rate",
+    min_history: int = 3,
+    z_threshold: float = 3.0,
+    method: str = "robust",
+) -> DataFrame:
+    """Control-chart the checkpoint store's per-rule fail rates across
+    snapshots: which rule's failure behavior just left its historical
+    band? Thin composition of :func:`metrics_history` +
+    :func:`control_chart`, returning only the flagged rows (newest
+    snapshots of a healthy store return empty)."""
+    hist = metrics_history(spark, store)
+    chart = control_chart(
+        hist,
+        series_cols=("rule_id", "tag"),
+        order_col="snapshot_ord",
+        value_col=value_col,
+        min_history=min_history,
+        z_threshold=z_threshold,
+        method=method,
+    )
+    return chart.filter(F.col("is_anomaly"))
+
+
+def lineage_history(spark: SparkSession, store) -> DataFrame:
+    """The lineage itself as a chartable series: per-snapshot row count,
+    wall seconds and throughput (rows/sec). Feed to :func:`control_chart`
+    with ``series_cols=()`` … actually a constant series key — e.g.
+    ``control_chart(h.withColumn("series", F.lit("throughput")),
+    ["series"], "snapshot_ord", "rows_per_sec")`` — to catch a run that
+    suddenly processes 10× slower (skew regression, input blow-up)."""
+    lineage = store._load_lineage()
+    if not lineage:
+        raise ValueError(
+            "checkpoint store has no completed snapshots — run "
+            "validate_resumable() first"
+        )
+    rows = [
+        (
+            r["snapshot_id"],
+            i,
+            int(r["n_rows"]),
+            float(r["wall_sec"]),
+            (float(r["n_rows"]) / float(r["wall_sec"])) if r["wall_sec"] else None,
+        )
+        for i, r in enumerate(lineage)
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "snapshot_id string, snapshot_ord int, n_rows long, "
+            "wall_sec double, rows_per_sec double"
+        ),
+    )

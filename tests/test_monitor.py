@@ -1,0 +1,204 @@
+"""Cross-snapshot monitoring (operators/monitor.py): control charts over
+metric series and verdict-flip detection, end-to-end with the checkpoint
+store. Parity oracle: an independent numpy re-implementation (expanding
+median/IQR and mean/stddev over the preceding window)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_validator_spark.checkpoint import CheckpointStore, validate_resumable
+from jsonschema_validator_spark.operators.monitor import (
+    _IQR_TO_SIGMA,
+    control_chart,
+    lineage_history,
+    metric_anomalies,
+    metrics_history,
+    verdict_flips,
+)
+from jsonschema_validator_spark.sources.tables import SnapshotTable
+
+
+def _chart_rows(spark, series, **kw):
+    """series: {series_id: [values...]} → control_chart rows keyed by
+    (series_id, ord)."""
+    rows = [
+        (sid, i, float(v) if v is not None else None)
+        for sid, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "series string, ord int, value double")
+    out = control_chart(df, ["series"], "ord", "value", **kw)
+    return {(r["series"], r["ord"]): r.asDict() for r in out.collect()}
+
+
+def _np_expected(vals, min_history, z_threshold, method):
+    """Independent expanding-window re-implementation."""
+    out = []
+    for i, x in enumerate(vals):
+        hist = [v for v in vals[:i] if v is not None]
+        n = len(hist)
+        if n < min_history or x is None:
+            out.append((n, None, False))
+            continue
+        if method == "robust":
+            center = float(np.percentile(hist, 50, method="linear"))
+            iqr = float(
+                np.percentile(hist, 75, method="linear")
+                - np.percentile(hist, 25, method="linear")
+            )
+            scale = iqr / _IQR_TO_SIGMA
+        else:
+            center = float(np.mean(hist))
+            scale = float(np.std(hist, ddof=1)) if n >= 2 else 0.0
+        if scale > 0:
+            z = (x - center) / scale
+            out.append((n, z, abs(z) > z_threshold))
+        else:
+            out.append((n, None, x != center))
+    return out
+
+
+@pytest.mark.parametrize("method", ["robust", "classic"])
+def test_control_chart_numpy_parity(spark, method):
+    rng = np.random.default_rng(7)
+    series = {
+        "a": list(rng.normal(10.0, 2.0, 14)),
+        "b": list(rng.normal(-3.0, 0.5, 9)),
+        "c": list(rng.uniform(0.0, 1.0, 5)),
+    }
+    got = _chart_rows(spark, series, min_history=3, z_threshold=3.0, method=method)
+    for sid, vals in series.items():
+        exp = _np_expected(vals, 3, 3.0, method)
+        for i, (n, z, flag) in enumerate(exp):
+            r = got[(sid, i)]
+            assert r["n_history"] == n
+            if z is None:
+                assert r["z"] is None
+            else:
+                assert r["z"] == pytest.approx(z, abs=1e-9)
+            assert r["is_anomaly"] == flag, (sid, i)
+
+
+def test_planted_spike_flagged_once(spark):
+    vals = [0.01, 0.012, 0.011, 0.009, 0.010, 0.5, 0.011]
+    got = _chart_rows(spark, {"s": vals}, min_history=3, z_threshold=4.0)
+    flagged = sorted(o for (_, o), r in got.items() if r["is_anomaly"])
+    # the spike is flagged; the NEXT point is not (robust band barely moves)
+    assert flagged == [5]
+
+
+def test_classic_chart_masked_by_spike(spark):
+    """Documents WHY robust is the default: after a spike enters a classic
+    chart's history, the inflated stddev masks a second spike the robust
+    chart still catches."""
+    vals = [0.01, 0.012, 0.011, 0.009, 0.010, 0.5, 0.4]
+    robust = _chart_rows(spark, {"s": vals}, min_history=3, z_threshold=4.0)
+    classic = _chart_rows(
+        spark, {"s": vals}, min_history=3, z_threshold=4.0, method="classic"
+    )
+    assert robust[("s", 6)]["is_anomaly"] is True
+    assert classic[("s", 6)]["is_anomaly"] is False
+
+
+def test_constant_history_zero_scale(spark):
+    got = _chart_rows(spark, {"s": [0.0, 0.0, 0.0, 0.0, 0.0, 0.2]}, min_history=3)
+    assert [got[("s", i)]["is_anomaly"] for i in range(6)] == [
+        False, False, False, False, False, True,
+    ]
+    assert got[("s", 5)]["z"] is None  # zero scale → no z, still flagged
+
+
+def test_warmup_and_nulls_never_flag(spark):
+    got = _chart_rows(
+        spark, {"s": [0.0, 100.0, None, 0.0, 200.0]}, min_history=3
+    )
+    # ords 0-1 warming up; ord 2 null value; ord 3 has only 2 non-null
+    # priors (null never entered the history) → still warming up
+    assert not any(got[("s", i)]["is_anomaly"] for i in range(4))
+    assert got[("s", 3)]["n_history"] == 2
+    assert got[("s", 4)]["is_anomaly"] is True
+
+
+def test_control_chart_validates_args(spark):
+    df = spark.createDataFrame([("s", 0, 1.0)], "series string, ord int, value double")
+    with pytest.raises(ValueError, match="method"):
+        control_chart(df, ["series"], "ord", "value", method="ewma")
+    with pytest.raises(ValueError, match="min_history"):
+        control_chart(df, ["series"], "ord", "value", min_history=0)
+
+
+def test_verdict_flips_directions(spark):
+    rows = [
+        # rule r1 flips fail at ord 2, recovers at ord 3
+        ("r1", "t", 0, True), ("r1", "t", 1, True),
+        ("r1", "t", 2, False), ("r1", "t", 3, True),
+        # rule r2 never flips
+        ("r2", "t", 0, True), ("r2", "t", 1, True),
+    ]
+    df = spark.createDataFrame(rows, "rule_id string, tag string, snapshot_ord int, pass boolean")
+    got = {
+        (r["rule_id"], r["snapshot_ord"]): r["direction"]
+        for r in verdict_flips(df).collect()
+    }
+    assert got == {("r1", 2): "regressed", ("r1", 3): "recovered"}
+
+
+SPEC = {"properties": {"v": {"minimum": 0}}}
+
+
+def _snap(spark, n_bad, n=200, start=0):
+    rows = [(start + i, -1.0 if i < n_bad else float(i)) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, v double")
+
+
+def test_store_monitoring_end_to_end(spark, tmp_path):
+    """Five snapshots: stable → spike in snapshot 4. verdict_flips sees
+    the regression+recovery; metric_anomalies flags exactly the spike."""
+    table = SnapshotTable(str(tmp_path / "t"))
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    bad = [0, 0, 0, 0, 120, 0]
+    for i, nb in enumerate(bad):
+        table.append(_snap(spark, nb, start=1000 * i), f"snap_{i}")
+    validate_resumable(spark, table, SPEC, store)
+
+    hist = metrics_history(spark, store)
+    assert hist.filter("snapshot_ord IS NULL").count() == 0
+
+    flips = {
+        (r["snapshot_id"], r["direction"])
+        for r in verdict_flips(hist).filter("rule_id = 'minimum:$.v'").collect()
+    }
+    assert flips == {("snap_4", "regressed"), ("snap_5", "recovered")}
+
+    anomalies = metric_anomalies(spark, store, min_history=3)
+    flagged = {
+        (r["snapshot_id"], r["rule_id"]) for r in anomalies.collect()
+    }
+    assert flagged == {("snap_4", "minimum:$.v")}
+
+    lh = lineage_history(spark, store)
+    assert lh.count() == 6
+    assert lh.filter("rows_per_sec IS NULL OR rows_per_sec <= 0").count() == 0
+
+
+def test_metrics_history_empty_store_raises(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="no completed snapshots"):
+        metrics_history(spark, store)
+    with pytest.raises(ValueError, match="no completed snapshots"):
+        lineage_history(spark, store)
+
+
+def test_control_chart_single_shuffle_plan(spark):
+    """Scale shape: ONE exchange keyed by the series id — the robust
+    chart's expanding quantiles all share the same window spec, so the
+    optimizer collapses them into a single shuffle."""
+    rows = [("s", i, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "series string, ord int, value double")
+    qe = control_chart(df, ["series"], "ord", "value")._jdf.queryExecution()
+    # one history buffer: the sorted collect_list appears once, not once
+    # per quantile expression
+    assert qe.optimizedPlan().toString().count("collect_list") == 1
+    # one shuffle keyed by the series id
+    assert qe.executedPlan().toString().count("hashpartitioning") == 1
