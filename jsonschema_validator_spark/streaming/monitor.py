@@ -1,0 +1,156 @@
+"""Streaming control chart — stateful per-series anomaly detection.
+
+The batch chart (operators/monitor.control_chart) sees a series' whole
+history in one expanding window; a streaming metrics feed (per-window
+verdict rates from streaming/validate.py, per-window drift stats, any
+keyed numeric telemetry) needs the SAME judgment per arriving point
+without re-reading history. This is the stateful-twin pattern the repo
+uses for dedup and decontamination: per-series state carries the value
+history (``applyInPandasWithState``), each new point is scored against
+the state BEFORE being appended to it — exactly the batch chart's
+"preceding rows only" frame, so batch and stream agree point-for-point
+on a replay of the same series (locked by the parity test).
+
+Scale notes
+-----------
+- State is O(series × max_history) doubles. ``max_history`` (default
+  512) bounds it: the chart degrades from expanding to rolling-window —
+  at 10^12-row scale the monitored series are METRICS (rule × tag ×
+  window), thousands of keys, so state is a few MB; the RocksDB state
+  store provider covers extreme key counts.
+- Within a micro-batch, a series' rows are processed in ``order_col``
+  order, updating the in-memory history between rows — identical to the
+  batch window semantics; across batches the state carries the history
+  forward.
+- The quantile math is ``numpy.percentile(method="linear")`` — the same
+  rank = p·(n−1) linear interpolation the batch chart computes in
+  Column algebra (bit-identical convention, see PLANS.md §29).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from jsonschema_validator_spark.operators.monitor import _IQR_TO_SIGMA
+
+
+def _score(hist: list, x: float, min_history: int, z_threshold: float, method: str):
+    """Score one point against its preceding history — the pandas twin of
+    the batch chart's per-row expression (same interpolation, same
+    zero-scale and warmup rules)."""
+    n = len(hist)
+    if n < min_history or x is None or (isinstance(x, float) and math.isnan(x)):
+        return n, None, None, None, False
+    if method == "robust":
+        center = float(np.percentile(hist, 50, method="linear"))
+        iqr = float(
+            np.percentile(hist, 75, method="linear")
+            - np.percentile(hist, 25, method="linear")
+        )
+        scale = iqr / _IQR_TO_SIGMA
+    else:
+        center = float(np.mean(hist))
+        scale = float(np.std(hist, ddof=1)) if n >= 2 else 0.0
+    if scale > 0:
+        z = (x - center) / scale
+        return n, center, scale, z, abs(z) > z_threshold
+    return n, center, scale, None, x != center
+
+
+def streaming_control_chart(
+    stream: DataFrame,
+    series_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    min_history: int = 3,
+    z_threshold: float = 3.0,
+    method: str = "robust",
+    max_history: int = 512,
+) -> DataFrame:
+    """Per-series expanding control chart over a keyed metric stream.
+
+    Output: the series/order/value columns plus ``n_history, center,
+    scale, z, is_anomaly`` — the batch chart's columns, one row per input
+    row, scored against all PRIOR points of the same series (across
+    micro-batches, via per-key state).
+
+    ``max_history`` bounds per-key state; while a series has at most that
+    many prior points the stream output equals
+    ``operators.monitor.control_chart`` on the accumulated batch, after
+    which the chart becomes rolling-window (oldest points evicted).
+    """
+    if method not in ("robust", "classic"):
+        raise ValueError(f"method must be 'robust' or 'classic', got {method!r}")
+    if min_history < 1:
+        raise ValueError(f"min_history must be >= 1, got {min_history}")
+    if max_history < min_history:
+        raise ValueError(
+            f"max_history ({max_history}) must be >= min_history ({min_history})"
+        )
+    series_cols = list(series_cols)
+    keep = series_cols + [order_col, value_col]
+    in_fields = {f.name: f for f in stream.schema.fields}
+    missing = [c for c in keep if c not in in_fields]
+    if missing:
+        raise ValueError(f"stream is missing columns: {missing}")
+    out_schema = StructType(
+        [in_fields[c] for c in keep]
+        + [
+            StructField("n_history", IntegerType()),
+            StructField("center", DoubleType()),
+            StructField("scale", DoubleType()),
+            StructField("z", DoubleType()),
+            StructField("is_anomaly", BooleanType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        hist = list(state.get[0]) if state.exists else []
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            state.update((hist,))
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(order_col, kind="stable")
+        rows = []
+        for _, row in pdf.iterrows():
+            raw = row[value_col]
+            x = None if pd.isna(raw) else float(raw)
+            n, center, scale, z, flag = _score(
+                hist, x, min_history, z_threshold, method
+            )
+            rows.append(
+                [row[c] for c in keep] + [n, center, scale, z, bool(flag)]
+            )
+            if x is not None:
+                hist.append(x)
+                if len(hist) > max_history:
+                    del hist[: len(hist) - max_history]
+        state.update((hist,))
+        yield pd.DataFrame(rows, columns=keep + ["n_history", "center", "scale", "z", "is_anomaly"])
+
+    return stream.select(*keep).groupBy(*series_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="history array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+__all__ = ["streaming_control_chart"]

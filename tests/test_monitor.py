@@ -202,3 +202,116 @@ def test_control_chart_single_shuffle_plan(spark):
     assert qe.optimizedPlan().toString().count("collect_list") == 1
     # one shuffle keyed by the series id
     assert qe.executedPlan().toString().count("hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# streaming twin: per-series state carries the history across micro-batches
+# ---------------------------------------------------------------------------
+
+from jsonschema_validator_spark.streaming.monitor import streaming_control_chart  # noqa: E402
+
+
+def _drain_stream(spark, src_dir, name, **kw):
+    stream = spark.readStream.schema("series string, ord int, value double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    out = streaming_control_chart(stream, ["series"], "ord", "value", **kw)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return {
+        (r["series"], r["ord"]): r.asDict()
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+
+def test_streaming_chart_matches_batch(spark, tmp_path):
+    """Replay of the same series through 3 micro-batches == the batch
+    expanding chart, point for point (state carries history across
+    batches; within-batch rows are scored in order)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    series = {
+        "a": list(rng.normal(5.0, 1.0, 9)) + [50.0, 5.1, 5.2],
+        "b": list(rng.normal(0.0, 0.2, 12)),
+    }
+    rows = [
+        (sid, i, float(v)) for sid, vals in series.items() for i, v in enumerate(vals)
+    ]
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for b in range(3):  # batch b gets ords [4b, 4b+4) of each series
+        batch = [r for r in rows if 4 * b <= r[1] < 4 * (b + 1)]
+        spark.createDataFrame(batch, "series string, ord int, value double").coalesce(
+            1
+        ).write.parquet(str(src / f"b{b}"))
+
+    got = _drain_stream(spark, str(src) + "/b*", "chart_parity")
+    batch_df = spark.createDataFrame(rows, "series string, ord int, value double")
+    want = {
+        (r["series"], r["ord"]): r.asDict()
+        for r in control_chart(batch_df, ["series"], "ord", "value").collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n_history"] == want[k]["n_history"], k
+        assert got[k]["is_anomaly"] == want[k]["is_anomaly"], k
+        if want[k]["z"] is None:
+            assert got[k]["z"] is None, k
+        else:
+            assert got[k]["z"] == pytest.approx(want[k]["z"], abs=1e-9), k
+    # the planted spike is flagged in the stream; its neighbors are not
+    flagged = {k for k, r in got.items() if r["is_anomaly"]}
+    assert ("a", 9) in flagged
+    assert ("a", 10) not in flagged and ("a", 11) not in flagged
+
+
+def test_streaming_chart_bounded_state_rolls(spark, tmp_path):
+    """max_history evicts oldest points: scoring uses only the trailing
+    window, verified against a manual numpy rolling recomputation."""
+    import numpy as np
+
+    vals = [0.0, 1.0, 2.0, 3.0, 100.0, 5.0, 6.0, 7.0]
+    rows = [("s", i, float(v)) for i, v in enumerate(vals)]
+    src = tmp_path / "roll_src"
+    src.mkdir()
+    spark.createDataFrame(rows, "series string, ord int, value double").coalesce(
+        1
+    ).write.parquet(str(src / "b0"))
+    got = _drain_stream(
+        spark, str(src) + "/b*", "chart_roll", min_history=2, max_history=3
+    )
+    for i, x in enumerate(vals):
+        hist = vals[max(0, i - 3) : i]
+        r = got[("s", i)]
+        assert r["n_history"] == len(hist)
+        if len(hist) >= 2:
+            center = float(np.percentile(hist, 50, method="linear"))
+            iqr = float(
+                np.percentile(hist, 75, method="linear")
+                - np.percentile(hist, 25, method="linear")
+            )
+            if iqr > 0:
+                assert r["z"] == pytest.approx(
+                    (x - center) / (iqr / _IQR_TO_SIGMA), abs=1e-9
+                )
+
+
+def test_streaming_chart_validates_args(spark, tmp_path):
+    empty = tmp_path / "empty_src"
+    empty.mkdir()
+    stream = spark.readStream.schema("series string, ord int, value double").parquet(
+        str(empty)
+    )
+    with pytest.raises(ValueError, match="method"):
+        streaming_control_chart(stream, ["series"], "ord", "value", method="x")
+    with pytest.raises(ValueError, match="max_history"):
+        streaming_control_chart(stream, ["series"], "ord", "value", max_history=1)
+    with pytest.raises(ValueError, match="missing columns"):
+        streaming_control_chart(stream, ["series"], "ord", "nope")
