@@ -147,12 +147,19 @@ class CheckpointStore:
     def sketches(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.sketches_dir, "snapshot=*"))
 
-    def merged_verdicts(self, spark: SparkSession) -> DataFrame:
+    def merged_verdicts(
+        self, spark: SparkSession, partition_by: Optional[Sequence[str]] = None
+    ) -> DataFrame:
         """Table-level verdicts across all recorded snapshots — pure
-        algebraic merge of the persisted per-snapshot counts (no rescan)."""
+        algebraic merge of the persisted per-snapshot counts (no rescan).
+        ``partition_by``: the same partition columns the metrics were
+        recorded with (``validate_resumable(..., partition_by=...)``) to
+        keep per-partition granularity in the merge; omitted, partitioned
+        metrics roll up to table level (the counts are algebraic)."""
         m = self.metrics(spark)
+        keys = ["rule_id", "tag"] + [c for c in (partition_by or [])]
         return (
-            m.groupBy("rule_id", "tag")
+            m.groupBy(*keys)
             .agg(
                 F.sum("n_checked").alias("n_checked"),
                 F.sum("n_failed").alias("n_failed"),
@@ -194,6 +201,7 @@ def validate_resumable(
     tdigest_columns: Optional[Sequence[str]] = None,
     suggest_specs: bool = False,
     suggest_columns: Optional[Sequence[str]] = None,
+    partition_by: Optional[Union[str, Sequence[str]]] = None,
 ) -> dict:
     """Validate all snapshots not yet checkpointed; return a run report.
 
@@ -204,7 +212,13 @@ def validate_resumable(
     additionally profiles each snapshot with ``suggest.suggest_spec`` and
     persists the suggested spec, so ``store.spec_drift(old, new)`` later
     answers "what constraints drifted between snapshots" with zero
-    rescans.
+    rescans. ``partition_by`` persists PER-PARTITION metrics rows (the
+    north rule's "per-partition lineage + metrics rows persisted"):
+    verdict counts keyed by the data partition columns, so
+    ``merged_verdicts(partition_by=...)`` answers per-partition questions
+    across snapshots and ``operators.monitor`` charts per-partition
+    series — use the SAME columns on every run (the metrics store is one
+    schema).
     """
     from jsonschema_validator_spark.operators.tdigest import tdigest_sketches
 
@@ -215,7 +229,7 @@ def validate_resumable(
         df = table.read_snapshot(spark, sid)
         t0 = time.perf_counter()
         res = Validator(spec).validate(df)
-        verdicts = res.verdicts()
+        verdicts = res.verdicts(partition_by=partition_by)
         sk = hll_sketches(df, list(sketch_columns)) if sketch_columns else None
         td = (
             tdigest_sketches(df, list(tdigest_columns))

@@ -223,3 +223,55 @@ def test_spec_drift_across_snapshots(spark, tmp_path, table):
     # unknown snapshot fails loudly, not with a confusing file error
     with pytest.raises(ValueError, match="no suggested spec recorded"):
         store.spec_drift(spark, "snap_a", "nope")
+
+
+def test_per_partition_metrics_persisted_and_merged(spark, tmp_path, table):
+    """North-rule 'per-partition lineage + metrics rows persisted':
+    partition_by threads through to the persisted verdict rows; the
+    per-partition merge equals a from-scratch partitioned run, and the
+    table-level rollup of partitioned metrics equals the unpartitioned
+    merge (counts are algebraic)."""
+    store = CheckpointStore(str(tmp_path / "ckpt_p"))
+    validate_resumable(spark, table, SPEC, store, partition_by="fmt")
+    table.append(
+        synth.generate_spark(spark, N2, seed=42, start=N1, partitions=4), "snap_b"
+    )
+    validate_resumable(spark, table, SPEC, store, partition_by="fmt")
+
+    # persisted metrics rows carry the partition column
+    assert "fmt" in store.metrics(spark).columns
+
+    merged = {
+        (r["fmt"], r["rule_id"]): (r["n_checked"], r["n_failed"], r["pass"])
+        for r in store.merged_verdicts(spark, partition_by=["fmt"]).collect()
+    }
+    scratch = {
+        (r["fmt"], r["rule_id"]): (r["n_checked"], r["n_failed"], r["pass"])
+        for r in Validator(SPEC)
+        .validate(table.read(spark))
+        .verdicts(partition_by="fmt")
+        .collect()
+    }
+    assert merged == scratch
+    assert len({k[0] for k in merged}) > 1  # really partitioned
+
+    # rollup without partition_by == the unpartitioned store's merge
+    store_flat = CheckpointStore(str(tmp_path / "ckpt_flat"))
+    validate_resumable(spark, table, SPEC, store_flat)
+    rollup = {
+        r["rule_id"]: (r["n_checked"], r["n_failed"], r["pass"])
+        for r in store.merged_verdicts(spark).collect()
+    }
+    flat = {
+        r["rule_id"]: (r["n_checked"], r["n_failed"], r["pass"])
+        for r in store_flat.merged_verdicts(spark).collect()
+    }
+    assert rollup == flat
+
+    # the monitor family charts per-partition series off the same store
+    from jsonschema_validator_spark.operators.monitor import metrics_history, verdict_flips
+
+    hist = metrics_history(spark, store)
+    flips = verdict_flips(hist, series_cols=("rule_id", "tag", "fmt"))
+    flips.count()  # executes; flip content depends on synth fail layout
+    assert "fmt" in hist.columns
