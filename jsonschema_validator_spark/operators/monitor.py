@@ -84,7 +84,16 @@ def control_chart(
     Zero-scale histories (a constant series — the common case for a
     fail-rate that has always been 0) flag ANY deviation: ``z`` is null
     but ``is_anomaly`` is true whenever the value differs from the
-    center. Null values are never flagged and do not enter histories.
+    center. For the classic method "constant" is detected as history
+    ``min == max`` (exact on the data values) and the center anchors to
+    that constant, NOT the accumulated mean — ``avg`` over n copies of c
+    can drift an ulp from c, which made every point of a perfectly
+    constant series flag spuriously (caught by the randomized numpy
+    sweep). A non-constant history whose stddev still rounds to exactly
+    0 (catastrophic cancellation at ~1e-16 relative spread) yields
+    ``z = null`` and never flags. The robust center is exact Column
+    algebra on sorted data values, so it needs no such anchor. Null
+    values are never flagged and do not enter histories.
 
     Adds columns: ``n_history, center, scale, z, is_anomaly``.
     """
@@ -113,11 +122,32 @@ def control_chart(
             warm, _interp_quantile(hist, n, 0.75) - _interp_quantile(hist, n, 0.25)
         )
         scale = iqr / F.lit(_IQR_TO_SIGMA)
+        # IQR == 0 can coexist with outliers outside the quartiles
+        # ([5,5,5,100]): deviation from the (exact) median is the rule.
+        zero_scale_anom = v != F.col("center")
     else:
-        df = df.withColumn("n_history", F.count(v).over(w))
+        df = (
+            df.withColumn("n_history", F.count(v).over(w))
+            .withColumn("_hmin", F.min(v).over(w))
+            .withColumn("_hmax", F.max(v).over(w))
+        )
         warm = F.col("n_history") >= F.lit(min_history)
-        center = F.when(warm, F.avg(v).over(w))
-        scale = F.when(warm, F.coalesce(F.stddev_samp(v).over(w), F.lit(0.0)))
+        const_hist = F.col("_hmin") == F.col("_hmax")
+        # anchor a constant history's center to the constant itself —
+        # avg(n copies of c) drifts an ulp from c, breaking the exact
+        # deviation check below.
+        center = F.when(
+            warm, F.when(const_hist, F.col("_hmin")).otherwise(F.avg(v).over(w))
+        )
+        scale = F.when(
+            warm,
+            F.when(const_hist, F.lit(0.0)).otherwise(
+                F.coalesce(F.stddev_samp(v).over(w), F.lit(0.0))
+            ),
+        )
+        # scale == 0 without a constant history (stddev cancelled to 0 at
+        # ~1e-16 relative spread) is numerical noise, never an anomaly.
+        zero_scale_anom = const_hist & (v != F.col("center"))
     df = df.withColumn("center", center).withColumn("scale", scale)
     z = F.when(F.col("scale") > 0, (v - F.col("center")) / F.col("scale"))
     return (
@@ -127,12 +157,12 @@ def control_chart(
             F.when(~warm | v.isNull(), F.lit(False)).otherwise(
                 F.coalesce(
                     F.abs(F.col("z")) > F.lit(float(z_threshold)),
-                    # constant history (scale == 0): any deviation is anomalous
-                    v != F.col("center"),
+                    # zero scale: method-specific exact deviation rule
+                    zero_scale_anom,
                 )
             ),
         )
-        .drop("_hist")
+        .drop("_hist", "_hmin", "_hmax")
     )
 
 

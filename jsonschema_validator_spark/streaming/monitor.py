@@ -63,11 +63,20 @@ def _score(hist: list, x: float, min_history: int, z_threshold: float, method: s
         )
         scale = iqr / _IQR_TO_SIGMA
     else:
-        center = float(np.mean(hist))
-        scale = float(np.std(hist, ddof=1)) if n >= 2 else 0.0
+        hmin, hmax = min(hist), max(hist)
+        if hmin == hmax:
+            # constant history: anchor to the constant — np.mean(n copies
+            # of c) drifts an ulp from c (same anchor as the batch chart)
+            center, scale = hmin, 0.0
+        else:
+            center = float(np.mean(hist))
+            scale = float(np.std(hist, ddof=1)) if n >= 2 else 0.0
     if scale > 0:
         z = (x - center) / scale
         return n, center, scale, z, abs(z) > z_threshold
+    if method == "classic" and min(hist) != max(hist):
+        # stddev cancelled to 0 on a non-constant history: noise, no flag
+        return n, center, scale, None, False
     return n, center, scale, None, x != center
 
 

@@ -48,12 +48,17 @@ def _np_expected(vals, min_history, z_threshold, method):
                 - np.percentile(hist, 25, method="linear")
             )
             scale = iqr / _IQR_TO_SIGMA
+        elif min(hist) == max(hist):
+            # classic constant history: center anchors to the constant
+            center, scale = min(hist), 0.0
         else:
             center = float(np.mean(hist))
             scale = float(np.std(hist, ddof=1)) if n >= 2 else 0.0
         if scale > 0:
             z = (x - center) / scale
             out.append((n, z, abs(z) > z_threshold))
+        elif method == "classic" and min(hist) != max(hist):
+            out.append((n, None, False))  # stddev cancelled to 0: no flag
         else:
             out.append((n, None, x != center))
     return out
@@ -78,6 +83,73 @@ def test_control_chart_numpy_parity(spark, method):
             else:
                 assert r["z"] == pytest.approx(z, abs=1e-9)
             assert r["is_anomaly"] == flag, (sid, i)
+
+
+@pytest.mark.parametrize("method", ["robust", "classic"])
+def test_control_chart_randomized_sweep(spark, method):
+    """Row-for-row numpy parity over ~80 randomized series including the
+    degenerate shapes: heavy ties, exactly-constant series (the classic
+    chart's avg used to drift an ulp from the constant and flag EVERY
+    point), constant-then-deviation, interleaved nulls, planted huge
+    spikes, and tiny magnitudes."""
+    rng = np.random.default_rng(20260818)
+    series = {}
+    for k in range(80):
+        kind = k % 8
+        n = int(rng.integers(1, 30))
+        if kind == 0:
+            vals = list(rng.normal(rng.uniform(-50, 50), rng.uniform(0.1, 10), n))
+        elif kind == 1:  # heavy ties
+            pool = rng.normal(0, 5, 3)
+            vals = list(rng.choice(pool, n))
+        elif kind == 2:  # exactly constant
+            vals = [float(rng.uniform(-5, 5))] * n
+        elif kind == 3:  # constant then one deviation
+            c = float(rng.uniform(-5, 5))
+            vals = [c] * max(n, 4) + [
+                c + float(rng.choice([-1, 1]) * rng.uniform(0.001, 10))
+            ]
+        elif kind == 4:  # interleaved nulls
+            vals = [
+                None if rng.random() < 0.3 else float(rng.normal(0, 2))
+                for _ in range(n)
+            ]
+        elif kind == 5:  # huge spikes inside the history
+            vals = list(rng.normal(10, 1, n))
+            for j in rng.choice(max(n, 1), size=min(3, n), replace=False):
+                vals[j] = float(rng.uniform(1e3, 1e6))
+        elif kind == 6:  # tiny magnitudes, exact midpoint ties
+            vals = list(rng.choice([0.0, 1e-12, -1e-12, 2e-12], n))
+        else:  # integer-valued: exact interpolation midpoints
+            vals = [float(v) for v in rng.integers(-3, 4, n)]
+        series[f"s{k}"] = vals
+    got = _chart_rows(spark, series, min_history=3, z_threshold=2.5, method=method)
+    for sid, vals in series.items():
+        exp = _np_expected(vals, 3, 2.5, method)
+        for i, (n, z, flag) in enumerate(exp):
+            r = got[(sid, i)]
+            assert r["n_history"] == n, (sid, i)
+            if z is None:
+                assert r["z"] is None, (sid, i)
+            else:
+                assert r["z"] == pytest.approx(z, rel=1e-9, abs=1e-9), (sid, i)
+            assert r["is_anomaly"] == flag, (sid, i)
+
+
+def test_classic_constant_series_never_self_flags(spark):
+    """Regression: a perfectly constant series must never flag its own
+    constant value — avg() accumulation drift made the classic chart's
+    exact-equality rule fire on every warm point before the min==max
+    anchor. The deviation itself still flags."""
+    c = 4.799740575975282  # a constant whose repeated mean drifts an ulp
+    vals = [c] * 12 + [c + 0.5]
+    for method in ("robust", "classic"):
+        got = _chart_rows(spark, {"s": vals}, min_history=3, method=method)
+        flagged = sorted(o for (_, o), r in got.items() if r["is_anomaly"])
+        assert flagged == [12], method
+        assert got[("s", 12)]["z"] is None  # zero scale, rule-based flag
+        # the anchored center IS the constant, bit-exactly
+        assert got[("s", 7)]["center"] == c, method
 
 
 def test_planted_spike_flagged_once(spark):
