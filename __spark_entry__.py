@@ -133,18 +133,118 @@ def q_quantiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_duplicate_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jsonschema_validator_spark.operators.uniqueness import duplicate_keys
+def q_uniqueness_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both uniqueness surfaces in one result (merged to keep the registry
+    at the driver's 50-query cap): the duplicate-key rows from the plain
+    one-shuffle plan AND the table-level verdict from the salted two-phase
+    plan, unioned to a common schema (kind discriminates). The salted and
+    plain plans are count-algebraic so results are bit-identical."""
+    from jsonschema_validator_spark.operators.uniqueness import (
+        duplicate_keys,
+        uniqueness_verdict,
+    )
 
     df = _t(spark, sf_dir, "lineitem")
-    return duplicate_keys(df, "l_orderkey", salted=False)
+    # -1 sentinels (not NULLs) for the fields the other kind owns: the
+    # driver's row sort compares cells positionally and NULL-vs-value on a
+    # tied prefix is undefined across engines.
+    dups = duplicate_keys(df, "l_orderkey", salted=False).select(
+        F.lit("dup_key").alias("kind"),
+        F.lit("unique:l_orderkey").alias("rule_id"),
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("n_dup").cast("long").alias("n_dup"),
+        F.lit(-1).cast("long").alias("n_checked"),
+        F.lit(-1).cast("long").alias("n_failed"),
+        F.lit(False).alias("pass"),
+        F.lit(-1).cast("long").alias("dup_keys"),
+    )
+    verdict = uniqueness_verdict(df, "l_orderkey", salted=True).select(
+        F.lit("verdict").alias("kind"),
+        F.col("rule_id"),
+        F.lit(-1).cast("long").alias("l_orderkey"),
+        F.lit(-1).cast("long").alias("n_dup"),
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_failed").cast("long").alias("n_failed"),
+        F.col("pass"),
+        F.col("dup_keys").cast("long").alias("dup_keys"),
+    )
+    return dups.unionByName(verdict)
 
 
-def q_uniqueness_salted_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jsonschema_validator_spark.operators.uniqueness import uniqueness_verdict
+def _metrics_monthly_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-snapshot metrics series from lineitem: each
+    shipdate month is one 'snapshot', each returnflag one monitored rule,
+    fail_rate = share of rows violating l_quantity <= 45 that month
+    (~0.06-0.17 across 83 months — real variation for the chart)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_returnflag").alias("rule_id"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("snapshot_ord"),
+    ).agg(
+        (
+            F.sum(F.when(F.col("l_quantity") > 45, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("fail_rate")
+    )
 
-    df = _t(spark, sf_dir, "lineitem")
-    return uniqueness_verdict(df, "l_orderkey", salted=True)
+
+def q_metrics_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics monitoring over a per-snapshot history (operators/monitor):
+    the expanding robust control chart flags months whose fail-rate left
+    the series' own historical band, and verdict_flips finds pass<->fail
+    transitions vs the previous snapshot. Both outputs union to one
+    result (kind discriminates). The chart's float internals (center /
+    scale / z) are numpy-parity-locked in test_monitor.py; the driver
+    row exposes the hash-stable columns (the fail_rate itself is a
+    count ratio — bit-exact across engines; is_anomaly's nearest |z| is
+    0.045 from the 2.5 threshold on this data, far beyond the ulp-level
+    cross-engine quantile drift). Input is the metrics table — 3 series
+    x 83 months — so cost is independent of the monitored table's size;
+    one shuffle keyed by the series id."""
+    from jsonschema_validator_spark.operators.monitor import (
+        control_chart,
+        verdict_flips,
+    )
+
+    hist = _metrics_monthly_history(spark, sf_dir).withColumn(
+        "pass", F.col("fail_rate") <= F.lit(0.10)
+    )
+    chart = control_chart(
+        hist,
+        series_cols=["rule_id"],
+        order_col="snapshot_ord",
+        value_col="fail_rate",
+        min_history=6,
+        z_threshold=2.5,
+        method="robust",
+    ).select(
+        F.lit("chart").alias("kind"),
+        F.col("rule_id"),
+        F.col("snapshot_ord").cast("int").alias("snapshot_ord"),
+        F.col("fail_rate"),
+        F.col("n_history").cast("long").alias("n_history"),
+        F.col("is_anomaly"),
+        F.col("pass"),
+        F.lit("").alias("direction"),
+    )
+    # flip rows: -1 / false sentinels for the chart-owned fields (no NULLs
+    # — see q_uniqueness_checks)
+    flips = verdict_flips(
+        hist,
+        series_cols=["rule_id"],
+        order_col="snapshot_ord",
+        pass_col="pass",
+    ).select(
+        F.lit("flip").alias("kind"),
+        F.col("rule_id"),
+        F.col("snapshot_ord").cast("int").alias("snapshot_ord"),
+        F.col("fail_rate"),
+        F.lit(-1).cast("long").alias("n_history"),
+        F.lit(False).alias("is_anomaly"),
+        F.col("pass"),
+        F.col("direction"),
+    )
+    return chart.unionByName(flips)
 
 
 def q_ref_orphans_nationkey(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1562,8 +1662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_budget": q_corpus_token_budget,
         "suggested_spec_lineitem": q_suggested_spec_lineitem,
         "spec_constraint_drift": q_spec_constraint_drift,
-        "duplicate_orderkeys": q_duplicate_orderkeys,
-        "uniqueness_salted_verdict": q_uniqueness_salted_verdict,
+        "uniqueness_checks": q_uniqueness_checks,
+        "metrics_monitoring": q_metrics_monitoring,
         "ref_orphans_nationkey": q_ref_orphans_nationkey,
         "ref_verdict_lineitem_part": q_ref_verdict_lineitem_part,
         "drift_stats_profile": q_drift_stats_profile,
@@ -1771,20 +1871,79 @@ FROM g
 ORDER BY n_tokens DESC, lang ASC, source ASC
 """
 
-_DUP_KEYS_SQL = """
-SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_dup
-FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
-"""
-
-_UNIQ_VERDICT_SQL = """
+_UNIQ_CHECKS_SQL = """
 WITH d AS (
   SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
 )
-SELECT 'unique:l_orderkey' AS rule_id,
+SELECT 'dup_key' AS kind,
+       'unique:l_orderkey' AS rule_id,
+       CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(c AS BIGINT) AS n_dup,
+       CAST(-1 AS BIGINT) AS n_checked,
+       CAST(-1 AS BIGINT) AS n_failed,
+       FALSE AS pass,
+       CAST(-1 AS BIGINT) AS dup_keys
+FROM d
+UNION ALL
+SELECT 'verdict' AS kind,
+       'unique:l_orderkey' AS rule_id,
+       CAST(-1 AS BIGINT) AS l_orderkey,
+       CAST(-1 AS BIGINT) AS n_dup,
        (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_checked,
        CAST(COALESCE((SELECT sum(c) FROM d), 0) AS BIGINT) AS n_failed,
        (COALESCE((SELECT sum(c) FROM d), 0) = 0) AS pass,
        (SELECT CAST(count(*) AS BIGINT) FROM d) AS dup_keys
+"""
+
+# Expanding robust control chart + verdict flips over the monthly
+# fail-rate history. quantile_cont's window interpolation is the same
+# p*(n-1) linear convention as the Spark Column algebra (center matched
+# bit-exactly on all 249 rows; scale drifts ulps, which is why the row
+# exposes is_anomaly, not scale/z — nearest |z| is 0.045 from the 2.5
+# threshold). 0.10 must be CAST to DOUBLE: DuckDB parses the bare
+# literal as DECIMAL and two months sit at exactly 0.10.
+_METRICS_MONITORING_SQL = """
+WITH hist AS (
+  SELECT l_returnflag AS rule_id,
+         CAST(year(l_shipdate)*12 + month(l_shipdate) AS INT) AS snapshot_ord,
+         CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS fail_rate
+  FROM lineitem GROUP BY 1, 2
+),
+chart AS (
+  SELECT rule_id, snapshot_ord, fail_rate,
+         count(fail_rate) OVER w AS n_history,
+         quantile_cont(fail_rate, 0.5) OVER w AS center,
+         (quantile_cont(fail_rate, 0.75) OVER w
+          - quantile_cont(fail_rate, 0.25) OVER w)
+           / 1.3489795003921634 AS scale
+  FROM hist
+  WINDOW w AS (PARTITION BY rule_id ORDER BY snapshot_ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+flips AS (
+  SELECT rule_id, snapshot_ord, fail_rate,
+         lag(fail_rate <= CAST(0.10 AS DOUBLE))
+           OVER (PARTITION BY rule_id ORDER BY snapshot_ord) AS prev_pass,
+         (fail_rate <= CAST(0.10 AS DOUBLE)) AS pass
+  FROM hist
+)
+SELECT 'chart' AS kind, rule_id, snapshot_ord, fail_rate,
+       CAST(n_history AS BIGINT) AS n_history,
+       CASE WHEN n_history < 6 THEN FALSE
+            WHEN scale > 0 THEN abs((fail_rate - center) / scale) > 2.5
+            ELSE fail_rate != center END AS is_anomaly,
+       (fail_rate <= CAST(0.10 AS DOUBLE)) AS pass,
+       '' AS direction
+FROM chart
+UNION ALL
+SELECT 'flip' AS kind, rule_id, snapshot_ord, fail_rate,
+       CAST(-1 AS BIGINT) AS n_history,
+       FALSE AS is_anomaly,
+       pass,
+       CASE WHEN pass THEN 'recovered' ELSE 'regressed' END AS direction
+FROM flips
+WHERE prev_pass IS NOT NULL AND prev_pass != pass
 """
 
 _REF_ORPHANS_SQL = """
@@ -2922,8 +3081,8 @@ FROM (VALUES ('ivf_c16_p1', 0.7),
              ('ivf_probe_lift', 0.05)) AS t(config, floor)
 ORDER BY config
 """,
-        "duplicate_orderkeys": _DUP_KEYS_SQL,
-        "uniqueness_salted_verdict": _UNIQ_VERDICT_SQL,
+        "uniqueness_checks": _UNIQ_CHECKS_SQL,
+        "metrics_monitoring": _METRICS_MONITORING_SQL,
         "ref_orphans_nationkey": _REF_ORPHANS_SQL,
         "ref_verdict_lineitem_part": _REF_VERDICT_SQL,
         "drift_stats_profile": _drift_stats_profile_sql(),
