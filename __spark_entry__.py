@@ -191,16 +191,18 @@ def _metrics_monthly_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_metrics_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metrics monitoring over a per-snapshot history (operators/monitor):
     the expanding robust control chart flags months whose fail-rate left
-    the series' own historical band, and verdict_flips finds pass<->fail
-    transitions vs the previous snapshot. Both outputs union to one
-    result (kind discriminates). The chart's float internals (center /
-    scale / z) are numpy-parity-locked in test_monitor.py; the driver
-    row exposes the hash-stable columns (the fail_rate itself is a
-    count ratio — bit-exact across engines; is_anomaly's nearest |z| is
-    0.045 from the 2.5 threshold on this data, far beyond the ulp-level
-    cross-engine quantile drift). Input is the metrics table — 3 series
-    x 83 months — so cost is independent of the monitored table's size;
-    one shuffle keyed by the series id."""
+    the series' own historical band, and verdict_flips(keep_all=True)
+    annotates pass<->fail transitions vs the previous snapshot — both on
+    ONE lineage, so the plan is one pruned scan -> partial+final agg ->
+    ONE hashpartitioning(rule_id) exchange -> two Windows sharing the
+    same sort (a unioned two-branch draft re-scanned lineitem per
+    branch). The chart's float internals (center/scale/z) are
+    numpy-parity-locked in test_monitor.py; the driver row exposes the
+    hash-stable columns (fail_rate is a count ratio — bit-exact across
+    engines; is_anomaly's nearest |z| is 0.045 from the 2.5 threshold
+    on this data, far beyond the ulp-level cross-engine quantile
+    drift). Input is the metrics history — 3 series x 83 months — so
+    cost is independent of the monitored table's size."""
     from jsonschema_validator_spark.operators.monitor import (
         control_chart,
         verdict_flips,
@@ -217,34 +219,23 @@ def q_metrics_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_history=6,
         z_threshold=2.5,
         method="robust",
+    )
+    return verdict_flips(
+        chart,
+        series_cols=["rule_id"],
+        order_col="snapshot_ord",
+        pass_col="pass",
+        keep_all=True,
     ).select(
-        F.lit("chart").alias("kind"),
         F.col("rule_id"),
         F.col("snapshot_ord").cast("int").alias("snapshot_ord"),
         F.col("fail_rate"),
         F.col("n_history").cast("long").alias("n_history"),
         F.col("is_anomaly"),
         F.col("pass"),
-        F.lit("").alias("direction"),
-    )
-    # flip rows: -1 / false sentinels for the chart-owned fields (no NULLs
-    # — see q_uniqueness_checks)
-    flips = verdict_flips(
-        hist,
-        series_cols=["rule_id"],
-        order_col="snapshot_ord",
-        pass_col="pass",
-    ).select(
-        F.lit("flip").alias("kind"),
-        F.col("rule_id"),
-        F.col("snapshot_ord").cast("int").alias("snapshot_ord"),
-        F.col("fail_rate"),
-        F.lit(-1).cast("long").alias("n_history"),
-        F.lit(False).alias("is_anomaly"),
-        F.col("pass"),
+        F.col("flipped"),
         F.col("direction"),
     )
-    return chart.unionByName(flips)
 
 
 def q_ref_orphans_nationkey(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1912,38 +1903,28 @@ WITH hist AS (
 ),
 chart AS (
   SELECT rule_id, snapshot_ord, fail_rate,
-         count(fail_rate) OVER w AS n_history,
-         quantile_cont(fail_rate, 0.5) OVER w AS center,
-         (quantile_cont(fail_rate, 0.75) OVER w
-          - quantile_cont(fail_rate, 0.25) OVER w)
-           / 1.3489795003921634 AS scale
+         count(fail_rate) OVER wp AS n_history,
+         quantile_cont(fail_rate, 0.5) OVER wp AS center,
+         (quantile_cont(fail_rate, 0.75) OVER wp
+          - quantile_cont(fail_rate, 0.25) OVER wp)
+           / 1.3489795003921634 AS scale,
+         (fail_rate <= CAST(0.10 AS DOUBLE)) AS pass,
+         lag(fail_rate <= CAST(0.10 AS DOUBLE)) OVER wo AS prev_pass
   FROM hist
-  WINDOW w AS (PARTITION BY rule_id ORDER BY snapshot_ord
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-),
-flips AS (
-  SELECT rule_id, snapshot_ord, fail_rate,
-         lag(fail_rate <= CAST(0.10 AS DOUBLE))
-           OVER (PARTITION BY rule_id ORDER BY snapshot_ord) AS prev_pass,
-         (fail_rate <= CAST(0.10 AS DOUBLE)) AS pass
-  FROM hist
+  WINDOW wp AS (PARTITION BY rule_id ORDER BY snapshot_ord
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wo AS (PARTITION BY rule_id ORDER BY snapshot_ord)
 )
-SELECT 'chart' AS kind, rule_id, snapshot_ord, fail_rate,
+SELECT rule_id, snapshot_ord, fail_rate,
        CAST(n_history AS BIGINT) AS n_history,
        CASE WHEN n_history < 6 THEN FALSE
             WHEN scale > 0 THEN abs((fail_rate - center) / scale) > 2.5
             ELSE fail_rate != center END AS is_anomaly,
-       (fail_rate <= CAST(0.10 AS DOUBLE)) AS pass,
-       '' AS direction
-FROM chart
-UNION ALL
-SELECT 'flip' AS kind, rule_id, snapshot_ord, fail_rate,
-       CAST(-1 AS BIGINT) AS n_history,
-       FALSE AS is_anomaly,
        pass,
-       CASE WHEN pass THEN 'recovered' ELSE 'regressed' END AS direction
-FROM flips
-WHERE prev_pass IS NOT NULL AND prev_pass != pass
+       COALESCE(prev_pass != pass, FALSE) AS flipped,
+       CASE WHEN NOT COALESCE(prev_pass != pass, FALSE) THEN ''
+            WHEN pass THEN 'recovered' ELSE 'regressed' END AS direction
+FROM chart
 """
 
 _REF_ORPHANS_SQL = """

@@ -171,10 +171,17 @@ def verdict_flips(
     series_cols: Sequence[str] = ("rule_id", "tag"),
     order_col: str = "snapshot_ord",
     pass_col: str = "pass",
+    keep_all: bool = False,
 ) -> DataFrame:
     """Rows whose pass/fail verdict FLIPPED vs the same series' previous
     snapshot. ``direction`` = 'regressed' (pass→fail — page someone) or
     'recovered' (fail→pass). First observation of a series never flips.
+
+    ``keep_all=True`` returns EVERY row annotated with a ``flipped``
+    boolean (direction ``''`` on non-flips) instead of filtering — the
+    shape for composing with :func:`control_chart` on one lineage: the
+    ``lag`` window shares the chart's partitioning and sort, so the
+    combined plan has ONE exchange and ONE scan of the history.
 
     One shuffle keyed by the series id; ``lag`` over the per-series
     order. Input is the metrics history (see :func:`metrics_history`),
@@ -182,13 +189,22 @@ def verdict_flips(
     """
     w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy(order_col)
     prev = F.lag(F.col(pass_col)).over(w)
-    return (
-        df.withColumn("prev_pass", prev)
-        .filter(F.col("prev_pass").isNotNull() & (F.col("prev_pass") != F.col(pass_col)))
-        .withColumn(
+    out = df.withColumn("prev_pass", prev)
+    if keep_all:
+        return out.withColumn(
+            "flipped",
+            F.coalesce(F.col("prev_pass") != F.col(pass_col), F.lit(False)),
+        ).withColumn(
             "direction",
-            F.when(F.col(pass_col), F.lit("recovered")).otherwise(F.lit("regressed")),
+            F.when(~F.col("flipped"), F.lit(""))
+            .when(F.col(pass_col), F.lit("recovered"))
+            .otherwise(F.lit("regressed")),
         )
+    return out.filter(
+        F.col("prev_pass").isNotNull() & (F.col("prev_pass") != F.col(pass_col))
+    ).withColumn(
+        "direction",
+        F.when(F.col(pass_col), F.lit("recovered")).otherwise(F.lit("regressed")),
     )
 
 

@@ -216,6 +216,36 @@ def test_verdict_flips_directions(spark):
     assert got == {("r1", 2): "regressed", ("r1", 3): "recovered"}
 
 
+def test_verdict_flips_keep_all_matches_filtered(spark):
+    """keep_all=True annotates every row; filtering its flipped rows
+    reproduces the default output exactly, and non-flips carry ''."""
+    rows = [
+        ("r1", "t", 0, True), ("r1", "t", 1, True),
+        ("r1", "t", 2, False), ("r1", "t", 3, True),
+        ("r2", "t", 0, True), ("r2", "t", 1, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "rule_id string, tag string, snapshot_ord int, pass boolean"
+    )
+    allrows = verdict_flips(df, keep_all=True).collect()
+    assert len(allrows) == len(rows)
+    got_all = {
+        (r["rule_id"], r["snapshot_ord"]): (r["flipped"], r["direction"])
+        for r in allrows
+    }
+    got_filtered = {
+        (r["rule_id"], r["snapshot_ord"]): r["direction"]
+        for r in verdict_flips(df).collect()
+    }
+    flips = {k: d for k, (f, d) in got_all.items() if f}
+    assert flips == got_filtered == {
+        ("r1", 2): "regressed",
+        ("r1", 3): "recovered",
+        ("r2", 1): "regressed",
+    }
+    assert all(d == "" for k, (f, d) in got_all.items() if not f)
+
+
 SPEC = {"properties": {"v": {"minimum": 0}}}
 
 
