@@ -25,7 +25,8 @@ Scale notes
 - One shuffle, keyed by the series id (rule_id × tag × ...): thousands
   of balanced keys. Per-series state is the series' own history
   (``collect_list`` over the preceding frame) — bounded by the snapshot
-  count, e.g. 365 points for a year of daily snapshots.
+  count, e.g. 365 points for a year of daily snapshots; ``max_history``
+  caps it outright (trailing-window chart, streaming-twin semantics).
 - Everything is Column algebra (window + array expressions) inside
   whole-stage codegen; no Python touches the data.
 - The expanding quantiles use rank = p·(n−1) with linear interpolation —
@@ -66,6 +67,7 @@ def control_chart(
     min_history: int = 3,
     z_threshold: float = 3.0,
     method: str = "robust",
+    max_history: Optional[int] = None,
 ) -> DataFrame:
     """Expanding control chart over per-snapshot series.
 
@@ -95,12 +97,39 @@ def control_chart(
     algebra on sorted data values, so it needs no such anchor. Null
     values are never flagged and do not enter histories.
 
+    ``max_history`` (default None = expanding) bounds each history to the
+    trailing ``max_history`` NON-NULL values — the exact semantics of the
+    streaming twin's state bound
+    (:func:`~jsonschema_validator_spark.streaming.monitor.streaming_control_chart`),
+    so a bounded batch chart and a stream replay agree point-for-point
+    past the eviction horizon too. At scale this is the knob that keeps
+    the per-row window buffer O(max_history) instead of O(series length)
+    (a 10-year daily series otherwise carries a 3650-element array per
+    row). Plan shape: the bounded frame must see only non-null rows
+    (a rows-frame counts nulls), so null-valued rows are split out and
+    unioned back with null ``center/scale/z`` — the filter preserves the
+    shuffle partitioning, so the whole thing still runs on ONE exchange
+    (the null branch is a ``ReusedExchange``; locked by the plan test).
+    The two modes differ on null rows' ``center/scale`` only: unbounded
+    reports the history's band even for a null point, bounded reports
+    null (matching the streaming twin); ``n_history/z/is_anomaly`` agree
+    everywhere.
+
     Adds columns: ``n_history, center, scale, z, is_anomaly``.
     """
     if method not in ("robust", "classic"):
         raise ValueError(f"method must be 'robust' or 'classic', got {method!r}")
     if min_history < 1:
         raise ValueError(f"min_history must be >= 1, got {min_history}")
+    if max_history is not None:
+        if max_history < min_history:
+            raise ValueError(
+                f"max_history ({max_history}) must be >= min_history ({min_history})"
+            )
+        return _bounded_control_chart(
+            df, series_cols, order_col, value_col, min_history, z_threshold,
+            method, max_history,
+        )
     w = (
         Window.partitionBy(*[F.col(c) for c in series_cols])
         .orderBy(order_col)
@@ -164,6 +193,101 @@ def control_chart(
         )
         .drop("_hist", "_hmin", "_hmax")
     )
+
+
+def _bounded_control_chart(
+    df: DataFrame,
+    series_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    min_history: int,
+    z_threshold: float,
+    method: str,
+    max_history: int,
+) -> DataFrame:
+    """``control_chart`` with the history bounded to the trailing
+    ``max_history`` non-null values (streaming-twin semantics).
+
+    A ``rowsBetween(-k, -1)`` frame counts null rows, so the bounded
+    stats run over the null-FILTERED rows (where the frame's last k rows
+    ARE the last k values); null rows rejoin via union with null chart
+    columns. Both branches hang off the same count window, and a filter
+    preserves hash partitioning and sort order, so the physical plan has
+    one real exchange + one sort; the null branch re-reads the shuffle
+    output (``ReusedExchange``).
+    """
+    w_unb = (
+        Window.partitionBy(*[F.col(c) for c in series_cols])
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_k = (
+        Window.partitionBy(*[F.col(c) for c in series_cols])
+        .orderBy(order_col)
+        .rowsBetween(-max_history, -1)
+    )
+    v = F.col(value_col).cast("double")
+    # bounded history size = min(preceding non-null count, k) — valid for
+    # null rows too (count() skips nulls), so compute it BEFORE the split.
+    df = df.withColumn(
+        "n_history",
+        F.least(F.count(v).over(w_unb), F.lit(max_history)).cast("int"),
+    )
+    nn = df.filter(v.isNotNull())
+    n = F.col("n_history")
+    warm = n >= F.lit(min_history)
+    if method == "robust":
+        nn = nn.withColumn("_hist", F.sort_array(F.collect_list(v).over(w_k)))
+        hist = F.col("_hist")
+        center = F.when(warm, _interp_quantile(hist, n, 0.5))
+        iqr = F.when(
+            warm, _interp_quantile(hist, n, 0.75) - _interp_quantile(hist, n, 0.25)
+        )
+        scale = iqr / F.lit(_IQR_TO_SIGMA)
+        zero_scale_anom = v != F.col("center")
+    else:
+        # one select → one Window operator carrying all four aggregates
+        nn = nn.select(
+            "*",
+            F.min(v).over(w_k).alias("_hmin"),
+            F.max(v).over(w_k).alias("_hmax"),
+            F.avg(v).over(w_k).alias("_havg"),
+            F.stddev_samp(v).over(w_k).alias("_hstd"),
+        )
+        const_hist = F.col("_hmin") == F.col("_hmax")
+        center = F.when(
+            warm, F.when(const_hist, F.col("_hmin")).otherwise(F.col("_havg"))
+        )
+        scale = F.when(
+            warm,
+            F.when(const_hist, F.lit(0.0)).otherwise(
+                F.coalesce(F.col("_hstd"), F.lit(0.0))
+            ),
+        )
+        zero_scale_anom = const_hist & (v != F.col("center"))
+    nn = nn.withColumn("center", center).withColumn("scale", scale)
+    z = F.when(F.col("scale") > 0, (v - F.col("center")) / F.col("scale"))
+    nn = (
+        nn.withColumn("z", z)
+        .withColumn(
+            "is_anomaly",
+            F.when(~warm, F.lit(False)).otherwise(
+                F.coalesce(
+                    F.abs(F.col("z")) > F.lit(float(z_threshold)),
+                    zero_scale_anom,
+                )
+            ),
+        )
+        .drop("_hist", "_hmin", "_hmax", "_havg", "_hstd")
+    )
+    nl = (
+        df.filter(v.isNull())
+        .withColumn("center", F.lit(None).cast("double"))
+        .withColumn("scale", F.lit(None).cast("double"))
+        .withColumn("z", F.lit(None).cast("double"))
+        .withColumn("is_anomaly", F.lit(False))
+    )
+    return nn.unionByName(nl.select(*nn.columns))
 
 
 def verdict_flips(
@@ -243,6 +367,7 @@ def metric_anomalies(
     min_history: int = 3,
     z_threshold: float = 3.0,
     method: str = "robust",
+    max_history: Optional[int] = None,
 ) -> DataFrame:
     """Control-chart the checkpoint store's per-rule fail rates across
     snapshots: which rule's failure behavior just left its historical
@@ -258,6 +383,7 @@ def metric_anomalies(
         min_history=min_history,
         z_threshold=z_threshold,
         method=method,
+        max_history=max_history,
     )
     return chart.filter(F.col("is_anomaly"))
 

@@ -100,7 +100,9 @@ def streaming_control_chart(
     ``max_history`` bounds per-key state; while a series has at most that
     many prior points the stream output equals
     ``operators.monitor.control_chart`` on the accumulated batch, after
-    which the chart becomes rolling-window (oldest points evicted).
+    which the chart becomes rolling-window (oldest points evicted) —
+    identical to the batch chart called with the same ``max_history``
+    (point-for-point, locked by the parity test).
     """
     if method not in ("robust", "classic"):
         raise ValueError(f"method must be 'robust' or 'classic', got {method!r}")

@@ -32,11 +32,14 @@ def _chart_rows(spark, series, **kw):
     return {(r["series"], r["ord"]): r.asDict() for r in out.collect()}
 
 
-def _np_expected(vals, min_history, z_threshold, method):
-    """Independent expanding-window re-implementation."""
+def _np_expected(vals, min_history, z_threshold, method, max_history=None):
+    """Independent expanding-window re-implementation (trailing window
+    of the last ``max_history`` non-null values when bounded)."""
     out = []
     for i, x in enumerate(vals):
         hist = [v for v in vals[:i] if v is not None]
+        if max_history is not None:
+            hist = hist[-max_history:]
         n = len(hist)
         if n < min_history or x is None:
             out.append((n, None, False))
@@ -136,6 +139,120 @@ def test_control_chart_randomized_sweep(spark, method):
             assert r["is_anomaly"] == flag, (sid, i)
 
 
+@pytest.mark.parametrize("method", ["robust", "classic"])
+def test_control_chart_bounded_history_numpy_parity(spark, method):
+    """max_history trims each history to the trailing k non-null values —
+    row-for-row numpy parity across randomized series with interleaved
+    nulls, constants, and planted spikes (streaming-twin semantics: a
+    rows-frame would count null rows; the operator must not)."""
+    rng = np.random.default_rng(48)
+    series = {}
+    for k in range(32):
+        kind = k % 4
+        n = int(rng.integers(2, 36))
+        if kind == 0:
+            vals = list(rng.normal(rng.uniform(-20, 20), rng.uniform(0.5, 5), n))
+        elif kind == 1:  # interleaved nulls around a drifting mean
+            vals = [
+                None if rng.random() < 0.3 else float(rng.normal(j * 0.5, 1.0))
+                for j in range(n)
+            ]
+        elif kind == 2:  # constant, then a step the bound must track
+            c = float(rng.uniform(-5, 5))
+            vals = [c] * max(n, 6) + [c + 3.0] * 6
+        else:  # early huge spike that must LEAVE the bounded window
+            vals = list(rng.normal(0, 1, max(n, 12)))
+            vals[2] = 1e6
+        series[f"s{k}"] = vals
+    for k_bound in (3, 7):
+        got = _chart_rows(
+            spark, series, min_history=3, z_threshold=2.5, method=method,
+            max_history=k_bound,
+        )
+        for sid, vals in series.items():
+            exp = _np_expected(vals, 3, 2.5, method, max_history=k_bound)
+            for i, (n, z, flag) in enumerate(exp):
+                r = got[(sid, i)]
+                assert r["n_history"] == n, (sid, i, k_bound)
+                if z is None:
+                    assert r["z"] is None, (sid, i, k_bound)
+                else:
+                    assert r["z"] == pytest.approx(z, rel=1e-9, abs=1e-9), (
+                        sid, i, k_bound,
+                    )
+                assert r["is_anomaly"] == flag, (sid, i, k_bound)
+
+
+def test_control_chart_bounded_spike_evicted(spark):
+    """An early spike stops widening the band once it falls out of the
+    trailing window: the expanding chart keeps absorbing it forever, the
+    bounded chart recovers sensitivity after max_history more points."""
+    vals = [10.0, 10.2, 9.8, 500.0, 10.1, 9.9, 10.0, 10.2, 9.9, 10.1, 13.0]
+    # classic expanding: the 500 inflates stddev for the whole series, so
+    # the final 13.0 (≈30σ of the clean series) is missed
+    exp_rows = _chart_rows(spark, {"s": vals}, min_history=3, method="classic")
+    assert not exp_rows[("s", 10)]["is_anomaly"]
+    # bounded to the trailing 5 values: the spike left the window
+    bnd_rows = _chart_rows(
+        spark, {"s": vals}, min_history=3, method="classic", max_history=5
+    )
+    assert bnd_rows[("s", 10)]["is_anomaly"]
+    assert bnd_rows[("s", 10)]["n_history"] == 5
+
+
+def test_control_chart_bounded_matches_streaming_twin(spark, tmp_path):
+    """Batch max_history == streaming max_history, point for point, on a
+    series long enough to roll (all five chart columns)."""
+    import numpy as np
+
+    rng = np.random.default_rng(33)
+    vals = list(rng.normal(2.0, 0.5, 18)) + [25.0] + list(rng.normal(2.0, 0.5, 5))
+    rows = [("s", i, float(v)) for i, v in enumerate(vals)]
+    src = tmp_path / "bounded_parity_src"
+    src.mkdir()
+    spark.createDataFrame(rows, "series string, ord int, value double").coalesce(
+        1
+    ).write.parquet(str(src / "b0"))
+    got = _drain_stream(
+        spark, str(src) + "/b*", "chart_bounded_parity", min_history=3, max_history=6
+    )
+    batch_df = spark.createDataFrame(rows, "series string, ord int, value double")
+    want = {
+        (r["series"], r["ord"]): r.asDict()
+        for r in control_chart(
+            batch_df, ["series"], "ord", "value", min_history=3, max_history=6
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for col in ("n_history", "is_anomaly"):
+            assert got[k][col] == want[k][col], (k, col)
+        for col in ("center", "scale", "z"):
+            if want[k][col] is None:
+                assert got[k][col] is None, (k, col)
+            else:
+                assert got[k][col] == pytest.approx(want[k][col], rel=1e-9), (k, col)
+
+
+def test_control_chart_bounded_single_real_exchange(spark, tmp_path):
+    """The bounded chart's null branch must REUSE the series shuffle, not
+    re-shuffle: one real exchange in the final adaptive plan."""
+    rows = [("s%d" % (i % 3), i, float(i % 7) if i % 5 else None) for i in range(90)]
+    p = str(tmp_path / "bounded_plan_in.parquet")
+    spark.createDataFrame(rows, "series string, ord int, value double").write.parquet(p)
+    out = control_chart(
+        spark.read.parquet(p), ["series"], "ord", "value", max_history=6
+    )
+    out.collect()
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    final = phys.split("Initial Plan")[0]
+    n_exchange = final.count("Exchange hashpartitioning")
+    n_reused = final.count("ReusedExchange")
+    assert n_reused >= 1, final[:2000]
+    # every exchange string beyond the first real one is the reused ref
+    assert n_exchange - n_reused == 1, final[:2000]
+
+
 def test_classic_constant_series_never_self_flags(spark):
     """Regression: a perfectly constant series must never flag its own
     constant value — avg() accumulation drift made the classic chart's
@@ -198,6 +315,8 @@ def test_control_chart_validates_args(spark):
         control_chart(df, ["series"], "ord", "value", method="ewma")
     with pytest.raises(ValueError, match="min_history"):
         control_chart(df, ["series"], "ord", "value", min_history=0)
+    with pytest.raises(ValueError, match="max_history"):
+        control_chart(df, ["series"], "ord", "value", min_history=3, max_history=2)
 
 
 def test_verdict_flips_directions(spark):
