@@ -290,6 +290,115 @@ def _bounded_control_chart(
     return nn.unionByName(nl.select(*nn.columns))
 
 
+def cusum_chart(
+    df: DataFrame,
+    series_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    target: Optional[float] = None,
+    sigma: Optional[float] = None,
+    warmup: int = 10,
+    slack: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """Two-sided standardized CUSUM chart over per-snapshot series — the
+    complement to :func:`control_chart`: a Shewhart chart flags one large
+    deviation, CUSUM accumulates many SMALL ones, so a persistent ~1σ
+    mean shift (a validation fail-rate that quietly crept up) is caught
+    within a few points even though every individual point stays inside
+    the 3σ band (locked by the contrast test).
+
+    Standard Page CUSUM: with standardized deviations
+    ``d_i = (x_i − μ₀)/σ₀``, track ``S⁺_i = max(0, S⁺_{i−1} + d_i − k)``
+    and ``S⁻_i = max(0, S⁻_{i−1} − d_i − k)`` (``k`` = ``slack``, the
+    half-shift not worth flagging); alarm when either exceeds ``h``.
+
+    ``target``/``sigma`` give a known reference (Phase II only); when
+    None, μ₀/σ₀ are estimated per series from its first ``warmup``
+    non-null values (Phase I), and those calibration points are never
+    scored. A σ₀ of exactly 0 (constant calibration) falls back to the
+    exact-deviation rule: any post-warmup value ≠ μ₀ alarms, ``s_pos/
+    s_neg`` stay null (the standardization is undefined), mirroring the
+    control chart's zero-scale rule. Null values are never scored and do
+    not advance the sums.
+
+    Scale notes: the recursion has the closed form ``S⁺_i = P_i −
+    min(0, min_{j≤i} P_j)`` with ``P`` the running sum of ``(d − k)``
+    (and symmetrically for S⁻), so the whole chart is two stacked
+    window passes — running sum, then running min over it — sharing one
+    exchange keyed by the series id and one sort, all inside codegen'd
+    Column algebra; no per-row Python, no O(n²) history arrays at all.
+
+    Adds columns: ``n_history`` (non-null points seen before this one),
+    ``mu0, sigma0, s_pos, s_neg, is_anomaly``.
+    """
+    if warmup < 2 and target is None:
+        raise ValueError(f"warmup must be >= 2 to estimate mu0/sigma0, got {warmup}")
+    if (target is None) != (sigma is None):
+        raise ValueError("target and sigma must be given together (or neither)")
+    if sigma is not None and sigma <= 0:
+        raise ValueError(f"sigma must be > 0, got {sigma}")
+    if h <= 0:
+        raise ValueError(f"h must be > 0, got {h}")
+    keys = [F.col(c) for c in series_cols]
+    w_incl = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    v = F.col(value_col).cast("double")
+    # 1-based index among the series' non-null values (count includes the
+    # current row when non-null) — drives warmup membership and n_history.
+    df = df.withColumn("_nn_rank", F.count(v).over(w_incl))
+    df = df.withColumn(
+        "n_history",
+        (F.col("_nn_rank") - F.when(v.isNotNull(), 1).otherwise(0)).cast("int"),
+    )
+    if target is not None:
+        df = df.withColumn("mu0", F.lit(float(target))).withColumn(
+            "sigma0", F.lit(float(sigma))
+        )
+        scored = v.isNotNull()
+    else:
+        calib = F.when(F.col("_nn_rank") <= F.lit(warmup), v)
+        # full-partition frame: same keys and sort → same single exchange
+        df = df.withColumn("mu0", F.avg(calib).over(w_all)).withColumn(
+            "sigma0", F.coalesce(F.stddev_samp(calib).over(w_all), F.lit(0.0))
+        )
+        scored = v.isNotNull() & (F.col("_nn_rank") > F.lit(warmup))
+    d = (v - F.col("mu0")) / F.col("sigma0")
+    # contributions are null off the scored set (and when sigma0 == 0), so
+    # the running sums simply skip those rows
+    contrib_ok = scored & (F.col("sigma0") > 0)
+    df = df.withColumn(
+        "_p_pos", F.sum(F.when(contrib_ok, d - F.lit(float(slack)))).over(w_incl)
+    ).withColumn(
+        "_p_neg", F.sum(F.when(contrib_ok, -d - F.lit(float(slack)))).over(w_incl)
+    )
+    # running min over the prefix column: stacked window, same exchange
+    s_pos = F.col("_p_pos") - F.least(F.lit(0.0), F.min("_p_pos").over(w_incl))
+    s_neg = F.col("_p_neg") - F.least(F.lit(0.0), F.min("_p_neg").over(w_incl))
+    df = df.withColumn(
+        "s_pos", F.when(contrib_ok, s_pos)
+    ).withColumn("s_neg", F.when(contrib_ok, s_neg))
+    alarm = (F.col("s_pos") > F.lit(float(h))) | (F.col("s_neg") > F.lit(float(h)))
+    zero_sigma_alarm = scored & (F.col("sigma0") == 0) & (v != F.col("mu0"))
+    return (
+        df.withColumn(
+            "is_anomaly",
+            F.when(~scored, F.lit(False)).otherwise(
+                F.coalesce(alarm, zero_sigma_alarm)
+            ),
+        )
+        .drop("_nn_rank", "_p_pos", "_p_neg")
+    )
+
+
 def verdict_flips(
     df: DataFrame,
     series_cols: Sequence[str] = ("rule_id", "tag"),

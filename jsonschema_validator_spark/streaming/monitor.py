@@ -164,4 +164,122 @@ def streaming_control_chart(
     )
 
 
-__all__ = ["streaming_control_chart"]
+def streaming_cusum_chart(
+    stream: DataFrame,
+    series_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    target: float = None,
+    sigma: float = None,
+    warmup: int = 10,
+    slack: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """Stateful twin of :func:`operators.monitor.cusum_chart` — the
+    recursion ``S⁺ = max(0, S⁺ + d − k)`` is carried directly in per-key
+    state (two doubles + the calibration buffer), so unlike the control
+    chart there is no history to bound: state is O(1) per series once
+    calibration completes. A replay of an ordered series reproduces the
+    batch chart point-for-point (parity test) — the batch Phase-I
+    calibration uses each series' first ``warmup`` non-null values in
+    ``order_col`` order, which is exactly what the stream accumulates.
+
+    Output: the input columns plus ``n_history, mu0, sigma0, s_pos,
+    s_neg, is_anomaly`` (the batch chart's columns). One divergence, on
+    the informational columns only: the batch chart's full-partition
+    window back-fills ``mu0/sigma0`` onto calibration rows; the stream
+    cannot see the future, so those rows carry null until calibration
+    completes. ``n_history/s_pos/s_neg/is_anomaly`` agree row-for-row.
+    """
+    if warmup < 2 and target is None:
+        raise ValueError(f"warmup must be >= 2 to estimate mu0/sigma0, got {warmup}")
+    if (target is None) != (sigma is None):
+        raise ValueError("target and sigma must be given together (or neither)")
+    if sigma is not None and sigma <= 0:
+        raise ValueError(f"sigma must be > 0, got {sigma}")
+    if h <= 0:
+        raise ValueError(f"h must be > 0, got {h}")
+    series_cols = list(series_cols)
+    keep = series_cols + [order_col, value_col]
+    in_fields = {f.name: f for f in stream.schema.fields}
+    missing = [c for c in keep if c not in in_fields]
+    if missing:
+        raise ValueError(f"stream is missing columns: {missing}")
+    out_schema = StructType(
+        [in_fields[c] for c in keep]
+        + [
+            StructField("n_history", IntegerType()),
+            StructField("mu0", DoubleType()),
+            StructField("sigma0", DoubleType()),
+            StructField("s_pos", DoubleType()),
+            StructField("s_neg", DoubleType()),
+            StructField("is_anomaly", BooleanType()),
+        ]
+    )
+    explicit = target is not None
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # state: (calibration buffer, mu0, sigma0, s_pos, s_neg, nn_seen)
+        if state.exists:
+            calib, mu0, sigma0, sp, sn, nn_seen = state.get
+            calib = list(calib)
+        else:
+            calib, mu0, sigma0, sp, sn, nn_seen = [], None, None, 0.0, 0.0, 0
+        if explicit:
+            mu0, sigma0 = float(target), float(sigma)
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            state.update((calib, mu0, sigma0, sp, sn, nn_seen))
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(order_col, kind="stable")
+        rows = []
+        for _, row in pdf.iterrows():
+            raw = row[value_col]
+            x = None if pd.isna(raw) else float(raw)
+            n_hist = nn_seen
+            if x is None:
+                rows.append([row[c] for c in keep] + [n_hist, mu0, sigma0, None, None, False])
+                continue
+            nn_seen += 1
+            if not explicit and mu0 is None:
+                calib.append(x)
+                if len(calib) == warmup:
+                    mu0 = float(np.mean(calib))
+                    sigma0 = float(np.std(calib, ddof=1))
+                    calib = []
+                rows.append([row[c] for c in keep] + [n_hist, mu0, sigma0, None, None, False])
+                continue
+            if sigma0 == 0:
+                rows.append(
+                    [row[c] for c in keep]
+                    + [n_hist, mu0, sigma0, None, None, bool(x != mu0)]
+                )
+                continue
+            d = (x - mu0) / sigma0
+            sp = max(0.0, sp + d - slack)
+            sn = max(0.0, sn - d - slack)
+            rows.append(
+                [row[c] for c in keep]
+                + [n_hist, mu0, sigma0, sp, sn, bool(sp > h or sn > h)]
+            )
+        state.update((calib, mu0, sigma0, sp, sn, nn_seen))
+        yield pd.DataFrame(
+            rows,
+            columns=keep + ["n_history", "mu0", "sigma0", "s_pos", "s_neg", "is_anomaly"],
+        )
+
+    return stream.select(*keep).groupBy(*series_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=(
+            "calib array<double>, mu0 double, sigma0 double, "
+            "s_pos double, s_neg double, nn_seen int"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+__all__ = ["streaming_control_chart", "streaming_cusum_chart"]

@@ -11,6 +11,7 @@ from jsonschema_validator_spark.checkpoint import CheckpointStore, validate_resu
 from jsonschema_validator_spark.operators.monitor import (
     _IQR_TO_SIGMA,
     control_chart,
+    cusum_chart,
     lineage_history,
     metric_anomalies,
     metrics_history,
@@ -319,6 +320,160 @@ def test_control_chart_validates_args(spark):
         control_chart(df, ["series"], "ord", "value", min_history=3, max_history=2)
 
 
+# ---------------------------------------------------------------------------
+# CUSUM chart: small persistent shifts the Shewhart chart cannot see
+# ---------------------------------------------------------------------------
+
+
+def _cusum_rows(spark, series, **kw):
+    rows = [
+        (sid, i, float(v) if v is not None else None)
+        for sid, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "series string, ord int, value double")
+    out = cusum_chart(df, ["series"], "ord", "value", **kw)
+    return {(r["series"], r["ord"]): r.asDict() for r in out.collect()}
+
+
+def _np_cusum(vals, target, sigma, warmup, slack, h):
+    """Independent recursion: S⁺=max(0,S⁺+d−k), S⁻=max(0,S⁻−d−k)."""
+    nonnull = [x for x in vals if x is not None]
+    if target is None:
+        c = nonnull[:warmup]
+        mu0 = float(np.mean(c)) if c else None
+        sigma0 = float(np.std(c, ddof=1)) if len(c) >= 2 else 0.0
+    else:
+        mu0, sigma0 = float(target), float(sigma)
+    sp = sn = 0.0
+    nn_seen = 0
+    out = []
+    for x in vals:
+        n_hist = nn_seen
+        if x is None:
+            out.append((n_hist, None, None, False))
+            continue
+        nn_seen += 1
+        scored = target is not None or nn_seen > warmup
+        if not scored:
+            out.append((n_hist, None, None, False))
+            continue
+        if sigma0 == 0:
+            out.append((n_hist, None, None, x != mu0))
+            continue
+        d = (x - mu0) / sigma0
+        sp = max(0.0, sp + d - slack)
+        sn = max(0.0, sn - d - slack)
+        out.append((n_hist, sp, sn, sp > h or sn > h))
+    return out
+
+
+def test_cusum_numpy_parity_randomized(spark):
+    """Row-for-row parity of the prefix-sum closed form against the
+    textbook max(0, ...) recursion, across randomized series with nulls,
+    shifts, spikes, and constant calibrations."""
+    rng = np.random.default_rng(4848)
+    series = {}
+    for k in range(24):
+        kind = k % 4
+        n = int(rng.integers(6, 40))
+        if kind == 0:
+            vals = list(rng.normal(rng.uniform(-10, 10), rng.uniform(0.5, 4), n))
+        elif kind == 1:  # nulls interleaved
+            vals = [
+                None if rng.random() < 0.25 else float(rng.normal(3, 1))
+                for _ in range(n)
+            ]
+        elif kind == 2:  # calibration then sustained small shift
+            base = list(rng.normal(0, 1, max(n, 8)))
+            vals = base + [float(x) + 0.9 for x in rng.normal(0, 1, 15)]
+        else:  # constant calibration (sigma0 == 0 path)
+            c = float(rng.uniform(-2, 2))
+            vals = [c] * max(n, 7) + [c, c + 1.0, c]
+        series[f"s{k}"] = vals
+    got = _cusum_rows(spark, series, warmup=5, slack=0.5, h=4.0)
+    for sid, vals in series.items():
+        exp = _np_cusum(vals, None, None, 5, 0.5, 4.0)
+        for i, (n, sp, sn, flag) in enumerate(exp):
+            r = got[(sid, i)]
+            assert r["n_history"] == n, (sid, i)
+            for col, want in (("s_pos", sp), ("s_neg", sn)):
+                if want is None:
+                    assert r[col] is None, (sid, i, col)
+                else:
+                    assert r[col] == pytest.approx(want, rel=1e-9, abs=1e-9), (
+                        sid, i, col,
+                    )
+            # skip the flag only when a sum sits within float noise of h
+            near = any(
+                s is not None and abs(s - 4.0) < 1e-6 for s in (sp, sn)
+            )
+            if not near:
+                assert r["is_anomaly"] == flag, (sid, i)
+
+
+def test_cusum_catches_small_shift_shewhart_misses(spark):
+    """The contrast that motivates CUSUM: a sustained +1σ mean shift where
+    every individual point stays inside the 3σ band — the control chart
+    stays silent, the CUSUM alarms within a few points of the shift."""
+    rng = np.random.default_rng(99)
+    base = list(rng.normal(10.0, 1.0, 30))
+    # +1σ shift, each point clipped well inside ±3σ of the base series
+    shifted = [10.0 + 1.0 + float(x) for x in np.clip(rng.normal(0, 0.8, 20), -1.5, 1.5)]
+    vals = base + shifted
+    chart = _chart_rows(
+        spark, {"s": vals}, min_history=5, z_threshold=3.0, method="classic"
+    )
+    assert not any(r["is_anomaly"] for r in chart.values())
+    cusum = _cusum_rows(spark, {"s": vals}, warmup=30, slack=0.5, h=5.0)
+    flagged = sorted(o for (_, o), r in cusum.items() if r["is_anomaly"])
+    assert flagged and flagged[0] < 45, flagged  # alarms mid-shift, not never
+    assert all(o >= 30 for o in flagged)  # never inside calibration
+
+
+def test_cusum_explicit_target_scores_from_first_point(spark):
+    vals = [0.0, 0.2, 2.0, 2.1, 2.2, 2.3]
+    got = _cusum_rows(spark, {"s": vals}, target=0.0, sigma=1.0, warmup=10,
+                      slack=0.5, h=3.0)
+    exp = _np_cusum(vals, 0.0, 1.0, 10, 0.5, 3.0)
+    for i, (n, sp, sn, flag) in enumerate(exp):
+        r = got[("s", i)]
+        assert r["s_pos"] == pytest.approx(sp, rel=1e-12)
+        assert r["is_anomaly"] == flag, i
+    # the sustained 2σ run must alarm by the end
+    assert got[("s", 5)]["is_anomaly"]
+
+
+def test_cusum_constant_calibration_exact_deviation_rule(spark):
+    vals = [5.0] * 6 + [5.0, 5.5, 5.0]
+    got = _cusum_rows(spark, {"s": vals}, warmup=5, h=4.0)
+    assert not got[("s", 6)]["is_anomaly"]  # equals the constant
+    assert got[("s", 7)]["is_anomaly"]  # any deviation alarms
+    assert got[("s", 7)]["s_pos"] is None  # standardization undefined
+    assert not got[("s", 8)]["is_anomaly"]
+
+
+def test_cusum_validates_args(spark):
+    df = spark.createDataFrame([("s", 0, 1.0)], "series string, ord int, value double")
+    with pytest.raises(ValueError, match="warmup"):
+        cusum_chart(df, ["series"], "ord", "value", warmup=1)
+    with pytest.raises(ValueError, match="together"):
+        cusum_chart(df, ["series"], "ord", "value", target=1.0)
+    with pytest.raises(ValueError, match="sigma"):
+        cusum_chart(df, ["series"], "ord", "value", target=1.0, sigma=0.0)
+    with pytest.raises(ValueError, match="h must"):
+        cusum_chart(df, ["series"], "ord", "value", h=0.0)
+
+
+def test_cusum_single_shuffle_plan(spark):
+    """All four window passes (count, calibration stats, prefix sums,
+    running mins) share the series key and sort: one exchange total."""
+    rows = [("s", i, float(i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "series string, ord int, value double")
+    qe = cusum_chart(df, ["series"], "ord", "value")._jdf.queryExecution()
+    assert qe.executedPlan().toString().count("hashpartitioning") == 1
+
+
 def test_verdict_flips_directions(spark):
     rows = [
         # rule r1 flips fail at ord 2, recovers at ord 3
@@ -536,3 +691,92 @@ def test_streaming_chart_validates_args(spark, tmp_path):
         streaming_control_chart(stream, ["series"], "ord", "value", max_history=1)
     with pytest.raises(ValueError, match="missing columns"):
         streaming_control_chart(stream, ["series"], "ord", "nope")
+
+
+def _drain_cusum_stream(spark, src_dir, name, **kw):
+    from jsonschema_validator_spark.streaming.monitor import streaming_cusum_chart
+
+    stream = spark.readStream.schema("series string, ord int, value double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    out = streaming_cusum_chart(stream, ["series"], "ord", "value", **kw)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return {
+        (r["series"], r["ord"]): r.asDict()
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+
+def test_streaming_cusum_matches_batch(spark, tmp_path):
+    """Replaying ordered series through 3 micro-batches reproduces the
+    batch CUSUM row-for-row: the recursion state (two doubles) carries
+    across batches; calibration rows are scored by neither side. The
+    only allowed divergence is mu0/sigma0 on pre-calibration rows (the
+    batch window back-fills them, the stream cannot see the future)."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    series = {
+        "a": list(rng.normal(4.0, 1.0, 8)) + [4.9 + float(x) for x in rng.normal(0, 0.4, 10)],
+        "b": [None if i % 5 == 2 else float(v) for i, v in enumerate(rng.normal(0, 1, 18))],
+    }
+    rows = [
+        (sid, i, float(v) if v is not None else None)
+        for sid, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    src = tmp_path / "cusum_src"
+    src.mkdir()
+    for b in range(3):
+        batch = [r for r in rows if 6 * b <= r[1] < 6 * (b + 1)]
+        spark.createDataFrame(batch, "series string, ord int, value double").coalesce(
+            1
+        ).write.parquet(str(src / f"b{b}"))
+    got = _drain_cusum_stream(
+        spark, str(src) + "/b*", "cusum_parity", warmup=6, slack=0.25, h=3.0
+    )
+    batch_df = spark.createDataFrame(rows, "series string, ord int, value double")
+    want = {
+        (r["series"], r["ord"]): r.asDict()
+        for r in cusum_chart(
+            batch_df, ["series"], "ord", "value", warmup=6, slack=0.25, h=3.0
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n_history"] == want[k]["n_history"], k
+        assert got[k]["is_anomaly"] == want[k]["is_anomaly"], k
+        for col in ("s_pos", "s_neg"):
+            if want[k][col] is None:
+                assert got[k][col] is None, (k, col)
+            else:
+                assert got[k][col] == pytest.approx(want[k][col], rel=1e-9, abs=1e-9), (k, col)
+        # mu0/sigma0 must agree wherever the stream has them
+        for col in ("mu0", "sigma0"):
+            if got[k][col] is not None:
+                assert got[k][col] == pytest.approx(want[k][col], rel=1e-12), (k, col)
+    # the +0.9σ drift in series a must alarm somewhere post-calibration
+    assert any(r["is_anomaly"] for (s, _), r in got.items() if s == "a")
+
+
+def test_streaming_cusum_validates_args(spark, tmp_path):
+    from jsonschema_validator_spark.streaming.monitor import streaming_cusum_chart
+
+    empty = tmp_path / "cusum_empty_src"
+    empty.mkdir()
+    stream = spark.readStream.schema("series string, ord int, value double").parquet(
+        str(empty)
+    )
+    with pytest.raises(ValueError, match="warmup"):
+        streaming_cusum_chart(stream, ["series"], "ord", "value", warmup=1)
+    with pytest.raises(ValueError, match="together"):
+        streaming_cusum_chart(stream, ["series"], "ord", "value", target=1.0)
+    with pytest.raises(ValueError, match="missing columns"):
+        streaming_cusum_chart(stream, ["series"], "ord", "nope")
