@@ -201,15 +201,35 @@ def q_metrics_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-stable columns (fail_rate is a count ratio — bit-exact across
     engines; is_anomaly's nearest |z| is 0.045 from the 2.5 threshold
     on this data, far beyond the ulp-level cross-engine quantile
-    drift). Input is the metrics history — 3 series x 83 months — so
-    cost is independent of the monitored table's size."""
+    drift). A Page CUSUM (warmup=12, slack=0.5, h=4.0) rides the SAME
+    lineage — its windows share the chart's partitioning and sort — and
+    contributes `cusum_alarm`: the sustained-shift detector the
+    per-point chart cannot express. Only the boolean is exposed: the
+    s_pos/s_neg floats drift ≤3e-14 across engines (running sums), but
+    the nearest |s − h| on this data is 0.2145 — verified safe. Input
+    is the metrics history — 3 series x 83 months — so cost is
+    independent of the monitored table's size."""
     from jsonschema_validator_spark.operators.monitor import (
         control_chart,
+        cusum_chart,
         verdict_flips,
     )
 
     hist = _metrics_monthly_history(spark, sf_dir).withColumn(
         "pass", F.col("fail_rate") <= F.lit(0.10)
+    )
+    hist = (
+        cusum_chart(
+            hist,
+            series_cols=["rule_id"],
+            order_col="snapshot_ord",
+            value_col="fail_rate",
+            warmup=12,
+            slack=0.5,
+            h=4.0,
+        )
+        .withColumnRenamed("is_anomaly", "cusum_alarm")
+        .drop("n_history", "mu0", "sigma0", "s_pos", "s_neg")
     )
     chart = control_chart(
         hist,
@@ -232,6 +252,7 @@ def q_metrics_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fail_rate"),
         F.col("n_history").cast("long").alias("n_history"),
         F.col("is_anomaly"),
+        F.col("cusum_alarm"),
         F.col("pass"),
         F.col("flipped"),
         F.col("direction"),
@@ -1901,25 +1922,62 @@ WITH hist AS (
            / count(*) AS fail_rate
   FROM lineitem GROUP BY 1, 2
 ),
+rk AS (
+  SELECT *, row_number() OVER wo AS rn
+  FROM hist WINDOW wo AS (PARTITION BY rule_id ORDER BY snapshot_ord)
+),
+cal AS (
+  SELECT *,
+    avg(CASE WHEN rn <= 12 THEN fail_rate END) OVER wa AS mu0,
+    coalesce(stddev_samp(CASE WHEN rn <= 12 THEN fail_rate END) OVER wa,
+             0.0) AS sigma0
+  FROM rk WINDOW wa AS (PARTITION BY rule_id ORDER BY snapshot_ord
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+contrib AS (
+  SELECT *,
+    CASE WHEN rn > 12 AND sigma0 > 0
+         THEN (fail_rate - mu0)/sigma0 - 0.5 END AS cp,
+    CASE WHEN rn > 12 AND sigma0 > 0
+         THEN -((fail_rate - mu0)/sigma0) - 0.5 END AS cn
+  FROM cal
+),
+sums AS (
+  SELECT *, sum(cp) OVER wi AS p_pos, sum(cn) OVER wi AS p_neg
+  FROM contrib WINDOW wi AS (PARTITION BY rule_id ORDER BY snapshot_ord
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cusum AS (
+  SELECT rule_id, snapshot_ord,
+    CASE WHEN cp IS NOT NULL
+         THEN p_pos - LEAST(0.0, min(p_pos) OVER wi) END AS s_pos,
+    CASE WHEN cn IS NOT NULL
+         THEN p_neg - LEAST(0.0, min(p_neg) OVER wi) END AS s_neg
+  FROM sums WINDOW wi AS (PARTITION BY rule_id ORDER BY snapshot_ord
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
 chart AS (
-  SELECT rule_id, snapshot_ord, fail_rate,
-         count(fail_rate) OVER wp AS n_history,
-         quantile_cont(fail_rate, 0.5) OVER wp AS center,
-         (quantile_cont(fail_rate, 0.75) OVER wp
-          - quantile_cont(fail_rate, 0.25) OVER wp)
+  SELECT h.rule_id, h.snapshot_ord, h.fail_rate,
+         count(h.fail_rate) OVER wp AS n_history,
+         quantile_cont(h.fail_rate, 0.5) OVER wp AS center,
+         (quantile_cont(h.fail_rate, 0.75) OVER wp
+          - quantile_cont(h.fail_rate, 0.25) OVER wp)
            / 1.3489795003921634 AS scale,
-         (fail_rate <= CAST(0.10 AS DOUBLE)) AS pass,
-         lag(fail_rate <= CAST(0.10 AS DOUBLE)) OVER wo AS prev_pass
-  FROM hist
-  WINDOW wp AS (PARTITION BY rule_id ORDER BY snapshot_ord
+         COALESCE(c.s_pos > 4.0 OR c.s_neg > 4.0, FALSE) AS cusum_alarm,
+         (h.fail_rate <= CAST(0.10 AS DOUBLE)) AS pass,
+         lag(h.fail_rate <= CAST(0.10 AS DOUBLE)) OVER wo AS prev_pass
+  FROM hist h JOIN cusum c
+    ON h.rule_id = c.rule_id AND h.snapshot_ord = c.snapshot_ord
+  WINDOW wp AS (PARTITION BY h.rule_id ORDER BY h.snapshot_ord
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         wo AS (PARTITION BY rule_id ORDER BY snapshot_ord)
+         wo AS (PARTITION BY h.rule_id ORDER BY h.snapshot_ord)
 )
 SELECT rule_id, snapshot_ord, fail_rate,
        CAST(n_history AS BIGINT) AS n_history,
        CASE WHEN n_history < 6 THEN FALSE
             WHEN scale > 0 THEN abs((fail_rate - center) / scale) > 2.5
             ELSE fail_rate != center END AS is_anomaly,
+       cusum_alarm,
        pass,
        COALESCE(prev_pass != pass, FALSE) AS flipped,
        CASE WHEN NOT COALESCE(prev_pass != pass, FALSE) THEN ''
