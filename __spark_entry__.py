@@ -1926,13 +1926,24 @@ rk AS (
   SELECT *, row_number() OVER wo AS rn
   FROM hist WINDOW wo AS (PARTITION BY rule_id ORDER BY snapshot_ord)
 ),
-cal AS (
+calw AS (
   SELECT *,
-    avg(CASE WHEN rn <= 12 THEN fail_rate END) OVER wa AS mu0,
-    coalesce(stddev_samp(CASE WHEN rn <= 12 THEN fail_rate END) OVER wa,
-             0.0) AS sigma0
+    min(CASE WHEN rn <= 12 THEN fail_rate END) OVER wa AS cmin,
+    max(CASE WHEN rn <= 12 THEN fail_rate END) OVER wa AS cmax,
+    avg(CASE WHEN rn <= 12 THEN fail_rate END) OVER wa AS cavg,
+    stddev_samp(CASE WHEN rn <= 12 THEN fail_rate END) OVER wa AS cstd
   FROM rk WINDOW wa AS (PARTITION BY rule_id ORDER BY snapshot_ord
     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+cal AS (
+  -- constant calibration anchors mu0 to the constant with sigma0 = 0
+  -- exactly (avg over n copies of c drifts an ulp from c), and only a
+  -- truly constant calibration uses the exact-deviation rule below
+  SELECT *,
+    CASE WHEN cmin = cmax THEN cmin ELSE cavg END AS mu0,
+    CASE WHEN cmin = cmax THEN 0.0 ELSE coalesce(cstd, 0.0) END AS sigma0,
+    (cmin = cmax) AS const0
+  FROM calw
 ),
 contrib AS (
   SELECT *,
@@ -1950,9 +1961,11 @@ sums AS (
 cusum AS (
   SELECT rule_id, snapshot_ord,
     CASE WHEN cp IS NOT NULL
-         THEN p_pos - LEAST(0.0, min(p_pos) OVER wi) END AS s_pos,
-    CASE WHEN cn IS NOT NULL
-         THEN p_neg - LEAST(0.0, min(p_neg) OVER wi) END AS s_neg
+         THEN (p_pos - LEAST(0.0, min(p_pos) OVER wi) > 4.0)
+           OR (p_neg - LEAST(0.0, min(p_neg) OVER wi) > 4.0)
+         WHEN rn > 12 AND sigma0 = 0 AND const0
+         THEN fail_rate != mu0
+         ELSE FALSE END AS cusum_alarm
   FROM sums WINDOW wi AS (PARTITION BY rule_id ORDER BY snapshot_ord
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
@@ -1963,7 +1976,7 @@ chart AS (
          (quantile_cont(h.fail_rate, 0.75) OVER wp
           - quantile_cont(h.fail_rate, 0.25) OVER wp)
            / 1.3489795003921634 AS scale,
-         COALESCE(c.s_pos > 4.0 OR c.s_neg > 4.0, FALSE) AS cusum_alarm,
+         c.cusum_alarm,
          (h.fail_rate <= CAST(0.10 AS DOUBLE)) AS pass,
          lag(h.fail_rate <= CAST(0.10 AS DOUBLE)) OVER wo AS prev_pass
   FROM hist h JOIN cusum c

@@ -94,8 +94,10 @@ def control_chart(
     sweep). A non-constant history whose stddev still rounds to exactly
     0 (catastrophic cancellation at ~1e-16 relative spread) yields
     ``z = null`` and never flags. The robust center is exact Column
-    algebra on sorted data values, so it needs no such anchor. Null
-    values are never flagged and do not enter histories.
+    algebra on sorted data values, so it needs no such anchor. Null and
+    NaN values are never flagged and do not enter histories (NaN compares
+    greater than everything in Spark, so a NaN in a history would
+    otherwise poison every later point's flag).
 
     ``max_history`` (default None = expanding) bounds each history to the
     trailing ``max_history`` NON-NULL values — the exact semantics of the
@@ -135,17 +137,46 @@ def control_chart(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    v = F.col(value_col).cast("double")
+    # NaN is "missing", like null (the streaming twin's rule): it must
+    # not enter histories — NaN compares greater than any value in Spark,
+    # so one NaN in a history would flag every subsequent point forever
+    raw = F.col(value_col).cast("double")
+    v = F.when(raw.isNotNull() & ~F.isnan(raw), raw)
+    df = df.withColumn("n_history", F.count(v).over(w).cast("int"))
+    warm = F.col("n_history") >= F.lit(min_history)
+    return _attach_chart_stats(
+        df, w, v, F.col("n_history"), warm, method, z_threshold,
+        not_scored=~warm | v.isNull(),
+    )
+
+
+def _attach_chart_stats(
+    df: DataFrame,
+    w_hist,
+    v: Column,
+    n: Column,
+    warm: Column,
+    method: str,
+    z_threshold: float,
+    not_scored: Column,
+) -> DataFrame:
+    """Attach ``center, scale, z, is_anomaly`` computed over the history
+    frame ``w_hist`` — the ONE copy of the per-method stat rules, shared
+    by the expanding and the bounded chart (a fix to either center/scale
+    rule must not be appliable to one path only; that divergence class
+    produced the cusum constant-calibration bug).
+
+    ``n`` must equal the count of values in the frame (the caller owns
+    ``n_history``); ``not_scored`` marks rows that must never flag
+    (warmup, null/NaN values).
+    """
     if method == "robust":
         # materialize the sorted history ONCE: every further expression is
         # a projection over the array column, so the plan carries a single
         # collect_list buffer (12 duplicated window expressions otherwise —
         # Spark does not CSE window expressions across aliases).
-        df = df.withColumn(
-            "_hist", F.sort_array(F.collect_list(v).over(w))
-        ).withColumn("n_history", F.size(F.col("_hist")))
-        hist, n = F.col("_hist"), F.col("n_history")
-        warm = n >= F.lit(min_history)
+        df = df.withColumn("_hist", F.sort_array(F.collect_list(v).over(w_hist)))
+        hist = F.col("_hist")
         center = F.when(warm, _interp_quantile(hist, n, 0.5))
         iqr = F.when(
             warm, _interp_quantile(hist, n, 0.75) - _interp_quantile(hist, n, 0.25)
@@ -155,23 +186,25 @@ def control_chart(
         # ([5,5,5,100]): deviation from the (exact) median is the rule.
         zero_scale_anom = v != F.col("center")
     else:
-        df = (
-            df.withColumn("n_history", F.count(v).over(w))
-            .withColumn("_hmin", F.min(v).over(w))
-            .withColumn("_hmax", F.max(v).over(w))
+        # one select → one Window operator carrying all four aggregates
+        df = df.select(
+            "*",
+            F.min(v).over(w_hist).alias("_hmin"),
+            F.max(v).over(w_hist).alias("_hmax"),
+            F.avg(v).over(w_hist).alias("_havg"),
+            F.stddev_samp(v).over(w_hist).alias("_hstd"),
         )
-        warm = F.col("n_history") >= F.lit(min_history)
         const_hist = F.col("_hmin") == F.col("_hmax")
         # anchor a constant history's center to the constant itself —
         # avg(n copies of c) drifts an ulp from c, breaking the exact
         # deviation check below.
         center = F.when(
-            warm, F.when(const_hist, F.col("_hmin")).otherwise(F.avg(v).over(w))
+            warm, F.when(const_hist, F.col("_hmin")).otherwise(F.col("_havg"))
         )
         scale = F.when(
             warm,
             F.when(const_hist, F.lit(0.0)).otherwise(
-                F.coalesce(F.stddev_samp(v).over(w), F.lit(0.0))
+                F.coalesce(F.col("_hstd"), F.lit(0.0))
             ),
         )
         # scale == 0 without a constant history (stddev cancelled to 0 at
@@ -183,7 +216,7 @@ def control_chart(
         df.withColumn("z", z)
         .withColumn(
             "is_anomaly",
-            F.when(~warm | v.isNull(), F.lit(False)).otherwise(
+            F.when(not_scored, F.lit(False)).otherwise(
                 F.coalesce(
                     F.abs(F.col("z")) > F.lit(float(z_threshold)),
                     # zero scale: method-specific exact deviation rule
@@ -191,7 +224,7 @@ def control_chart(
                 )
             ),
         )
-        .drop("_hist", "_hmin", "_hmax")
+        .drop("_hist", "_hmin", "_hmax", "_havg", "_hstd")
     )
 
 
@@ -226,59 +259,22 @@ def _bounded_control_chart(
         .orderBy(order_col)
         .rowsBetween(-max_history, -1)
     )
-    v = F.col(value_col).cast("double")
+    # NaN = missing, like null (same rule as the unbounded path): NaN
+    # rows go to the null branch and never enter the bounded frames
+    raw = F.col(value_col).cast("double")
+    v = F.when(raw.isNotNull() & ~F.isnan(raw), raw)
     # bounded history size = min(preceding non-null count, k) — valid for
     # null rows too (count() skips nulls), so compute it BEFORE the split.
     df = df.withColumn(
         "n_history",
         F.least(F.count(v).over(w_unb), F.lit(max_history)).cast("int"),
     )
-    nn = df.filter(v.isNotNull())
-    n = F.col("n_history")
-    warm = n >= F.lit(min_history)
-    if method == "robust":
-        nn = nn.withColumn("_hist", F.sort_array(F.collect_list(v).over(w_k)))
-        hist = F.col("_hist")
-        center = F.when(warm, _interp_quantile(hist, n, 0.5))
-        iqr = F.when(
-            warm, _interp_quantile(hist, n, 0.75) - _interp_quantile(hist, n, 0.25)
-        )
-        scale = iqr / F.lit(_IQR_TO_SIGMA)
-        zero_scale_anom = v != F.col("center")
-    else:
-        # one select → one Window operator carrying all four aggregates
-        nn = nn.select(
-            "*",
-            F.min(v).over(w_k).alias("_hmin"),
-            F.max(v).over(w_k).alias("_hmax"),
-            F.avg(v).over(w_k).alias("_havg"),
-            F.stddev_samp(v).over(w_k).alias("_hstd"),
-        )
-        const_hist = F.col("_hmin") == F.col("_hmax")
-        center = F.when(
-            warm, F.when(const_hist, F.col("_hmin")).otherwise(F.col("_havg"))
-        )
-        scale = F.when(
-            warm,
-            F.when(const_hist, F.lit(0.0)).otherwise(
-                F.coalesce(F.col("_hstd"), F.lit(0.0))
-            ),
-        )
-        zero_scale_anom = const_hist & (v != F.col("center"))
-    nn = nn.withColumn("center", center).withColumn("scale", scale)
-    z = F.when(F.col("scale") > 0, (v - F.col("center")) / F.col("scale"))
-    nn = (
-        nn.withColumn("z", z)
-        .withColumn(
-            "is_anomaly",
-            F.when(~warm, F.lit(False)).otherwise(
-                F.coalesce(
-                    F.abs(F.col("z")) > F.lit(float(z_threshold)),
-                    zero_scale_anom,
-                )
-            ),
-        )
-        .drop("_hist", "_hmin", "_hmax", "_havg", "_hstd")
+    warm = F.col("n_history") >= F.lit(min_history)
+    # the filtered branch's rows are all valid, so ``not_scored`` is just
+    # the warmup condition; the stat rules are the shared single copy
+    nn = _attach_chart_stats(
+        df.filter(v.isNotNull()), w_k, v, F.col("n_history"), warm, method,
+        z_threshold, not_scored=~warm,
     )
     nl = (
         df.filter(v.isNull())
@@ -316,11 +312,18 @@ def cusum_chart(
     ``target``/``sigma`` give a known reference (Phase II only); when
     None, μ₀/σ₀ are estimated per series from its first ``warmup``
     non-null values (Phase I), and those calibration points are never
-    scored. A σ₀ of exactly 0 (constant calibration) falls back to the
+    scored. A constant calibration anchors μ₀ to the constant itself
+    (detected as calibration ``min == max`` — ``avg`` over n copies of c
+    drifts an ulp from c, which would make the exact-deviation rule
+    below flag the constant itself; the same anchor the classic control
+    chart uses) and sets σ₀ = 0 exactly. σ₀ = 0 falls back to the
     exact-deviation rule: any post-warmup value ≠ μ₀ alarms, ``s_pos/
-    s_neg`` stay null (the standardization is undefined), mirroring the
-    control chart's zero-scale rule. Null values are never scored and do
-    not advance the sums.
+    s_neg`` stay null (the standardization is undefined). Null AND NaN
+    values are never scored and do not advance the sums — a NaN metric
+    (mean over an empty partition upstream) must not poison the running
+    sums of everything after it (NaN compares greater than any value in
+    Spark, so one NaN contribution would alarm every subsequent point
+    forever).
 
     Scale notes: the recursion has the closed form ``S⁺_i = P_i −
     min(0, min_{j≤i} P_j)`` with ``P`` the running sum of ``(d − k)``
@@ -351,9 +354,12 @@ def cusum_chart(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    v = F.col(value_col).cast("double")
-    # 1-based index among the series' non-null values (count includes the
-    # current row when non-null) — drives warmup membership and n_history.
+    raw = F.col(value_col).cast("double")
+    # NaN is "missing", like null: it must neither calibrate nor
+    # contribute (one NaN in a running sum poisons every later point)
+    v = F.when(raw.isNotNull() & ~F.isnan(raw), raw)
+    # 1-based index among the series' valid values (count includes the
+    # current row when valid) — drives warmup membership and n_history.
     df = df.withColumn("_nn_rank", F.count(v).over(w_incl))
     df = df.withColumn(
         "n_history",
@@ -366,9 +372,26 @@ def cusum_chart(
         scored = v.isNotNull()
     else:
         calib = F.when(F.col("_nn_rank") <= F.lit(warmup), v)
-        # full-partition frame: same keys and sort → same single exchange
-        df = df.withColumn("mu0", F.avg(calib).over(w_all)).withColumn(
-            "sigma0", F.coalesce(F.stddev_samp(calib).over(w_all), F.lit(0.0))
+        # full-partition frame: same keys and sort → same single exchange.
+        # min == max detects a constant calibration EXACTLY on the data
+        # values; anchor mu0 to it (avg drifts an ulp over n copies).
+        df = (
+            df.withColumn("_cmin", F.min(calib).over(w_all))
+            .withColumn("_cmax", F.max(calib).over(w_all))
+            .withColumn(
+                "mu0",
+                F.when(
+                    F.col("_cmin") == F.col("_cmax"), F.col("_cmin")
+                ).otherwise(F.avg(calib).over(w_all)),
+            )
+            .withColumn(
+                "sigma0",
+                F.when(F.col("_cmin") == F.col("_cmax"), F.lit(0.0)).otherwise(
+                    F.coalesce(F.stddev_samp(calib).over(w_all), F.lit(0.0))
+                ),
+            )
+            .withColumn("_const0", F.col("_cmin") == F.col("_cmax"))
+            .drop("_cmin", "_cmax")
         )
         scored = v.isNotNull() & (F.col("_nn_rank") > F.lit(warmup))
     d = (v - F.col("mu0")) / F.col("sigma0")
@@ -387,16 +410,22 @@ def cusum_chart(
         "s_pos", F.when(contrib_ok, s_pos)
     ).withColumn("s_neg", F.when(contrib_ok, s_neg))
     alarm = (F.col("s_pos") > F.lit(float(h))) | (F.col("s_neg") > F.lit(float(h)))
-    zero_sigma_alarm = scored & (F.col("sigma0") == 0) & (v != F.col("mu0"))
-    return (
-        df.withColumn(
-            "is_anomaly",
-            F.when(~scored, F.lit(False)).otherwise(
-                F.coalesce(alarm, zero_sigma_alarm)
-            ),
+    # the exact-deviation rule applies only to a TRULY constant
+    # calibration; a non-constant one whose stddev cancelled to exactly 0
+    # is numerical noise and never alarms (the classic chart's rule)
+    if target is None:
+        zero_sigma_alarm = (
+            scored & F.col("_const0") & (F.col("sigma0") == 0) & (v != F.col("mu0"))
         )
-        .drop("_nn_rank", "_p_pos", "_p_neg")
-    )
+    else:
+        zero_sigma_alarm = F.lit(False)
+    out = df.withColumn(
+        "is_anomaly",
+        F.when(~scored, F.lit(False)).otherwise(
+            F.coalesce(alarm, zero_sigma_alarm)
+        ),
+    ).drop("_nn_rank", "_p_pos", "_p_neg")
+    return out.drop("_const0") if target is None else out
 
 
 def verdict_flips(

@@ -221,17 +221,18 @@ def streaming_cusum_chart(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        # state: (calibration buffer, mu0, sigma0, s_pos, s_neg, nn_seen)
+        # state: (calibration buffer, mu0, sigma0, s_pos, s_neg, nn_seen,
+        #         const0 — whether the calibration was exactly constant)
         if state.exists:
-            calib, mu0, sigma0, sp, sn, nn_seen = state.get
+            calib, mu0, sigma0, sp, sn, nn_seen, const0 = state.get
             calib = list(calib)
         else:
-            calib, mu0, sigma0, sp, sn, nn_seen = [], None, None, 0.0, 0.0, 0
+            calib, mu0, sigma0, sp, sn, nn_seen, const0 = [], None, None, 0.0, 0.0, 0, False
         if explicit:
             mu0, sigma0 = float(target), float(sigma)
         parts = [pdf for pdf in pdfs if len(pdf)]
         if not parts:
-            state.update((calib, mu0, sigma0, sp, sn, nn_seen))
+            state.update((calib, mu0, sigma0, sp, sn, nn_seen, const0))
             return
         pdf = pd.concat(parts, ignore_index=True).sort_values(order_col, kind="stable")
         rows = []
@@ -246,15 +247,29 @@ def streaming_cusum_chart(
             if not explicit and mu0 is None:
                 calib.append(x)
                 if len(calib) == warmup:
-                    mu0 = float(np.mean(calib))
-                    sigma0 = float(np.std(calib, ddof=1))
+                    cmin, cmax = min(calib), max(calib)
+                    if cmin == cmax:
+                        # constant calibration: anchor to the constant —
+                        # np.mean drifts an ulp and np.std(ddof=1) of the
+                        # drifted mean is tiny-NONZERO, which would both
+                        # break the exact-deviation rule and feed garbage
+                        # standardized deviations (batch anchor mirrored)
+                        mu0, sigma0, const0 = cmin, 0.0, True
+                    else:
+                        mu0 = float(np.mean(calib))
+                        sigma0 = float(np.std(calib, ddof=1))
+                        const0 = False
                     calib = []
                 rows.append([row[c] for c in keep] + [n_hist, mu0, sigma0, None, None, False])
                 continue
             if sigma0 == 0:
+                # exact-deviation rule for a truly constant calibration;
+                # a non-constant one whose stddev cancelled to exactly 0
+                # is numerical noise and never alarms (batch rule)
+                flag = bool(x != mu0) if (const0 or explicit) else False
                 rows.append(
                     [row[c] for c in keep]
-                    + [n_hist, mu0, sigma0, None, None, bool(x != mu0)]
+                    + [n_hist, mu0, sigma0, None, None, flag]
                 )
                 continue
             d = (x - mu0) / sigma0
@@ -264,7 +279,7 @@ def streaming_cusum_chart(
                 [row[c] for c in keep]
                 + [n_hist, mu0, sigma0, sp, sn, bool(sp > h or sn > h)]
             )
-        state.update((calib, mu0, sigma0, sp, sn, nn_seen))
+        state.update((calib, mu0, sigma0, sp, sn, nn_seen, const0))
         yield pd.DataFrame(
             rows,
             columns=keep + ["n_history", "mu0", "sigma0", "s_pos", "s_neg", "is_anomaly"],
@@ -275,7 +290,7 @@ def streaming_cusum_chart(
         outputStructType=out_schema,
         stateStructType=(
             "calib array<double>, mu0 double, sigma0 double, "
-            "s_pos double, s_neg double, nn_seen int"
+            "s_pos double, s_neg double, nn_seen int, const0 boolean"
         ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

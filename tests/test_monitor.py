@@ -254,6 +254,26 @@ def test_control_chart_bounded_single_real_exchange(spark, tmp_path):
     assert n_exchange - n_reused == 1, final[:2000]
 
 
+@pytest.mark.parametrize("method", ["robust", "classic"])
+def test_control_chart_nan_is_missing(spark, method):
+    """NaN behaves exactly like null in both chart modes: never enters a
+    history (NaN compares greater than everything in Spark — one NaN in
+    a history would flag every later point forever), never flagged."""
+    raw = [10.0, 10.2, 9.8, float("nan"), 10.1, 9.9, 30.0]
+    as_null = [10.0, 10.2, 9.8, None, 10.1, 9.9, 30.0]
+    for kw in ({}, {"max_history": 4}):
+        got = _chart_rows(
+            spark, {"s": raw}, min_history=3, z_threshold=3.0, method=method, **kw
+        )
+        exp = _np_expected(as_null, 3, 3.0, method, kw.get("max_history"))
+        for i, (n, z, flag) in enumerate(exp):
+            r = got[("s", i)]
+            assert r["n_history"] == n, (i, kw)
+            assert r["is_anomaly"] == flag, (i, kw)
+        # the spike at the end is still caught (history stayed clean)
+        assert got[("s", 6)]["is_anomaly"], kw
+
+
 def test_classic_constant_series_never_self_flags(spark):
     """Regression: a perfectly constant series must never flag its own
     constant value — avg() accumulation drift made the classic chart's
@@ -337,12 +357,22 @@ def _cusum_rows(spark, series, **kw):
 
 
 def _np_cusum(vals, target, sigma, warmup, slack, h):
-    """Independent recursion: S⁺=max(0,S⁺+d−k), S⁻=max(0,S⁻−d−k)."""
+    """Independent recursion: S⁺=max(0,S⁺+d−k), S⁻=max(0,S⁻−d−k).
+    Constant calibration anchors μ₀ to the constant with σ₀=0 exactly
+    (np.mean over n copies drifts an ulp — the operator must not flag
+    the constant itself); only that truly-constant case uses the
+    exact-deviation rule."""
     nonnull = [x for x in vals if x is not None]
+    const0 = False
     if target is None:
         c = nonnull[:warmup]
-        mu0 = float(np.mean(c)) if c else None
-        sigma0 = float(np.std(c, ddof=1)) if len(c) >= 2 else 0.0
+        if c and min(c) == max(c):
+            mu0, sigma0, const0 = c[0], 0.0, True
+        elif c:
+            mu0 = float(np.mean(c))
+            sigma0 = float(np.std(c, ddof=1)) if len(c) >= 2 else 0.0
+        else:
+            mu0, sigma0 = None, 0.0
     else:
         mu0, sigma0 = float(target), float(sigma)
     sp = sn = 0.0
@@ -359,7 +389,7 @@ def _np_cusum(vals, target, sigma, warmup, slack, h):
             out.append((n_hist, None, None, False))
             continue
         if sigma0 == 0:
-            out.append((n_hist, None, None, x != mu0))
+            out.append((n_hist, None, None, (x != mu0) if const0 else False))
             continue
         d = (x - mu0) / sigma0
         sp = max(0.0, sp + d - slack)
@@ -445,12 +475,51 @@ def test_cusum_explicit_target_scores_from_first_point(spark):
 
 
 def test_cusum_constant_calibration_exact_deviation_rule(spark):
-    vals = [5.0] * 6 + [5.0, 5.5, 5.0]
-    got = _cusum_rows(spark, {"s": vals}, warmup=5, h=4.0)
-    assert not got[("s", 6)]["is_anomaly"]  # equals the constant
-    assert got[("s", 7)]["is_anomaly"]  # any deviation alarms
-    assert got[("s", 7)]["s_pos"] is None  # standardization undefined
-    assert not got[("s", 8)]["is_anomaly"]
+    # 0.1 is non-dyadic: avg over n copies drifts an ulp, so this test
+    # fails unless the calibration anchors mu0 to the constant (the 5.0
+    # of an earlier draft was dyadic-exact and masked the drift)
+    vals = [0.1] * 12 + [0.1, 0.15, 0.1]
+    got = _cusum_rows(spark, {"s": vals}, warmup=12, h=4.0)
+    assert got[("s", 12)]["mu0"] == 0.1  # anchored, bit-exact
+    assert not got[("s", 12)]["is_anomaly"]  # equals the constant
+    assert got[("s", 13)]["is_anomaly"]  # any deviation alarms
+    assert got[("s", 13)]["s_pos"] is None  # standardization undefined
+    assert not got[("s", 14)]["is_anomaly"]
+
+
+def test_cusum_constant_series_never_self_flags(spark):
+    """Regression (review finding): a perfectly constant non-dyadic
+    series must never alarm — the unanchored draft flagged EVERY
+    post-warmup point of [0.1]*18."""
+    got = _cusum_rows(spark, {"s": [0.1] * 18}, warmup=12, h=4.0)
+    assert not any(r["is_anomaly"] for r in got.values())
+    assert got[("s", 17)]["sigma0"] == 0.0
+
+
+def test_cusum_nan_is_missing_not_poison(spark):
+    """Regression (review finding): one NaN metric must not enter the
+    running sums — the draft propagated NaN into s_pos forever and NaN
+    compares greater than h, alarming every later point. NaN behaves
+    exactly like null: unscored, unflagged, skipped."""
+    rng = np.random.default_rng(5)
+    clean = [float(x) for x in rng.normal(10, 1, 14)]
+    vals = clean[:10] + [float("nan")] + clean[10:]
+    got = _cusum_rows(spark, {"s": vals}, warmup=8, slack=0.5, h=5.0)
+    # expected: the same series with the NaN treated as a null gap
+    exp = _np_cusum(clean[:10] + [None] + clean[10:], None, None, 8, 0.5, 5.0)
+    for i, (n, sp, sn, flag) in enumerate(exp):
+        r = got[("s", i)]
+        assert r["n_history"] == n, i
+        assert r["is_anomaly"] == flag, i
+        if sp is None:
+            assert r["s_pos"] is None, i
+        else:
+            assert r["s_pos"] == pytest.approx(sp, rel=1e-9), i
+    # and a NaN inside the calibration window is skipped, not averaged
+    vals2 = [1.0, float("nan"), 2.0, 3.0, 4.0, 5.0, 6.0]
+    got2 = _cusum_rows(spark, {"s": vals2}, warmup=4, h=3.0)
+    exp_mu0 = float(np.mean([1.0, 2.0, 3.0, 4.0]))
+    assert got2[("s", 6)]["mu0"] == pytest.approx(exp_mu0, rel=1e-12)
 
 
 def test_cusum_validates_args(spark):
@@ -726,6 +795,8 @@ def test_streaming_cusum_matches_batch(spark, tmp_path):
     series = {
         "a": list(rng.normal(4.0, 1.0, 8)) + [4.9 + float(x) for x in rng.normal(0, 0.4, 10)],
         "b": [None if i % 5 == 2 else float(v) for i, v in enumerate(rng.normal(0, 1, 18))],
+        # non-dyadic constant: both sides must anchor and stay silent
+        "c": [0.1] * 17,
     }
     rows = [
         (sid, i, float(v) if v is not None else None)
