@@ -526,6 +526,33 @@ def metric_anomalies(
     return chart.filter(F.col("is_anomaly"))
 
 
+def metric_cusum_alarms(
+    spark: SparkSession,
+    store,
+    value_col: str = "fail_rate",
+    warmup: int = 10,
+    slack: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """Page-CUSUM the checkpoint store's per-rule fail rates across
+    snapshots: which rule's failure behavior has CREPT away from its
+    calibration — the sustained sub-threshold shift the per-point chart
+    of :func:`metric_anomalies` cannot see? Thin composition of
+    :func:`metrics_history` + :func:`cusum_chart`, returning only the
+    alarmed rows (a healthy store returns empty)."""
+    hist = metrics_history(spark, store)
+    chart = cusum_chart(
+        hist,
+        series_cols=("rule_id", "tag"),
+        order_col="snapshot_ord",
+        value_col=value_col,
+        warmup=warmup,
+        slack=slack,
+        h=h,
+    )
+    return chart.filter(F.col("is_anomaly"))
+
+
 def lineage_history(spark: SparkSession, store) -> DataFrame:
     """The lineage itself as a chartable series: per-snapshot row count,
     wall seconds and throughput (rows/sec). Feed to :func:`control_chart`

@@ -14,6 +14,7 @@ from jsonschema_validator_spark.operators.monitor import (
     cusum_chart,
     lineage_history,
     metric_anomalies,
+    metric_cusum_alarms,
     metrics_history,
     verdict_flips,
 )
@@ -621,6 +622,17 @@ def test_store_monitoring_end_to_end(spark, tmp_path):
         (r["snapshot_id"], r["rule_id"]) for r in anomalies.collect()
     }
     assert flagged == {("snap_4", "minimum:$.v")}
+
+    # CUSUM adapter: the first 3 snapshots' fail rates are constant 0.0
+    # → anchored zero-sigma calibration; the spike deviates (alarms),
+    # the recovery returns to the constant (silent) — the anchored
+    # constant path end-to-end through the store
+    cus = {
+        (r["snapshot_id"], r["rule_id"])
+        for r in metric_cusum_alarms(spark, store, warmup=3, h=3.0).collect()
+    }
+    assert ("snap_4", "minimum:$.v") in cus
+    assert not any(s == "snap_5" for s, _ in cus)
 
     lh = lineage_history(spark, store)
     assert lh.count() == 6
