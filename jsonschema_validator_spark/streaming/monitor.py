@@ -41,6 +41,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     IntegerType,
+    StringType,
     StructField,
     StructType,
 )
@@ -297,4 +298,75 @@ def streaming_cusum_chart(
     )
 
 
-__all__ = ["streaming_control_chart", "streaming_cusum_chart"]
+def streaming_verdict_flips(
+    stream: DataFrame,
+    series_cols: Sequence[str],
+    order_col: str,
+    pass_col: str = "pass",
+) -> DataFrame:
+    """Stateful twin of :func:`operators.monitor.verdict_flips` (filtered
+    form): emit a row the moment a series' pass/fail verdict flips vs its
+    previous observation — across micro-batches, via one boolean of
+    per-key state. ``direction`` = 'regressed' (pass→fail) or 'recovered'.
+
+    Semantics mirror the batch ``lag`` exactly: the first observation
+    never flips; a null verdict neither flips nor is flipped against
+    (null != x is null in SQL, and the null becomes the next row's
+    predecessor) — so an ordered replay emits exactly the batch rows
+    (parity test). State is O(1) per series (``prev_pass`` + a has-prev
+    flag), the smallest state of the monitor family.
+    """
+    series_cols = list(series_cols)
+    keep = series_cols + [order_col, pass_col]
+    in_fields = {f.name: f for f in stream.schema.fields}
+    missing = [c for c in keep if c not in in_fields]
+    if missing:
+        raise ValueError(f"stream is missing columns: {missing}")
+    out_schema = StructType(
+        [in_fields[c] for c in keep]
+        + [
+            StructField("prev_pass", BooleanType()),
+            StructField("direction", StringType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            has_prev, prev = state.get
+        else:
+            has_prev, prev = False, None
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            state.update((has_prev, prev))
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(order_col, kind="stable")
+        rows = []
+        for _, row in pdf.iterrows():
+            raw = row[pass_col]
+            cur = None if pd.isna(raw) else bool(raw)
+            if has_prev and prev is not None and cur is not None and prev != cur:
+                rows.append(
+                    [row[c] for c in keep]
+                    + [prev, "recovered" if cur else "regressed"]
+                )
+            has_prev, prev = True, cur
+        state.update((has_prev, prev))
+        if rows:
+            yield pd.DataFrame(rows, columns=keep + ["prev_pass", "direction"])
+
+    return stream.select(*keep).groupBy(*series_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="has_prev boolean, prev_pass boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+__all__ = [
+    "streaming_control_chart",
+    "streaming_cusum_chart",
+    "streaming_verdict_flips",
+]

@@ -863,3 +863,63 @@ def test_streaming_cusum_validates_args(spark, tmp_path):
         streaming_cusum_chart(stream, ["series"], "ord", "value", target=1.0)
     with pytest.raises(ValueError, match="missing columns"):
         streaming_cusum_chart(stream, ["series"], "ord", "nope")
+
+
+def test_streaming_verdict_flips_matches_batch(spark, tmp_path):
+    """Ordered replay through 3 micro-batches emits exactly the batch
+    verdict_flips rows (filtered form), including the null-verdict rules:
+    a null neither flips nor is flipped against, but it does become the
+    next row's predecessor."""
+    from jsonschema_validator_spark.streaming.monitor import streaming_verdict_flips
+
+    series = {
+        "a": [True, True, False, False, True, True],   # regress @2, recover @4
+        "b": [True, None, True, False, None, False],   # null gaps: flip @3 only
+        "c": [False] * 6,                               # never flips
+    }
+    rows = [
+        (sid, i, v) for sid, vals in series.items() for i, v in enumerate(vals)
+    ]
+    src = tmp_path / "flips_src"
+    src.mkdir()
+    for b in range(3):
+        batch = [r for r in rows if 2 * b <= r[1] < 2 * (b + 1)]
+        spark.createDataFrame(batch, "series string, ord int, pass boolean").coalesce(
+            1
+        ).write.parquet(str(src / f"b{b}"))
+    stream = spark.readStream.schema("series string, ord int, pass boolean").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/b*")
+    out = streaming_verdict_flips(stream, ["series"], "ord", "pass")
+    q = out.writeStream.format("memory").queryName("flips_parity").outputMode(
+        "append"
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["series"], r["ord"]): (r["prev_pass"], r["direction"])
+        for r in spark.sql("SELECT * FROM flips_parity").collect()
+    }
+    batch_df = spark.createDataFrame(rows, "series string, ord int, pass boolean")
+    want = {
+        (r["series"], r["ord"]): (r["prev_pass"], r["direction"])
+        for r in verdict_flips(
+            batch_df, series_cols=["series"], order_col="ord", pass_col="pass"
+        ).collect()
+    }
+    assert got == want
+    assert ("a", 2) in got and got[("a", 2)][1] == "regressed"
+    assert ("a", 4) in got and got[("a", 4)][1] == "recovered"
+    assert ("b", 3) in got and not any(s == "c" for s, _ in got)
+
+
+def test_streaming_verdict_flips_validates_args(spark, tmp_path):
+    from jsonschema_validator_spark.streaming.monitor import streaming_verdict_flips
+
+    empty = tmp_path / "flips_empty"
+    empty.mkdir()
+    stream = spark.readStream.schema("series string, ord int, pass boolean").parquet(
+        str(empty)
+    )
+    with pytest.raises(ValueError, match="missing columns"):
+        streaming_verdict_flips(stream, ["series"], "ord", pass_col="nope")
