@@ -124,9 +124,18 @@ def bloom_build(
     ONE scan of ``seen``; shuffle bounded by min(rows·k, m/64) rows per
     map task (see module docstring).
     """
-    if m is None or k is None:
+    if (m is None) != (k is None):
+        # recomputing the missing half would silently discard the given
+        # one (e.g. a user-sized m shrinking 100× to the optimal default)
+        raise ValueError("pass both m and k, or neither")
+    if m is None:
         n = expected_items if expected_items is not None else seen.count()
-        m, k = optimal_params(n, fpp)
+        if n == 0:
+            # empty corpus: a minimal filter with no set bits — every
+            # probe misses, so everything is (correctly) definitely-new
+            m, k = 64, 1
+        else:
+            m, k = optimal_params(n, fpp)
     if m % 64 != 0 or m <= 0 or k <= 0:
         raise ValueError(f"m must be a positive multiple of 64 and k >= 1, got m={m} k={k}")
     probes = _probe_words(F.col(key_col), m, k)
@@ -168,21 +177,36 @@ def bloom_might_contain(
     """Append ``flag_col``: true iff ALL k probe bits are set (maybe seen),
     false iff ANY probe bit is clear (DEFINITELY not in the build set).
 
-    Probe = k-row explode → equi-join on word_idx → bool_and per key.
-    ``broadcast_words``: None lets AQE pick (with a broadcast hint when
-    m/64 ≤ 4M words ≈ 64 MB); True/False force it. The join is a LEFT
-    join from probes: an absent word means those bits were never set →
-    probe misses (coalesce false).
+    Probe = k-row explode of the DISTINCT key values → equi-join on
+    word_idx → bool_and per key value → null-safe join back onto the
+    items. ``broadcast_words``: None lets AQE pick (with a broadcast
+    hint when m/64 ≤ 4M words ≈ 64 MB); True/False force it. The word
+    join is a LEFT join from probes: an absent word means those bits
+    were never set → probe misses (coalesce false).
 
-    Rows are keyed by an internal monotonic id, so duplicate and NULL
-    ``key_col`` values survive the round-trip unchanged.
+    The flag is a pure function of the key VALUE, so it is computed per
+    distinct value and joined back with a null-safe equality — duplicate
+    and NULL keys survive unchanged, probe cost scales with distinct
+    keys (not rows), and the result is deterministic regardless of
+    shuffles in the items' lineage. (An earlier design keyed rows by
+    ``monotonically_increasing_id`` and joined the flags back on it —
+    but that id is re-evaluated independently in both plan branches and
+    is not stable across shuffle-fetch order, so flags could attach to
+    the wrong rows.)
     """
-    wid = "_bloom_row_id"
-    with_id = items.withColumn(wid, F.monotonically_increasing_id())
-    probes = with_id.select(
-        wid, F.explode(_probe_words(F.col(key_col), bloom.m, bloom.k)).alias("p")
+    if flag_col in items.columns:
+        raise ValueError(
+            f"flag_col {flag_col!r} already exists in items — pass a different name"
+        )
+    probe_key = "_bloom_probe_key"
+    while probe_key in items.columns:
+        probe_key += "_"
+    keys = items.select(F.col(key_col).alias(probe_key)).distinct()
+    probes = keys.select(
+        probe_key,
+        F.explode(_probe_words(F.col(probe_key), bloom.m, bloom.k)).alias("p"),
     ).select(
-        wid,
+        probe_key,
         F.col("p.word_idx").alias("word_idx"),
         F.expr("shiftleft(1L, p.bit)").alias("_mask"),
     )
@@ -194,15 +218,17 @@ def bloom_might_contain(
     hits = (
         probes.join(words, "word_idx", "left")
         .select(
-            wid,
+            probe_key,
             (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_mask")) != 0).alias(
                 "_hit"
             ),
         )
-        .groupBy(wid)
+        .groupBy(probe_key)
         .agg(F.bool_and("_hit").alias(flag_col))
     )
-    return with_id.join(hits, wid, "left").drop(wid)
+    return items.join(
+        hits, F.col(key_col).eqNullSafe(F.col(probe_key)), "left"
+    ).drop(probe_key)
 
 
 def incremental_new_rows(
@@ -245,6 +271,14 @@ def incremental_new_rows(
     if bloom is None:
         bloom = bloom_build(seen, key_col, expected_items=expected_items, fpp=fpp)
     flagged = bloom_might_contain(new, bloom, key_col, flag_col="_maybe_seen")
+    if exact:
+        # both the miss branch and the maybe branch consume `flagged`;
+        # without a checkpoint each union branch re-plans and re-executes
+        # the whole probe pipeline (scan, explode, word join, aggregate).
+        # localCheckpoint materializes it once — the repo convention for
+        # frames consumed by diverging branches (duplicate_clusters);
+        # under AQE this runs at plan build, which is the point.
+        flagged = flagged.localCheckpoint(eager=False)
     definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     if not exact:
         return definitely_new

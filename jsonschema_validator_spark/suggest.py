@@ -36,7 +36,14 @@ corpus over-constrains tomorrow's), cross-field keywords. Temporal
 columns get ``type`` (+ ``required``) only; map columns additionally get
 ``minProperties``/``maxProperties`` size bounds; struct columns get a
 recursively suggested nested subschema (all levels profiled in the same
-single aggregate pass).
+single aggregate pass). Dtypes with no JSON counterpart (binary,
+interval) contribute presence evidence only — no ``type`` keyword, so
+the spec still compiles. Float NaN cells are excluded from bound
+evidence (Spark orders NaN above everything — one NaN would otherwise
+poison both padded bounds); a NaN cell then FAILS a suggested
+``maximum`` by design: JSON has no NaN (``json.Unmarshal`` cannot
+produce one), so NaN is itself the kind of defect a pinned spec should
+catch. The pass-on-corpus guarantee therefore covers NaN-free values.
 """
 
 from __future__ import annotations
@@ -124,11 +131,14 @@ def suggest_spec(
     """
     from pyspark.sql.types import StructType
 
-    cols = columns or df.columns
+    # an explicitly-passed empty list means "no columns", not "all"
+    cols = df.columns if columns is None else list(columns)
     top = {f.name: f for f in df.schema.fields}
     for c in cols:
         if c not in top:
             raise ValueError(f"suggest_spec: no such column: {c}")
+    if not cols:
+        return {"type": "object", "required": [], "properties": {}}
 
     units = _walk_units([top[c] for c in cols], (), 1, max_depth)
     idx = {path: i for i, (path, _) in enumerate(units)}
@@ -141,9 +151,16 @@ def suggest_spec(
         aggs.append(F.count(col).alias(f"nn__{i}"))
         if jtype == "number":
             # min/max computed in the native type (exact for decimals and
-            # int64), cast to double only on the way out
-            aggs.append(F.min(col).cast("double").alias(f"min__{i}"))
-            aggs.append(F.max(col).cast("double").alias(f"max__{i}"))
+            # int64), cast to double only on the way out. Float columns
+            # exclude NaN from the evidence: Spark orders NaN above every
+            # value, so one NaN would make max (hence both padded bounds)
+            # NaN and the suggested spec would fail every FINITE row.
+            if dtype.startswith("float") or dtype.startswith("double"):
+                vcol = F.when(~F.isnan(col), col)
+            else:
+                vcol = col
+            aggs.append(F.min(vcol).cast("double").alias(f"min__{i}"))
+            aggs.append(F.max(vcol).cast("double").alias(f"max__{i}"))
         elif jtype == "string" and not (
             dtype.startswith("timestamp") or dtype.startswith("date")
         ):
@@ -185,7 +202,12 @@ def suggest_spec(
         dtype = dt.simpleString()
         jtype = _json_type_of_dtype(dtype)
         i = idx[path]
-        p: dict = {"type": _suggested_type(dtype)}
+        t = _suggested_type(dtype)
+        # dtypes with no JSON counterpart (binary image bytes, intervals)
+        # get NO type keyword — compile_type would reject "unknown", and
+        # the round-trip-through-Spec guarantee is the module's contract.
+        # Presence still feeds `required`.
+        p: dict = {} if t == "unknown" else {"type": t}
         if row[f"nn__{i}"] > 0:
             if f"min__{i}" in row and row[f"min__{i}"] is not None:
                 lo, hi = row[f"min__{i}"], row[f"max__{i}"]
@@ -240,6 +262,10 @@ def _bound_change(kw: str, old, new) -> Optional[str]:
         return "loosened"  # an existing bound was dropped
     if new == old:
         return None
+    if old != old and new != new:
+        # both NaN (legacy persisted specs): NaN != NaN would otherwise
+        # report phantom drift on every diff, forever
+        return None
     if kw in _LOWER_BOUNDS:
         return "tightened" if new > old else "loosened"
     return "tightened" if new < old else "loosened"
@@ -249,7 +275,11 @@ def _flatten_spec(spec: dict, prefix: str = "") -> tuple[dict, set]:
     """Flatten a (possibly nested) suggest-shaped spec into
     ``({dotted_path: scalar_keywords}, {dotted required paths})`` —
     nested ``properties``/``required`` recurse with dot-joined paths, so
-    the same diff/projection logic covers every nesting level."""
+    the same diff/projection logic covers every nesting level. Known
+    limitation: a top-level column whose NAME contains a dot flattens to
+    the same key as a struct field with that path (the drift report is
+    keyed by the dotted string; the profiler itself handles dotted names
+    correctly via path tuples)."""
     props: dict = {}
     req: set = set()
     for c in spec.get("required", []):

@@ -182,3 +182,53 @@ class TestPlanShapes:
         plan = bf.words._jdf.queryExecution().optimizedPlan().toString()
         # explode -> project -> ONE aggregate; no join anywhere
         assert "Join" not in plan
+
+
+class TestReviewRegressions:
+    """Fixes from the adversarial review: deterministic flags under
+    shuffled lineage, partial sizing rejection, empty-corpus bootstrap,
+    and reserved-name collisions."""
+
+    def test_flags_correct_through_shuffled_lineage(self, spark):
+        """The flag must attach to the right row even when the items'
+        lineage contains shuffles (the old monotonically_increasing_id
+        design re-evaluated ids per branch and could mis-attach flags
+        after a repartition)."""
+        seen = _df(spark, [f"s{i}" for i in range(500)])
+        bf = bloom_build(seen, "k", expected_items=500)
+        new = _df(spark, [f"s{i}" for i in range(500)] + [f"n{i}" for i in range(500)])
+        shuffled = new.repartition(16, "k").withColumn(
+            "payload", F.length("k")
+        ).repartition(7)
+        out = {r["k"]: r["might_contain"] for r in
+               bloom_might_contain(shuffled, bf, "k").collect()}
+        for i in range(500):
+            assert out[f"s{i}"] is True, i    # no false negatives, right rows
+        misses = [k for k, v in out.items() if not v]
+        assert misses and all(k.startswith("n") for k in misses)
+
+    def test_incremental_through_shuffled_lineage_is_exact(self, spark):
+        seen = _df(spark, [f"s{i}" for i in range(300)])
+        new = _df(spark, [f"s{i}" for i in range(150, 450)]).repartition(13)
+        got = sorted(r["k"] for r in incremental_new_rows(new, seen, "k").collect())
+        want = sorted(f"s{i}" for i in range(300, 450))
+        assert got == want
+
+    def test_partial_m_k_pair_raises(self, spark):
+        df = _df(spark, ["a"])
+        with pytest.raises(ValueError, match="both m and k"):
+            bloom_build(df, "k", expected_items=10, m=1 << 20)
+        with pytest.raises(ValueError, match="both m and k"):
+            bloom_build(df, "k", expected_items=10, k=3)
+
+    def test_empty_seen_without_hints_everything_new(self, spark):
+        seen = _df(spark, []).filter("k IS NOT NULL").limit(0)
+        new = _df(spark, ["a", "b", None])
+        got = incremental_new_rows(new, seen, "k")
+        assert got.count() == 3
+
+    def test_flag_col_collision_raises(self, spark):
+        bf = bloom_build(_df(spark, ["a"]), "k", m=640, k=3)
+        items = _df(spark, ["a"]).withColumn("might_contain", F.lit(True))
+        with pytest.raises(ValueError, match="flag_col"):
+            bloom_might_contain(items, bf, "k")

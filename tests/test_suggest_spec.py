@@ -392,3 +392,52 @@ class TestSpecDiffProperties:
             assert sorted(spec_diff(b, a)) == mirrored
 
         run()
+
+
+class TestReviewRegressions:
+    """Fixes from the adversarial review: NaN bound poisoning, unmappable
+    dtypes, empty column list, NaN drift classification."""
+
+    def test_nan_does_not_poison_bounds(self, spark):
+        df = spark.createDataFrame(
+            [(1.0,), (2.0,), (float("nan"),)], "v double"
+        )
+        spec = suggest_spec(df)
+        p = spec["properties"]["v"]
+        assert p["minimum"] == 1.0 and p["maximum"] == 2.0  # NaN excluded
+        # the spec compiles, and every FINITE row passes it
+        res = jsv.Validator(jsv.Spec(spec)).validate(df.filter(~F.isnan("v")))
+        assert res.summary()["valid"] is True
+        # a NaN cell FAILS the suggested maximum by design (JSON has no
+        # NaN — a NaN metric is exactly the defect a pinned spec catches)
+        res_nan = jsv.Validator(jsv.Spec(spec)).validate(df)
+        assert res_nan.summary()["valid"] is False
+
+    def test_all_nan_column_gets_no_bounds(self, spark):
+        df = spark.createDataFrame([(float("nan"),), (float("nan"),)], "v double")
+        spec = suggest_spec(df)
+        assert "minimum" not in spec["properties"]["v"]
+        jsv.Spec(spec)  # still compiles
+
+    def test_binary_column_compiles_without_type(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x89PNG")), (2, bytearray(b"\xff\xd8"))],
+            "id int, bytes binary",
+        )
+        spec = suggest_spec(df)
+        assert "type" not in spec["properties"]["bytes"]  # no JSON counterpart
+        assert "bytes" in spec["required"]  # presence evidence still used
+        res = jsv.Validator(jsv.Spec(spec)).validate(df)
+        assert res.summary()["valid"] is True
+
+    def test_empty_columns_list_means_none(self, spark):
+        df = spark.createDataFrame([(1,)], "id int")
+        spec = suggest_spec(df, columns=[])
+        assert spec == {"type": "object", "required": [], "properties": {}}
+
+    def test_nan_bound_is_not_phantom_drift(self):
+        nan = float("nan")
+        old = {"type": "object", "required": [],
+               "properties": {"v": {"type": "number", "minimum": 0.0, "maximum": nan}}}
+        # identical NaN bound on both sides: no drift rows at all
+        assert spec_diff(old, old) == []
