@@ -2374,8 +2374,9 @@ WITH base AS (
          round(CAST(n_upper AS DOUBLE) / greatest(n_chars, 1), 6) AS upper_ratio,
          round(CAST(len(list_filter(toks, x -> list_contains({_EN_STOP}, x))) AS DOUBLE)
                / greatest(n_tokens, 1), 6) AS stopword_ratio,
-         round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(n_tokens, 1), 6)
-             AS distinct_token_ratio,
+         CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+           round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(n_tokens, 1), 6)
+         END AS distinct_token_ratio,
          round(CAST(len(list_filter(toks, x -> list_contains({_DE_STOP}, x))) AS DOUBLE)
                / greatest(n_tokens, 1), 6) AS sde,
          round(CAST(len(list_filter(toks, x -> list_contains({_EN_STOP}, x))) AS DOUBLE)
@@ -2384,7 +2385,7 @@ WITH base AS (
                / greatest(n_tokens, 1), 6) AS ses,
          round(CAST(len(list_filter(toks, x -> list_contains({_FR_STOP}, x))) AS DOUBLE)
                / greatest(n_tokens, 1), 6) AS sfr,
-         CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         CASE WHEN len(toks) = 0 OR (len(toks) = 1 AND toks[1] = '') THEN 0.0 ELSE
            round(CAST(list_max(list_transform(list_distinct(toks),
                  d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
                  / len(toks), 6) END AS top_1gram_frac,
@@ -2935,7 +2936,7 @@ qs AS (
          (CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END)
        + (CASE WHEN round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) <= 0.2 THEN 0.25 ELSE 0.0 END)
        + (CASE WHEN round(CAST(n_digit AS DOUBLE) / greatest(n_chars, 1), 6) <= 0.2 THEN 0.25 ELSE 0.0 END)
-       + (CASE WHEN round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(n_tokens, 1), 6) >= 0.3 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN n_tokens > 0 AND round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(n_tokens, 1), 6) >= 0.3 THEN 0.25 ELSE 0.0 END)
          AS score
   FROM qbase
 ),

@@ -68,12 +68,25 @@ class CheckpointStore:
         verdicts: DataFrame,
         sketches: Optional[DataFrame],
         n_rows: int,
-        wall_sec: float,
+        wall_sec: Optional[float] = None,
         tdigests: Optional[DataFrame] = None,
+        wall_start: Optional[float] = None,
     ) -> None:
         """Persist one snapshot's validation outputs; lineage append LAST so
         a crash mid-record leaves the snapshot 'incomplete' and it is
-        re-validated on resume (idempotent via overwrite-by-partition)."""
+        re-validated on resume (idempotent via overwrite-by-partition).
+
+        Timing: the verdict/sketch DataFrames are LAZY — their jobs run
+        inside this method's parquet writes — so a caller-computed
+        ``wall_sec`` cannot include the actual validation work. Pass
+        ``wall_start`` (a ``time.perf_counter()`` taken before building
+        the frames) instead and the wall clock is read AFTER the writes,
+        so the lineage's wall_sec covers the real cost (what
+        ``monitor.lineage_history`` charts). ``wall_sec`` remains for
+        callers that timed the work themselves.
+        """
+        if (wall_sec is None) == (wall_start is None):
+            raise ValueError("pass exactly one of wall_sec or wall_start")
         (
             verdicts.withColumn("snapshot_id", F.lit(snapshot_id))
             .write.mode("overwrite")
@@ -91,6 +104,8 @@ class CheckpointStore:
                 .write.mode("overwrite")
                 .parquet(os.path.join(self.tdigests_dir, f"snapshot={snapshot_id}"))
             )
+        if wall_start is not None:
+            wall_sec = time.perf_counter() - wall_start
         rows = [r for r in self._load_lineage() if r["snapshot_id"] != snapshot_id]
         rows.append(
             {
@@ -141,11 +156,25 @@ class CheckpointStore:
         )
         return spark.createDataFrame(rows, _DIFF_SCHEMA)
 
+    def _completed_only(self, df: DataFrame) -> DataFrame:
+        """Restrict persisted rows to COMPLETED snapshots. The designed
+        crash mode leaves parquet written but no lineage row (record()
+        appends lineage last); without this filter a half-recorded
+        snapshot would leak into merged answers — and inconsistently so
+        (its metrics present, its sketches absent)."""
+        return df.where(
+            F.col("snapshot_id").isin(sorted(self.completed_snapshots()))
+        )
+
     def metrics(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.metrics_dir, "snapshot=*"))
+        return self._completed_only(
+            spark.read.parquet(os.path.join(self.metrics_dir, "snapshot=*"))
+        )
 
     def sketches(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.sketches_dir, "snapshot=*"))
+        return self._completed_only(
+            spark.read.parquet(os.path.join(self.sketches_dir, "snapshot=*"))
+        )
 
     def merged_verdicts(
         self, spark: SparkSession, partition_by: Optional[Sequence[str]] = None
@@ -188,7 +217,9 @@ class CheckpointStore:
                 "no t-digest sketches recorded — pass tdigest_columns to "
                 "validate_resumable (or record(..., tdigests=...)) first"
             )
-        t = spark.read.parquet(os.path.join(self.tdigests_dir, "snapshot=*"))
+        t = self._completed_only(
+            spark.read.parquet(os.path.join(self.tdigests_dir, "snapshot=*"))
+        )
         return tdigest_quantiles(merge_tdigests(t), probs)
 
 
@@ -245,8 +276,18 @@ def validate_resumable(
                     df, list(suggest_columns) if suggest_columns else None
                 ),
             )
-        n_rows = df.count()
-        store.record(sid, verdicts, sk, n_rows, time.perf_counter() - t0, tdigests=td)
+        # the manifest recorded the count at append time — a fresh
+        # df.count() here would scan every snapshot a second time purely
+        # to fill a lineage field (at 10^12 rows, doubling the run cost).
+        # getattr: table implementations without the accessor still work.
+        get_n = getattr(table, "snapshot_n_rows", None)
+        n_rows = get_n(sid) if get_n is not None else None
+        if n_rows is None:
+            n_rows = df.count()
+        # wall_start (not a precomputed wall_sec): the verdict/sketch jobs
+        # actually run inside record()'s writes, so the clock must stop
+        # AFTER them for lineage_history to chart real validation cost
+        store.record(sid, verdicts, sk, n_rows, tdigests=td, wall_start=t0)
         validated.append(sid)
     return {
         "validated_snapshots": validated,

@@ -17,9 +17,7 @@ operates on ≤ n_buckets rows.
 
 from __future__ import annotations
 
-from typing import Optional
-
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -759,15 +757,18 @@ def embedding_centroid_shift(
         )
 
     j = dim_means(df_a, "a").join(dim_means(df_b, "b"), "pos", "inner")
+    # an all-zero centroid (corrupt/unpopulated embedding backfill —
+    # exactly when drift checks run) would make the cosine denominator 0
+    # and raise DIVIDE_BY_ZERO under Spark 4's default ANSI mode;
+    # try_divide reports NULL cosine while centroid_l2 stays usable
+    norm_prod = F.sqrt(F.sum(F.col("m_a") * F.col("m_a"))) * F.sqrt(
+        F.sum(F.col("m_b") * F.col("m_b"))
+    )
     return j.agg(
         F.first("n_a").alias("n_a"),
         F.first("n_b").alias("n_b"),
         F.sqrt(F.sum((F.col("m_a") - F.col("m_b")) ** 2)).alias("centroid_l2"),
-        (
-            F.sum(F.col("m_a") * F.col("m_b"))
-            / (
-                F.sqrt(F.sum(F.col("m_a") * F.col("m_a")))
-                * F.sqrt(F.sum(F.col("m_b") * F.col("m_b")))
-            )
-        ).alias("centroid_cos"),
+        F.try_divide(F.sum(F.col("m_a") * F.col("m_b")), norm_prod).alias(
+            "centroid_cos"
+        ),
     )

@@ -57,7 +57,12 @@ def quality_struct(t: Column) -> Column:
     n_chars = F.length(t)
     toks = F.split(F.lower(F.trim(t)), _WS)
     n_tokens = whitespace_token_count(t)
-    n_distinct_tokens = F.size(F.array_distinct(toks))
+    # split('') returns [''] — one EMPTY token — so a blank document
+    # would count 1 distinct token, score ratio 1.0 and earn the
+    # diversity credit; a blank doc has ZERO distinct tokens
+    n_distinct_tokens = F.when(F.trim(t) == "", F.lit(0)).otherwise(
+        F.size(F.array_distinct(toks))
+    )
     n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
     n_digit = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
     n_upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
@@ -123,7 +128,13 @@ def _top_ngram_frac(toks: Column, n: int) -> Column:
     gram subtrees (see :func:`with_repetition_columns` / PLANS.md §24).
     """
     grams = _word_ngrams(toks, n)
-    total = F.size(grams)
+    # a BLANK document tokenizes to [''] (split('') keeps one empty
+    # token), which for n=1 is a one-gram array — the documented
+    # "0 tokens → 0.0" contract requires treating it as empty. A
+    # legitimate gram can never be '' (n≥2 grams are space-joined).
+    total = F.when(
+        (F.size(grams) == 1) & (F.element_at(grams, 1) == ""), F.lit(0)
+    ).otherwise(F.size(grams))
     zero = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0).alias("run"),
@@ -222,7 +233,18 @@ def with_repetition_columns(
             )
             for n in ns
         ],
-        *[F.size(F.col(f"_g{n}")).alias(f"_t{n}") for n in ns],
+        # blank docs tokenize to [''] → a one-gram array at n=1; treat it
+        # as empty (same guard as the inline _top_ngram_frac)
+        *[
+            F.when(
+                (F.size(F.col(f"_g{n}")) == 1)
+                & (F.element_at(F.col(f"_g{n}"), 1) == ""),
+                F.lit(0),
+            )
+            .otherwise(F.size(F.col(f"_g{n}")))
+            .alias(f"_t{n}")
+            for n in ns
+        ],
     )
     return s3.select(
         *cols,
@@ -337,9 +359,13 @@ def pii_scan(
         cols.append(
             F.size(F.regexp_extract_all(t, F.lit(f"({pats[name]})"), 1)).alias(f"n_{name}")
         )
+    # literal-escape the token for Java's replacement grammar — '$' is a
+    # group reference and '\' an escape there (Matcher.quoteReplacement):
+    # an unescaped "$0" token would re-insert the matched PII itself
+    safe_token = redact_token.replace("\\", "\\\\").replace("$", "\\$")
     red = t
     for name in sorted(pats):
-        red = F.regexp_replace(red, pats[name], redact_token)
+        red = F.regexp_replace(red, pats[name], safe_token)
     cols.append(red.alias("redacted_text"))
     return df.select(*cols)
 
@@ -406,15 +432,19 @@ def corpus_token_budget(
     order = [F.desc("n_tokens")] + [F.asc(c) for c in group_cols]
     w_total = Window.partitionBy()
     w_cum = Window.partitionBy().orderBy(*order)
+    # greatest(_, 1): a zero-token corpus (all-blank docs) must yield
+    # 0.0 shares, not an ANSI DIVIDE_BY_ZERO (Spark 4 default) — the
+    # same guard quality_retention_curve uses
+    safe_total = F.greatest(F.col("_total"), F.lit(1))
     return (
         grouped.withColumn("_total", F.sum("n_tokens").over(w_total))
         .select(
             *group_cols,
             "n_docs",
             "n_tokens",
-            F.round(F.col("n_tokens") / F.col("_total"), 6).alias("token_share"),
+            F.round(F.col("n_tokens") / safe_total, 6).alias("token_share"),
             F.round(
-                F.sum("n_tokens").over(w_cum) / F.col("_total"), 6
+                F.sum("n_tokens").over(w_cum) / safe_total, 6
             ).alias("cum_share"),
         )
         .orderBy(*order)
@@ -459,7 +489,12 @@ def quality_retention_curve(
     ]
     for i, t in enumerate(ts):
         keep = F.col("_score") >= F.lit(t)
-        aggs.append(F.sum(keep.cast("long")).alias(f"_d{i}"))
+        # coalesce the DOC sums too: an empty (or all-NULL-score) corpus
+        # yields NULL from sum(), and the row must stay 0-valued, not
+        # mixed NULL/0 across its columns
+        aggs.append(
+            F.coalesce(F.sum(keep.cast("long")), F.lit(0)).alias(f"_d{i}")
+        )
         aggs.append(
             F.coalesce(F.sum(F.when(keep, F.col("_n_tok"))), F.lit(0)).alias(f"_t{i}")
         )

@@ -109,6 +109,18 @@ class IcebergTable:
     def _exists(self) -> bool:
         return self.spark.catalog.tableExists(self.identifier)
 
+    def snapshot_n_rows(self, snapshot_id: str) -> Optional[int]:
+        """Rows ADDED by this snapshot (what :meth:`read_snapshot`
+        returns), from the snapshot summary — metadata only, no scan."""
+        sid = int(snapshot_id)  # Iceberg ids are numeric; also sanitizes
+        rows = self.spark.sql(
+            f"SELECT summary['added-records'] AS n FROM "
+            f"{self.identifier}.snapshots WHERE snapshot_id = {sid}"
+        ).collect()
+        if not rows or rows[0]["n"] is None:
+            return None
+        return int(rows[0]["n"])
+
     # ---- read --------------------------------------------------------------
 
     def read_snapshot(self, spark: SparkSession, snapshot_id: str) -> DataFrame:

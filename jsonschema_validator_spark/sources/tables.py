@@ -85,6 +85,15 @@ class SnapshotTable:
                 return spark.read.parquet(os.path.join(self.root, s["dir"]))
         raise KeyError(f"no snapshot '{snapshot_id}'")
 
+    def snapshot_n_rows(self, snapshot_id: str) -> Optional[int]:
+        """The row count recorded in the manifest at append time, or None
+        for a manifest written before counts were recorded. Free — no
+        scan (the Iceberg analogue: snapshot summary record counts)."""
+        for s in self._load_manifest()["snapshots"]:
+            if s["id"] == snapshot_id:
+                return s.get("n_rows")
+        raise KeyError(f"no snapshot '{snapshot_id}'")
+
     def read(self, spark: SparkSession, as_of: Optional[str] = None) -> DataFrame:
         """Full table (or as-of a snapshot): union of snapshot dirs —
         a multi-path parquet scan, still one stage, still prunable."""

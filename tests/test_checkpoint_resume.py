@@ -123,9 +123,18 @@ def test_crash_between_metrics_write_and_lineage_append(spark, tmp_path, table):
     finally:
         CheckpointStore._save_lineage = real_save
 
-    # orphaned metrics exist on disk, but the snapshot is NOT complete
+    # orphaned metrics exist ON DISK (raw parquet) ...
+    import os
+
+    raw = spark.read.parquet(os.path.join(store.metrics_dir, "snapshot=*"))
     assert "snap_b" in {
-        r["snapshot_id"] for r in store.metrics(spark).select("snapshot_id").distinct().collect()
+        r["snapshot_id"] for r in raw.select("snapshot_id").distinct().collect()
+    }
+    # ... but the store's readers must NOT surface the half-recorded
+    # snapshot (review fix: merged answers filter to completed lineage)
+    assert "snap_b" not in {
+        r["snapshot_id"]
+        for r in store.metrics(spark).select("snapshot_id").distinct().collect()
     }
     assert store.completed_snapshots() == {"snap_a"}
 
@@ -275,3 +284,55 @@ def test_per_partition_metrics_persisted_and_merged(spark, tmp_path, table):
     flips = verdict_flips(hist, series_cols=("rule_id", "tag", "fmt"))
     flips.count()  # executes; flip content depends on synth fail layout
     assert "fmt" in hist.columns
+
+
+class TestReviewRegressions:
+    """Review fixes: half-recorded snapshots must not leak into merged
+    answers; lineage wall_sec must cover the real validation work; row
+    counts come from the manifest, not a second scan."""
+
+    def test_half_recorded_snapshot_excluded_from_merges(self, spark, tmp_path, table):
+        from pyspark.sql import functions as F
+
+        store = CheckpointStore(str(tmp_path / "ckpt"))
+        validate_resumable(spark, table, SPEC, store, sketch_columns=["fmt"])
+        before = {
+            r["rule_id"]: r["n_checked"]
+            for r in store.merged_verdicts(spark).collect()
+        }
+        # simulate the designed crash mode: parquet written, lineage row
+        # never appended — write a phantom snapshot's metrics by hand
+        phantom = (
+            spark.read.parquet(store.metrics_dir + "/snapshot=snap_a")
+            .withColumn("snapshot_id", F.lit("phantom"))
+        )
+        phantom.write.mode("overwrite").parquet(
+            store.metrics_dir + "/snapshot=phantom"
+        )
+        assert store.metrics(spark).filter("snapshot_id = 'phantom'").count() == 0
+        # merged counts are unchanged — the phantom would have doubled them
+        after = {
+            r["rule_id"]: r["n_checked"]
+            for r in store.merged_verdicts(spark).collect()
+        }
+        assert after == before
+
+    def test_wall_sec_covers_record_writes(self, spark, tmp_path, table):
+        store = CheckpointStore(str(tmp_path / "ckpt2"))
+        validate_resumable(spark, table, SPEC, store)
+        row = store._load_lineage()[0]
+        # the verdict jobs take well over a millisecond; the old timing
+        # (count-scan only, jobs after the clock stopped) could not be
+        # asserted this way reliably, but the new one must be positive
+        # and the n_rows must equal the manifest's count (no rescan)
+        assert row["wall_sec"] > 0
+        assert row["n_rows"] == table.snapshot_n_rows(row["snapshot_id"])
+
+    def test_record_requires_exactly_one_timing_arg(self, spark, tmp_path, table):
+        store = CheckpointStore(str(tmp_path / "ckpt3"))
+        df = table.read_snapshot(spark, "snap_a")
+        v = Validator(SPEC).validate(df).verdicts()
+        with pytest.raises(ValueError, match="exactly one"):
+            store.record("x", v, None, 10)
+        with pytest.raises(ValueError, match="exactly one"):
+            store.record("x", v, None, 10, wall_sec=1.0, wall_start=0.0)

@@ -270,3 +270,13 @@ class TestEmbeddingCentroidShift:
         # per-dim means reduce map-side before the exchange
         assert len(re.findall(r"\(\d+\) Scan parquet\b", plan)) == 2
         assert "partial_avg" in plan or "partial avg" in plan.lower()
+
+
+def test_centroid_shift_zero_vectors_null_cos_not_error(spark):
+    """An all-zero embedding population (corrupt backfill) must yield a
+    NULL cosine, not an ANSI DIVIDE_BY_ZERO error; the L2 stays usable."""
+    a = _mk_df(spark, [np.zeros(DIM), np.zeros(DIM)])
+    b = _mk_df(spark, [np.ones(DIM)])
+    r = embedding_centroid_shift(a, b, dim=DIM).collect()[0]
+    assert r["centroid_cos"] is None
+    assert r["centroid_l2"] == pytest.approx(np.sqrt(DIM))

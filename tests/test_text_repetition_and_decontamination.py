@@ -43,8 +43,11 @@ class TestRepetitionMetrics:
     def test_short_docs_yield_zero_not_null(self, spark):
         one, empty = _rep_rows(spark, ["w", ""])
         assert one == (1.0, 0.0, 0.0)
-        # '' splits to [''] in both Spark and DuckDB: one (degenerate) token
-        assert empty == (1.0, 0.0, 0.0)
+        # '' splits to [''] in both Spark and DuckDB — but that single
+        # EMPTY token is not a token: a blank doc has zero n-grams (the
+        # documented contract), not top_1gram_frac 1.0 (review fix; the
+        # DuckDB oracle carries the same guard)
+        assert empty == (0.0, 0.0, 0.0)
 
     def test_normalization_matches_quality_tokenizer(self, spark):
         # lowercase + trim: "  A a  " tokenizes to [a, a]
@@ -296,3 +299,66 @@ def test_py_shingles_matches_jvm_word_shingles(spark):
         }
         exp = {i: _py_shingles(t, k) for i, t in enumerate(texts)}
         assert got == exp, f"k={k}"
+
+
+class TestBlankDocReviewRegressions:
+    """split('') returns [''] — one EMPTY token — which made blank docs
+    maximally 'repetitive' (top_1gram_frac 1.0) and maximally 'diverse'
+    (distinct_token_ratio 1.0, earning the quality credit) at once."""
+
+    def test_blank_docs_zero_repetition(self, spark):
+        got = _rep_rows(spark, ["", "   ", "a a a"])
+        assert got[0] == (0.0, 0.0, 0.0)
+        assert got[1] == (0.0, 0.0, 0.0)
+        assert got[2][0] == 1.0  # real repetition still detected
+
+    def test_blank_docs_inline_struct_matches_staged(self, spark):
+        df = spark.createDataFrame(
+            [(0, ""), (1, "  "), (2, "x y x y")], "doc_id int, text string"
+        )
+        inline = {
+            r["doc_id"]: r["r"]["top_1gram_frac"]
+            for r in df.select(
+                "doc_id", repetition_struct(F.col("text")).alias("r")
+            ).collect()
+        }
+        assert inline[0] == 0.0 and inline[1] == 0.0 and inline[2] == 0.5
+
+    def test_blank_doc_no_diversity_credit(self, spark):
+        from jsonschema_validator_spark.operators.text import quality_struct
+
+        df = spark.createDataFrame([("",), ("   ",)], "text string")
+        rows = df.select(quality_struct(F.col("text")).alias("q")).collect()
+        for r in rows:
+            assert r["q"]["distinct_token_ratio"] == 0.0
+            # blank text earns neither the length nor the diversity credit
+            assert r["q"]["quality_score"] <= 0.5
+
+    def test_zero_token_corpus_budget_no_divide_by_zero(self, spark):
+        from jsonschema_validator_spark.operators.text import corpus_token_budget
+
+        df = spark.createDataFrame(
+            [("a", ""), ("b", "  ")], "src string, text string"
+        )
+        rows = corpus_token_budget(df, ["src"]).collect()
+        assert all(r["token_share"] == 0.0 for r in rows)
+
+    def test_retention_curve_empty_corpus_all_zero(self, spark):
+        from jsonschema_validator_spark.operators.text import quality_retention_curve
+
+        df = spark.createDataFrame([], "text string")
+        rows = quality_retention_curve(df, [0.5, 1.0]).collect()
+        assert len(rows) == 2
+        for r in rows:
+            assert r["n_docs"] == 0 and r["n_tokens"] == 0
+            assert r["doc_retention"] == 0.0 and r["token_retention"] == 0.0
+
+    def test_pii_redact_token_with_dollar_is_literal(self, spark):
+        from jsonschema_validator_spark.operators.text import pii_scan
+
+        df = spark.createDataFrame(
+            [(0, "mail me at bob@example.com now")], "doc_id int, text string"
+        )
+        out = pii_scan(df, redact_token="<$REDACTED$>").collect()[0]
+        assert "<$REDACTED$>" in out["redacted_text"]
+        assert "bob@example.com" not in out["redacted_text"]
