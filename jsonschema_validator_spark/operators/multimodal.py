@@ -61,7 +61,13 @@ def decode_profile(df: DataFrame, id_col: str = "image_id", bytes_col: str = "by
                 try:
                     px = decode_image(bytes(data) if data is not None else None)
                     h, w, _ = px.shape
-                    csum = int(np.int64(px.astype(np.uint64).sum() * 2654435761 % (1 << 63)))
+                    # exact Python-int math: np.uint64 * python-int
+                    # silently promotes to float64 on NumPy 1.x, losing
+                    # low bits of the hash (and NumPy 2 computes exactly
+                    # — the same image would checksum differently per env)
+                    csum = int(
+                        int(px.astype(np.uint64).sum()) * 2654435761 % (1 << 63)
+                    )
                     out["decode_ok"].append(True)
                     out["dec_w"].append(w)
                     out["dec_h"].append(h)
@@ -233,32 +239,41 @@ def _file_units(spark, path: str, files_per_task: int = 1) -> "DataFrame":
 
 def _iter_binary_rows(table, bytes_col: str):
     """Yield (row_index, memoryview_or_None) over a pyarrow table column —
-    zero-copy slices of the value buffer."""
+    zero-copy slices of the value buffer. Nulls come from the validity
+    bitmap, so a chunk with a few null payloads (an expected violation
+    class) still serves every NON-null row zero-copy — the earlier form
+    degraded the whole chunk to per-row ``as_py()`` copies on the first
+    null, forfeiting the direct-read path's measured advantage exactly on
+    the corpora that need its violation reporting."""
+    import pyarrow as pa
+
     idx = 0
     for chunk in table.column(bytes_col).chunks:
-        if chunk.null_count:
-            for i in range(len(chunk)):
-                v = chunk[i].as_py()
-                yield idx + i, (memoryview(v) if v is not None else None)
-        else:
-            import pyarrow as pa
-
-            if not pa.types.is_binary(chunk.type) and not pa.types.is_large_binary(
-                chunk.type
-            ):
-                raise TypeError(f"expected (large_)binary column, got {chunk.type}")
-            bufs = chunk.buffers()
-            # offset dtype depends on the arrow type (binary=int32,
-            # large_binary=int64), and a sliced chunk's value offsets start
-            # at chunk.offset — index from there, not from 0
-            off_dtype = np.int64 if pa.types.is_large_binary(chunk.type) else np.int32
-            off = np.frombuffer(
-                bufs[1], dtype=off_dtype, count=chunk.offset + len(chunk) + 1
-            )[chunk.offset :]
-            # cast to unsigned so slices compare equal to bytes literals
-            # (pyarrow buffers expose signed 'b'-format memoryviews)
-            mv = memoryview(bufs[2]).cast("B")
-            for i in range(len(chunk)):
+        if not pa.types.is_binary(chunk.type) and not pa.types.is_large_binary(
+            chunk.type
+        ):
+            raise TypeError(f"expected (large_)binary column, got {chunk.type}")
+        valid = (
+            chunk.is_valid().to_numpy(zero_copy_only=False)
+            if chunk.null_count
+            else None
+        )
+        bufs = chunk.buffers()
+        # offset dtype depends on the arrow type (binary=int32,
+        # large_binary=int64), and a sliced chunk's value offsets start
+        # at chunk.offset — index from there, not from 0
+        off_dtype = np.int64 if pa.types.is_large_binary(chunk.type) else np.int32
+        off = np.frombuffer(
+            bufs[1], dtype=off_dtype, count=chunk.offset + len(chunk) + 1
+        )[chunk.offset :]
+        # cast to unsigned so slices compare equal to bytes literals
+        # (pyarrow buffers expose signed 'b'-format memoryviews); an
+        # all-null/all-empty chunk may carry no value buffer at all
+        mv = memoryview(bufs[2]).cast("B") if bufs[2] is not None else memoryview(b"")
+        for i in range(len(chunk)):
+            if valid is not None and not valid[i]:
+                yield idx + i, None
+            else:
                 yield idx + i, mv[off[i] : off[i + 1]]
         idx += len(chunk)
 
@@ -306,7 +321,7 @@ def image_invariant_violations_files(
                             continue
                         try:
                             px = decode_image(mv)
-                        except ValueError as exc:
+                        except Exception as exc:  # noqa: BLE001 - decode must never kill the job (parity with the channel path)
                             rows["image_id"].append(ids[i].as_py())
                             rows["path"].append("$.bytes")
                             rows["message"].append(
@@ -434,6 +449,12 @@ def psnr_vs_reference(
             idxs = b["_idx"].astype("int64").to_numpy()
             vals = []
             for data, idx in zip(b["bytes"], idxs):
+                if data is None:
+                    # bytes(None) raises TypeError, which would escape the
+                    # except below and kill the task; a missing payload is
+                    # just an undecodable row
+                    vals.append(float("nan"))
+                    continue
                 try:
                     px = decode_image(bytes(data))
                     ref = reference_pixels_fn(int(idx))
@@ -494,6 +515,8 @@ def image_features(
         for b in batches:
             rows = []
             for iid, data in zip(b["image_id"], b["bytes"]):
+                if data is None:  # bytes(None) is TypeError, not ValueError
+                    continue
                 try:
                     px = decode_image(bytes(data)).astype(np.float64)
                 except ValueError:
@@ -541,6 +564,8 @@ def resize_images(
         for b in batches:
             ids, blobs = [], []
             for iid, data in zip(b["image_id"], b["bytes"]):
+                if data is None:  # bytes(None) is TypeError, not ValueError
+                    continue
                 try:
                     px = decode_image(bytes(data))
                 except ValueError:
@@ -637,7 +662,9 @@ def sample_video_frames(
 def fake_audio_decoder(data: bytes, sample_rate: int = 16000):
     """Deterministic STAND-IN audio decoder for formats this runtime can't
     parse: derives a 1-second PCM waveform purely from the payload bytes
-    (md5-seeded sinusoid mix), returning ``(float64 1-D wave, rate)``.
+    (md5-seeded sinusoid mix), returning ``(float32 1-D wave, rate)`` —
+    float32 like a real narrow-PCM decode; ``audio_features`` widens to
+    float64 for the reductions.
     Kept for testing the plumbing against arbitrary payloads — real
     ``.wav`` bytes need no injection (``decoder=None`` uses
     :func:`sources.wav.decode_wav_mono`)."""
@@ -697,7 +724,10 @@ def audio_features(
                         int(sample_rate),
                         int(n),
                         round(n / sample_rate, 6),
-                        round(float(np.sqrt(np.mean(pcm**2))), 6),
+                        # n == 0 (valid WAV, empty data chunk): mean of an
+                        # empty array is NaN — guard like peak/zc so the
+                        # row stays finite and aggregable
+                        round(float(np.sqrt(np.mean(pcm**2))) if n else 0.0, 6),
                         round(float(np.abs(pcm).max()) if n else 0.0, 6),
                         round(zc, 6),
                     )
@@ -789,6 +819,8 @@ def image_quality_metrics(
         for b in batches:
             rows = []
             for iid, data in zip(b["image_id"], b["bytes"]):
+                if data is None:  # bytes(None) is TypeError, not ValueError
+                    continue
                 try:
                     px = decode_image(bytes(data)).astype(np.float64)
                 except ValueError:

@@ -80,6 +80,62 @@ def column_profile(
     return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
+def _outlier_pctl_fn(exact: bool, accuracy: int):
+    """Quantile expression builder shared by the global and per-group
+    outlier operators (exact sort-based percentile vs mergeable sketch)."""
+
+    def pctl(value, probs):
+        if exact:
+            return F.percentile(value, F.lit(probs))
+        return F.percentile_approx(value, F.lit(probs), F.lit(accuracy))
+
+    return pctl
+
+
+def _outlier_count_aggs(cols, z_threshold: float, tukey_k: float) -> list:
+    """Pass-3 aggregate expressions (value/Tukey/robust-z counts against
+    the broadcast scalars) — ONE copy shared by the global and per-group
+    operators so a rule fix cannot land in only one of them."""
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        q1 = F.col(f"_q_{c}")[0]
+        med = F.col(f"_q_{c}")[1]
+        q3 = F.col(f"_q_{c}")[2]
+        iqr = q3 - q1
+        mad = F.col(f"_mad_{c}")
+        tukey = (col < q1 - F.lit(tukey_k) * iqr) | (
+            col > q3 + F.lit(tukey_k) * iqr
+        )
+        robust = F.abs(col - med) > F.lit(z_threshold) * F.lit(1.4826) * mad
+        aggs.append(F.count(col).alias(f"_n_{c}"))
+        aggs.append(
+            F.coalesce(F.sum(tukey.cast("long")), F.lit(0)).alias(f"_t_{c}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(robust.cast("long")), F.lit(0)).alias(f"_r_{c}")
+        )
+    return aggs
+
+
+def _outlier_struct_list(cols) -> list:
+    """Output-row structs (shared shape of both outlier operators)."""
+    return [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"_q_{c}")[0].cast("double").alias("q1"),
+            F.col(f"_q_{c}")[1].cast("double").alias("median"),
+            F.col(f"_q_{c}")[2].cast("double").alias("q3"),
+            (F.col(f"_q_{c}")[2] - F.col(f"_q_{c}")[0]).cast("double").alias("iqr"),
+            F.col(f"_mad_{c}").cast("double").alias("mad"),
+            F.col(f"_n_{c}").alias("n_values"),
+            F.col(f"_t_{c}").alias("n_tukey_outliers"),
+            F.col(f"_r_{c}").alias("n_robust_outliers"),
+        )
+        for c in cols
+    ]
+
+
 def robust_outlier_stats(
     df: DataFrame,
     columns: Optional[Sequence[str]] = None,
@@ -112,11 +168,7 @@ def robust_outlier_stats(
     outlier — the conventional (and intended) degenerate behavior.
     """
     cols = _numeric_cols(df, columns)
-
-    def pctl(value, probs):
-        if exact:
-            return F.percentile(value, F.lit(probs))
-        return F.percentile_approx(value, F.lit(probs), F.lit(accuracy))
+    pctl = _outlier_pctl_fn(exact, accuracy)
 
     # pass 1: quartiles per column (1-row frame, broadcast into pass 2/3).
     # localCheckpoint truncates the 1-row frames' lineage so each pass
@@ -139,42 +191,10 @@ def robust_outlier_stats(
     scalars = q_row.crossJoin(m_row).localCheckpoint(eager=False)  # 1x1
     # pass 3: outlier + value counts against the broadcast scalars
     with_s = df.crossJoin(F.broadcast(scalars))
-    aggs = []
-    for c in cols:
-        col = F.col(c)
-        q1 = F.col(f"_q_{c}")[0]
-        med = F.col(f"_q_{c}")[1]
-        q3 = F.col(f"_q_{c}")[2]
-        iqr = q3 - q1
-        mad = F.col(f"_mad_{c}")
-        tukey = (col < q1 - F.lit(tukey_k) * iqr) | (
-            col > q3 + F.lit(tukey_k) * iqr
-        )
-        robust = F.abs(col - med) > F.lit(z_threshold) * F.lit(1.4826) * mad
-        aggs.append(F.count(col).alias(f"_n_{c}"))
-        aggs.append(
-            F.coalesce(F.sum(tukey.cast("long")), F.lit(0)).alias(f"_t_{c}")
-        )
-        aggs.append(
-            F.coalesce(F.sum(robust.cast("long")), F.lit(0)).alias(f"_r_{c}")
-        )
-    counts = with_s.agg(*aggs)
+    counts = with_s.agg(*_outlier_count_aggs(cols, z_threshold, tukey_k))
 
     out_row = scalars.crossJoin(counts)  # 1x1 scalar assembly
-    structs = [
-        F.struct(
-            F.lit(c).alias("column"),
-            F.col(f"_q_{c}")[0].cast("double").alias("q1"),
-            F.col(f"_q_{c}")[1].cast("double").alias("median"),
-            F.col(f"_q_{c}")[2].cast("double").alias("q3"),
-            (F.col(f"_q_{c}")[2] - F.col(f"_q_{c}")[0]).cast("double").alias("iqr"),
-            F.col(f"_mad_{c}").cast("double").alias("mad"),
-            F.col(f"_n_{c}").alias("n_values"),
-            F.col(f"_t_{c}").alias("n_tukey_outliers"),
-            F.col(f"_r_{c}").alias("n_robust_outliers"),
-        )
-        for c in cols
-    ]
+    structs = _outlier_struct_list(cols)
     return out_row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
@@ -200,19 +220,19 @@ def robust_outlier_stats_by_group(
     shards) — the scalar frames must broadcast, which holds for any
     realistic partition count.
 
-    Conventions match :func:`heavy_hitters_by_group`/``drift_by_group``:
-    group rendered as string, NULL groups excluded like NULL values.
+    Conventions match ``drift_by_group``: group rendered as string, NULL
+    groups excluded like NULL values. (``heavy_hitters_by_group`` differs
+    BY DESIGN — it keeps NULL as the literal ``'NULL'`` group, its
+    COALESCE-then-GROUP oracle convention; when joining this output
+    against heavy hitters on the group key, the 'NULL' group has no
+    outlier row here.)
 
     Output: one row per (group, column) —
     ``group, column, q1, median, q3, iqr, mad, n_values,
     n_tukey_outliers, n_robust_outliers``.
     """
     cols = _numeric_cols(df, columns)
-
-    def pctl(value, probs):
-        if exact:
-            return F.percentile(value, F.lit(probs))
-        return F.percentile_approx(value, F.lit(probs), F.lit(accuracy))
+    pctl = _outlier_pctl_fn(exact, accuracy)
 
     base = df.filter(F.col(group_col).isNotNull()).select(
         F.col(group_col).cast("string").alias("_g"), *[F.col(c) for c in cols]
@@ -229,42 +249,12 @@ def robust_outlier_stats_by_group(
     )
     scalars = q_rows.join(m_rows, "_g").localCheckpoint(eager=False)
     with_s = base.join(F.broadcast(scalars), "_g")
-    aggs = []
-    for c in cols:
-        col = F.col(c)
-        q1 = F.col(f"_q_{c}")[0]
-        med = F.col(f"_q_{c}")[1]
-        q3 = F.col(f"_q_{c}")[2]
-        iqr = q3 - q1
-        mad = F.col(f"_mad_{c}")
-        tukey = (col < q1 - F.lit(tukey_k) * iqr) | (
-            col > q3 + F.lit(tukey_k) * iqr
-        )
-        robust = F.abs(col - med) > F.lit(z_threshold) * F.lit(1.4826) * mad
-        aggs.append(F.count(col).alias(f"_n_{c}"))
-        aggs.append(
-            F.coalesce(F.sum(tukey.cast("long")), F.lit(0)).alias(f"_t_{c}")
-        )
-        aggs.append(
-            F.coalesce(F.sum(robust.cast("long")), F.lit(0)).alias(f"_r_{c}")
-        )
-    counts = with_s.groupBy("_g").agg(*aggs)
+    counts = with_s.groupBy("_g").agg(
+        *_outlier_count_aggs(cols, z_threshold, tukey_k)
+    )
 
     out = scalars.join(counts, "_g")
-    structs = [
-        F.struct(
-            F.lit(c).alias("column"),
-            F.col(f"_q_{c}")[0].cast("double").alias("q1"),
-            F.col(f"_q_{c}")[1].cast("double").alias("median"),
-            F.col(f"_q_{c}")[2].cast("double").alias("q3"),
-            (F.col(f"_q_{c}")[2] - F.col(f"_q_{c}")[0]).cast("double").alias("iqr"),
-            F.col(f"_mad_{c}").cast("double").alias("mad"),
-            F.col(f"_n_{c}").alias("n_values"),
-            F.col(f"_t_{c}").alias("n_tukey_outliers"),
-            F.col(f"_r_{c}").alias("n_robust_outliers"),
-        )
-        for c in cols
-    ]
+    structs = _outlier_struct_list(cols)
     return out.select(
         F.col("_g").alias("group"), F.explode(F.array(*structs)).alias("s")
     ).select("group", "s.*")

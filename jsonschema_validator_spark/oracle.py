@@ -674,7 +674,9 @@ def audio_feature_rows(n: int = 24, seed: int = 42) -> list[tuple]:
                 int(rate),
                 int(n_s),
                 round(n_s / rate, 6),
-                round(float(np.sqrt(np.mean(pcm**2))), 6),
+                # empty data chunk: rms guarded to 0.0 like peak (twin of
+                # the operator's guard — mean of empty is NaN)
+                round(float(np.sqrt(np.mean(pcm**2))) if n_s else 0.0, 6),
                 round(float(np.abs(pcm).max()) if n_s else 0.0, 6),
                 round(zc, 6),
             )

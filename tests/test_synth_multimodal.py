@@ -438,3 +438,41 @@ def test_audio_features_real_wav(spark):
     )
     with _pytest.raises(Exception, match="RIFF/WAVE"):
         audio_features(bad).collect()
+
+
+def test_null_payloads_dropped_not_crash(spark):
+    """Review fix: bytes(None) raises TypeError, which the ValueError
+    handlers did not catch — a single NULL payload killed the task in
+    image_features / resize_images / image_quality_metrics. NULL rows are
+    dropped like undecodable ones."""
+    from jsonschema_validator_spark.operators.multimodal import (
+        image_features,
+        image_quality_metrics,
+        resize_images,
+    )
+    from jsonschema_validator_spark.sources.codecs import encode_png
+
+    px = np.full((8, 8, 3), 128, np.uint8)
+    rows = [("ok", bytearray(encode_png(px))), ("gone", None)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    assert [r["image_id"] for r in image_features(df).collect()] == ["ok"]
+    assert [r["image_id"] for r in image_quality_metrics(df).collect()] == ["ok"]
+    assert [r["image_id"] for r in resize_images(df, 4, 4).collect()] == ["ok"]
+
+
+def test_pixel_checksum_exact_integer_math(spark):
+    """Review fix: np.uint64 * python-int promotes to float64 on NumPy 1.x,
+    quantizing the checksum (and diverging from NumPy 2). The checksum must
+    equal the exact integer formula."""
+    from jsonschema_validator_spark.operators.multimodal import decode_profile
+    from jsonschema_validator_spark.sources.codecs import decode_image, encode_png
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    blob = encode_png(px)
+    df = spark.createDataFrame(
+        [("a", bytearray(blob))], "image_id string, bytes binary"
+    )
+    got = decode_profile(df).collect()[0]["pixel_checksum"]
+    want = int(decode_image(blob).astype(np.uint64).sum()) * 2654435761 % (1 << 63)
+    assert got == int(want)
