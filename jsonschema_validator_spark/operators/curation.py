@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jsonschema_validator_spark.operators.dedup import (
+    _fingerprint,
     _norm,
     duplicate_clusters,
     ngram_contamination,
@@ -93,13 +94,21 @@ def curate_corpus(
         p1.alias("_p1"),
         p2.alias("_p2"),
         p3.alias("_p3"),
-        F.substring(F.md5(_norm(t)), 1, 16).alias("_fp"),
+        _fingerprint(t).alias("_fp"),
     )
     # stage 4 — exact dedup among stage-3 survivors: min-id doc per
     # fingerprint. Partitioning the window by (_p3, _fp) ranks survivors
     # within their fingerprint group only (non-survivors land in separate
     # _p3=false partitions and are masked by the _p3 conjunct).
-    rn4 = F.row_number().over(Window.partitionBy("_p3", "_fp").orderBy("doc_id"))
+    # coalesce(_fp, doc_id): NULL-text rows have a NULL fingerprint, and
+    # a bare (_p3=false, NULL) key would funnel every such row into ONE
+    # window partition (single-task sort at scale); their rank is masked
+    # anyway, so give each its own partition.
+    rn4 = F.row_number().over(
+        Window.partitionBy(
+            "_p3", F.coalesce(F.col("_fp"), F.col("doc_id").cast("string"))
+        ).orderBy("doc_id")
+    )
     ann = ann.withColumn("_p4", F.col("_p3") & (rn4 == 1))
     # stage 5 — near-dup dedup: clusters computed on the FULL corpus pair
     # set (stable under gate reordering), applied among stage-4 survivors:
@@ -107,8 +116,15 @@ def curate_corpus(
     if near_dup_pairs is not None:
         clusters = duplicate_clusters(near_dup_pairs).select("doc_id", "cluster_id")
         ann = ann.join(clusters, "doc_id", "left")
+        # coalesce(cluster_id, doc_id): unclustered docs (cluster_id NULL
+        # — nearly the whole corpus at production scale) would otherwise
+        # share ONE window partition per _p4 value, serializing the sort
+        # on a single task; their rank is short-circuited by the isNull
+        # disjunct anyway, so each gets its own partition.
         rn5 = F.row_number().over(
-            Window.partitionBy("_p4", "cluster_id").orderBy("doc_id")
+            Window.partitionBy(
+                "_p4", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            ).orderBy("doc_id")
         )
         ann = ann.withColumn(
             "_p5", F.col("_p4") & (F.col("cluster_id").isNull() | (rn5 == 1))

@@ -40,6 +40,14 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     return df
 
 
+def _fingerprint(text: Column) -> Column:
+    """Canonical 64-bit (16-hex-char) content fingerprint — THE one copy
+    of the formula shared by :func:`exact_duplicates`, the curation
+    funnel's exact-dedup stage, and (as a literal re-expression) the
+    DuckDB oracles; a change here must ship with all of them."""
+    return F.substring(F.md5(_norm(text)), 1, 16)
+
+
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -48,7 +56,7 @@ def exact_duplicates(
     Output: ``fingerprint, n_docs, doc_ids (sorted array)`` for groups with
     n_docs > 1. One shuffle on the 64-bit (16-hex-char) fingerprint.
     """
-    fp = F.substring(F.md5(_norm(F.col(text_col))), 1, 16)
+    fp = _fingerprint(F.col(text_col))
     return (
         df.select(fp.alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")
@@ -112,7 +120,16 @@ def minhash_signatures(
     limits. Output: ``_id, _h0.._h{n-1}``. Docs with NULL text are dropped
     (no content ⇒ no signature ⇒ no candidate pairs).
     """
-    ex = _spread_small_input(df.select(F.col(id_col), F.col(text_col))).select(
+    ex = _spread_small_input(
+        # the drop the docstring promises must be enforced here:
+        # word_shingles(NULL) is [NULL] (split of a NULL is NULL, not
+        # empty), so without the filter every NULL doc exploded to one
+        # NULL shingle and they ALL shared the seed-only signature —
+        # N NULL docs became N²/2 false candidate pairs
+        df.select(F.col(id_col), F.col(text_col)).filter(
+            F.col(text_col).isNotNull()
+        )
+    ).select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_s"),
     )
@@ -135,6 +152,14 @@ def minhash_lsh_candidates(
     rows = bands of size n_hashes/bands; docs sharing any band hash become a
     candidate pair. Output: ``id_a, id_b, n_shared_bands`` (id_a < id_b).
     """
+    if n_hashes % bands != 0:
+        # integer division would silently discard the trailing
+        # n_hashes % bands signature hashes — computed, paid for, never
+        # consulted, with a recall/precision trade-off the caller did not
+        # ask for (same precondition class as hamming_near_duplicates)
+        raise ValueError(
+            f"bands ({bands}) must divide n_hashes ({n_hashes}) evenly"
+        )
     rows_per_band = n_hashes // bands
     with_sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
     # band hash over the signature COLUMNS (post-aggregation, so the band
@@ -200,7 +225,16 @@ def ngram_jaccard_pairs(
             "path, see minhash_lsh_candidates) or an explicit "
             "all_pairs=True opt-in to the quadratic test-scale self-join"
         )
-    sh = _spread_small_input(df.select(F.col(id_col), F.col(text_col))).select(
+    sh = _spread_small_input(
+        # NULL-text docs have no shingles — without this filter a pair of
+        # NULL docs scored jaccard 1.0 on the candidates path ([NULL]
+        # arrays intersect/union to size 1) while the all-pairs path
+        # returned nothing; now a candidate pair touching a NULL doc
+        # simply drops out of the inner joins on both paths
+        df.select(F.col(id_col), F.col(text_col)).filter(
+            F.col(text_col).isNotNull()
+        )
+    ).select(
         F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_k).alias("_sh")
     )
     if candidates is None:
@@ -320,7 +354,14 @@ def simhash(
     # passes over the hash array — exceeds codegen limits and drops to
     # interpreted evaluation; measured 30×+ slower, and it double-evaluates
     # under a self-join.)
-    ex = _spread_small_input(df.select(F.col(id_col), F.col(text_col))).select(
+    ex = _spread_small_input(
+        # enforce the documented NULL drop (word_shingles(NULL) is [NULL],
+        # which hashed to the constant seed-only value — all NULL docs
+        # became mutual near-duplicates, same bug class as minhash)
+        df.select(F.col(id_col), F.col(text_col)).filter(
+            F.col(text_col).isNotNull()
+        )
+    ).select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_s"),
     ).select("_id", F.xxhash64("_s").alias("_h"))

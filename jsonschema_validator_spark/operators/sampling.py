@@ -39,7 +39,18 @@ def hex_threshold(fraction: float) -> str:
 
 
 def _hash_prefix(key: Column, salt: str) -> Column:
-    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(":" + salt))), 1, 8)
+    """Salted 8-hex-char hash prefix of the key. NULL keys hash as a
+    fixed sentinel string: md5(concat(NULL, ...)) is NULL, which made
+    every comparison NULL — so NULL-key rows silently vanished from every
+    sample (even fraction=1.0, violating the all-rows-keep sentinel) and
+    fell to hash_split's otherwise() branch (ALL of them into the
+    name-descending last label, skewing that split). With the sentinel,
+    all NULL keys behave as one ordinary shared key value, deterministic
+    like any other — the documented convention the bloom module uses for
+    NULL join keys too.
+    """
+    k = F.coalesce(key.cast("string"), F.lit("\x00__null_key__"))
+    return F.substring(F.md5(F.concat(k, F.lit(":" + salt))), 1, 8)
 
 
 def deterministic_sample(

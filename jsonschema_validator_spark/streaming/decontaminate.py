@@ -102,7 +102,7 @@ def streaming_contamination_flags(
 ) -> DataFrame:
     """Per-document contamination flags for a document stream.
 
-    Output schema: ``(id_col, n_shingles int, n_matched int,
+    Output schema: ``(id_col, n_shingles bigint, n_matched bigint,
     contamination_frac double, contaminated boolean)`` — the batch
     operator's columns, same 6-dp-rounded-fraction threshold convention.
     NULL-text rows are dropped (batch parity).
@@ -117,8 +117,8 @@ def streaming_contamination_flags(
     )
     id_field = stream.schema[id_col]
     out_schema = (
-        f"`{id_col}` {id_field.dataType.simpleString()}, n_shingles int, "
-        "n_matched int, contamination_frac double, contaminated boolean"
+        f"`{id_col}` {id_field.dataType.simpleString()}, n_shingles bigint, "
+        "n_matched bigint, contamination_frac double, contaminated boolean"
     )
     k, thr = shingle_k, threshold
     src = stream.select(F.col(id_col), F.col(text_col)).filter(
@@ -141,8 +141,8 @@ def streaming_contamination_flags(
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
-                    "n_shingles": pd.array(n_sh, dtype="int32"),
-                    "n_matched": pd.array(n_m, dtype="int32"),
+                    "n_shingles": pd.array(n_sh, dtype="int64"),
+                    "n_matched": pd.array(n_m, dtype="int64"),
                     "contamination_frac": fracs,
                     "contaminated": flags,
                 }

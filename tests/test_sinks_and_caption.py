@@ -185,3 +185,81 @@ def test_deterministic_sampling_and_split(spark):
     assert sum(1 for r in rows if r["split"] == "train") > 200
     # threshold edge behavior
     assert hex_threshold(0.0) == "00000000" and hex_threshold(1.0) == "g"
+
+
+class TestNullHandlingReviewRegressions:
+    """Review fixes: NULL text/keys in the dedup and sampling families.
+    word_shingles(NULL) is [NULL] (split of NULL is NULL, not empty), so
+    NULL docs shared a degenerate signature and became mutual duplicates;
+    NULL sampling keys hashed to NULL and silently vanished."""
+
+    def _docs(self, spark):
+        rows = [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, None),
+            (4, None),
+            (5, None),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_null_docs_produce_no_lsh_candidates(self, spark):
+        from jsonschema_validator_spark.operators.dedup import (
+            minhash_lsh_candidates,
+        )
+
+        pairs = minhash_lsh_candidates(
+            self._docs(spark), n_hashes=16, bands=4
+        ).collect()
+        ids = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert ids == {(1, 2)}  # the real duplicate pair, nothing NULL-borne
+
+    def test_null_docs_dropped_from_simhash(self, spark):
+        from jsonschema_validator_spark.operators.dedup import simhash
+
+        out = simhash(self._docs(spark)).collect()
+        assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+    def test_null_doc_candidate_pair_gets_no_jaccard_verdict(self, spark):
+        from jsonschema_validator_spark.operators.dedup import ngram_jaccard_pairs
+
+        cand = spark.createDataFrame([(3, 4)], "id_a long, id_b long")
+        got = ngram_jaccard_pairs(
+            self._docs(spark), candidates=cand, threshold=0.0
+        ).collect()
+        assert got == []  # was jaccard=1.0 for the NULL-NULL pair
+
+    def test_lsh_bands_must_divide_hashes(self, spark):
+        import pytest as _pytest
+
+        from jsonschema_validator_spark.operators.dedup import (
+            minhash_lsh_candidates,
+        )
+
+        with _pytest.raises(ValueError, match="divide"):
+            minhash_lsh_candidates(self._docs(spark), n_hashes=64, bands=10)
+
+    def test_null_key_rows_survive_sampling_and_split(self, spark):
+        from jsonschema_validator_spark.operators.sampling import (
+            deterministic_sample,
+            hash_split,
+        )
+
+        df = spark.createDataFrame(
+            [("a",), ("b",), ("c",), (None,)], "k string"
+        )
+        # fraction=1.0 keeps ALL rows, incl. the NULL key (was dropped)
+        assert deterministic_sample(df, 1.0, "k").count() == 4
+        # the NULL key lands in a hash-determined split, not automatically
+        # the name-descending last label
+        splits = {
+            r["k"]: r["split"]
+            for r in hash_split(df, {"train": 0.5, "test": 0.5}, "k").collect()
+        }
+        assert splits[None] in ("train", "test")
+        # determinism: same assignment on re-run
+        splits2 = {
+            r["k"]: r["split"]
+            for r in hash_split(df, {"train": 0.5, "test": 0.5}, "k").collect()
+        }
+        assert splits == splits2
