@@ -39,7 +39,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm vector (failed encoder output, zero padding)
+    # must yield a NULL similarity — under Spark 4's default ANSI mode a
+    # bare division RAISES DIVIDE_BY_ZERO and kills the whole job on one
+    # degenerate row; callers filter the NULL rows out of rankings
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(
@@ -100,6 +104,8 @@ def brute_force_topk(
     )
     return (
         scored.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        # zero-norm vectors divide to NULL cosine — excluded, not ranked
+        .filter(F.col("cos_sim").isNotNull())
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -216,6 +222,13 @@ def lsh_probe_buckets(
 
     One projection + one explode — a single scan regardless of table or
     probe count; see :func:`_probe_structs` for the probe construction.
+
+    Vectors whose length differs from ``dim`` produce NULL dots (zip_with
+    pads with NULL) and hence a NULL bucket, and NULL join keys never
+    match — so malformed vectors are EXCLUDED from the index and from
+    every candidate set, by design: validate embedding shape up front
+    with the spec layer (``items``/``minItems``/``maxItems``) if they
+    must be surfaced rather than skipped.
     """
     probes = _probe_structs(vec_col, dim, n_planes, n_probes, n_tables)
     return df.select(
@@ -260,9 +273,17 @@ def embedding_cosine_neardups(
             F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
         )
     else:
-        exact = lsh_probe_buckets(df, dim, n_planes, 1, id_col, vec_col, n_tables)
         probed = lsh_probe_buckets(
             df, dim, n_planes, n_probes, id_col, vec_col, n_tables
+        )
+        # with a single probe the exact side IS the probed side: using the
+        # same DataFrame lets AQE reuse the shuffled projection for both
+        # join branches (ReusedExchange) instead of projecting the corpus
+        # against every hyperplane twice
+        exact = (
+            probed
+            if n_probes == 1
+            else lsh_probe_buckets(df, dim, n_planes, 1, id_col, vec_col, n_tables)
         )
         # pair (x, y) is a candidate iff bucket_t(x) ∈ probes_t(y) for any
         # table t — covers both directions of the symmetric relation since
@@ -322,7 +343,10 @@ def _cell_sims(vec_col: str, centroids) -> list[Column]:
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     vn = norm(v)
     return [
-        dot(v, F.array(*[F.lit(float(x)) for x in c])) / vn for c in centroids
+        # try_divide: a zero-norm vector must not DIVIDE_BY_ZERO the whole
+        # assignment job under ANSI; its NULL sims exclude it from cells
+        F.try_divide(dot(v, F.array(*[F.lit(float(x)) for x in c])), vn)
+        for c in centroids
     ]
 
 
@@ -399,6 +423,10 @@ def ivf_topk(
     )
     return (
         paired.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        # zero-norm vectors (failed encoder output) divide to NULL cosine;
+        # without this filter they would still receive ranks, returning k
+        # garbage neighbors ordered purely by id
+        .filter(F.col("cos_sim").isNotNull())
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -459,6 +487,10 @@ def ann_topk(
     )
     return (
         paired.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        # zero-norm vectors (failed encoder output) divide to NULL cosine;
+        # without this filter they would still receive ranks, returning k
+        # garbage neighbors ordered purely by id
+        .filter(F.col("cos_sim").isNotNull())
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

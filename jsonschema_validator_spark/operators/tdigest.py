@@ -100,7 +100,11 @@ def digest_of(values: np.ndarray, delta: float = _DEFAULT_COMPRESSION) -> bytes:
     construction; the sequential greedy pass (:func:`compress`) is only
     used when merging already-small centroid lists."""
     v = np.asarray(values, dtype=np.float64)
-    v = v[~np.isnan(v)]
+    # non-finite values are excluded, not just NaN: one +/-inf poisons its
+    # segment's mean (and inf - inf in a later compress turns centroids
+    # NaN, scrambling the sort and every interior quantile) — a sketch of
+    # the finite distribution is the only meaningful answer
+    v = v[np.isfinite(v)]
     if v.size == 0:
         return serialize(np.array([]), np.array([]))
     v = np.sort(v)

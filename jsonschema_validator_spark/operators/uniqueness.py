@@ -40,6 +40,16 @@ def duplicate_keys(
     if isinstance(keys, str):
         keys = [keys]
     keys = list(keys)
+    return _key_counts(df, keys, salted, salt_buckets).filter(F.col("n_dup") > 1)
+
+
+def _key_counts(
+    df: DataFrame, keys: list, salted: bool, salt_buckets: int = 64
+) -> DataFrame:
+    """Per-key-value row counts ``[*keys, n_dup]`` (UNfiltered — every key
+    group, including singletons), via the plain or two-phase salted
+    aggregation. Shared by :func:`duplicate_keys` and the verdict
+    builders."""
     if salted:
         salt = F.pmod(
             F.hash(F.monotonically_increasing_id(), F.spark_partition_id()),
@@ -50,10 +60,8 @@ def duplicate_keys(
             .groupBy(*keys, "_salt")
             .agg(F.count(F.lit(1)).alias("_c"))
         )
-        counts = partial.groupBy(*keys).agg(F.sum("_c").alias("n_dup"))
-    else:
-        counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_dup"))
-    return counts.filter(F.col("n_dup") > 1)
+        return partial.groupBy(*keys).agg(F.sum("_c").alias("n_dup"))
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_dup"))
 
 
 def uniqueness_verdict(
@@ -63,18 +71,28 @@ def uniqueness_verdict(
 ) -> DataFrame:
     """One-row verdict: ``rule_id, n_checked, n_failed, pass`` where
     n_failed counts ROWS involved in a duplicate key (matching the
-    per-partition verdict shape of the engine)."""
+    per-partition verdict shape of the engine).
+
+    ONE scan: n_checked is the sum of ALL key-group counts (every row
+    lands in exactly one group, NULL keys included), so no separate
+    ``df.count()`` pass over the fact table is needed — at 100 TB that
+    second scan roughly doubled the verdict's I/O.
+    """
     if isinstance(keys, str):
         keys = [keys]
     keys = list(keys)
-    dups = duplicate_keys(df, keys, salted=salted)
-    agg = dups.agg(
-        F.coalesce(F.sum("n_dup"), F.lit(0)).alias("dup_rows"),
-        F.count(F.lit(1)).alias("dup_keys"),
+    counts = _key_counts(df, keys, salted)
+    agg = counts.agg(
+        F.coalesce(F.sum("n_dup"), F.lit(0)).alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_dup") > 1, F.col("n_dup"))), F.lit(0)
+        ).alias("dup_rows"),
+        F.coalesce(
+            F.sum((F.col("n_dup") > 1).cast("long")), F.lit(0)
+        ).alias("dup_keys"),
     )
-    total = df.agg(F.count(F.lit(1)).alias("n")).crossJoin(agg)
     rule_id = "unique:" + ",".join(keys)
-    return total.select(
+    return agg.select(
         F.lit(rule_id).alias("rule_id"),
         F.col("n").alias("n_checked"),
         F.col("dup_rows").alias("n_failed"),
@@ -101,6 +119,10 @@ def multi_key_uniqueness(
     Output rows match ``uniqueness_verdict``: ``rule_id, n_checked,
     n_failed, pass, dup_keys`` — one row per key, rule_id ``unique:<key>``.
     """
+    if isinstance(keys, str):
+        # a bare string would list()-explode into single characters,
+        # checking uniqueness of nonexistent one-letter columns
+        keys = [keys]
     keys = list(keys)
     pairs = F.explode(
         F.array(
@@ -126,25 +148,28 @@ def multi_key_uniqueness(
         counts = partial.groupBy(*group).agg(F.sum("_c").alias("n_dup"))
     else:
         counts = kv.groupBy(*group).agg(F.count(F.lit(1)).alias("n_dup"))
-    per_key = (
-        counts.filter(F.col("n_dup") > 1)
-        .groupBy("key")
-        .agg(
-            F.sum("n_dup").alias("dup_rows"),
-            F.count(F.lit(1)).alias("dup_keys"),
-        )
+    # aggregate over the UNfiltered counts: sum(n_dup) per key is the
+    # total row count (each row contributes one value per key), so the
+    # docstring's one-scan promise actually holds — no second full-table
+    # count pass
+    per_key = counts.groupBy("key").agg(
+        F.sum("n_dup").alias("_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_dup") > 1, F.col("n_dup"))), F.lit(0)
+        ).alias("dup_rows"),
+        F.coalesce(
+            F.sum((F.col("n_dup") > 1).cast("long")), F.lit(0)
+        ).alias("dup_keys"),
     )
-    # left join against the key list so keys with zero duplicates still emit
-    # a verdict row; n_checked comes from one tiny count aggregate
+    # left join against the key list so every key emits a verdict row even
+    # on an EMPTY table (zero groups)
     spark = df.sparkSession
     key_df = spark.createDataFrame([(k,) for k in keys], "key string")
-    total = df.agg(F.count(F.lit(1)).alias("_n"))
     return (
         key_df.join(F.broadcast(per_key), "key", "left")
-        .crossJoin(F.broadcast(total))
         .select(
             F.concat(F.lit("unique:"), F.col("key")).alias("rule_id"),
-            F.col("_n").alias("n_checked"),
+            F.coalesce("_n", F.lit(0)).alias("n_checked"),
             F.coalesce("dup_rows", F.lit(0)).alias("n_failed"),
             (F.coalesce("dup_rows", F.lit(0)) == 0).alias("pass"),
             F.coalesce("dup_keys", F.lit(0)).alias("dup_keys"),
@@ -169,5 +194,7 @@ def duplicate_rows(
         keys = [keys]
     keys = list(keys)
     dups = duplicate_keys(df, keys, salted=salted)
-    cols = list(include) if include else df.columns
+    # exclude the keys from the payload columns — selecting them twice
+    # yields duplicate column names (unwritable parquet, ambiguous refs)
+    cols = [c for c in (list(include) if include else df.columns) if c not in keys]
     return df.join(F.broadcast(dups), on=keys, how="inner").select(*keys, *cols, "n_dup")

@@ -273,3 +273,101 @@ def test_ivf_ann_train_assign_and_recall(spark):
     r1, r4 = recall(1), recall(4)
     assert r4 >= r1 > 0.3
     assert r4 >= 0.7
+
+
+class TestUniquenessReferentialReviewRegressions:
+    """Review fixes: duplicate output columns, str-keys explosion,
+    one-scan verdicts, NULL-FK semantics, zero-norm vectors, infinities."""
+
+    def test_duplicate_rows_no_duplicate_columns(self, spark):
+        from jsonschema_validator_spark.operators.uniqueness import duplicate_rows
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c")], "k long, payload string"
+        )
+        out = duplicate_rows(df, "k", salted=False)
+        assert out.columns == ["k", "payload", "n_dup"]  # k exactly once
+        assert out.count() == 2
+
+    def test_multi_key_accepts_bare_string(self, spark):
+        from jsonschema_validator_spark.operators.uniqueness import (
+            multi_key_uniqueness,
+        )
+
+        df = spark.createDataFrame([(1,), (1,), (2,)], "phash long")
+        rows = multi_key_uniqueness(df, "phash").collect()
+        assert len(rows) == 1 and rows[0]["rule_id"] == "unique:phash"
+        assert rows[0]["n_checked"] == 3 and rows[0]["n_failed"] == 2
+
+    def test_verdicts_single_scan_values_unchanged(self, spark):
+        from jsonschema_validator_spark.operators.uniqueness import (
+            multi_key_uniqueness,
+            uniqueness_verdict,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x"), (1, "x"), (2, "y"), (None, "y"), (None, "z")],
+            "k string, v string",
+        )
+        r = uniqueness_verdict(df, "k", salted=True).collect()[0]
+        # n_checked = ALL rows (derived from the group counts, no 2nd scan;
+        # NULL keys group together like any value)
+        assert (r["n_checked"], r["n_failed"], r["dup_keys"]) == (5, 4, 2)
+        multi = {
+            m["rule_id"]: (m["n_checked"], m["n_failed"])
+            for m in multi_key_uniqueness(df, ["k", "v"]).collect()
+        }
+        assert multi["unique:k"] == (5, 4)
+        assert multi["unique:v"] == (5, 4)
+        # empty table still emits one zero row per key
+        empty = spark.createDataFrame([], "k string, v string")
+        rows = multi_key_uniqueness(empty, ["k", "v"]).collect()
+        assert {(m["rule_id"], m["n_checked"]) for m in rows} == {
+            ("unique:k", 0), ("unique:v", 0)
+        }
+
+    def test_null_fk_is_not_an_orphan(self, spark):
+        from jsonschema_validator_spark.operators.referential import (
+            orphan_rows,
+            referential_verdict,
+        )
+
+        fact = spark.createDataFrame(
+            [(1, 10), (2, 99), (3, None)], "id long, fk long"
+        )
+        dim = spark.createDataFrame([(10,), (20,)], "dk long")
+        orphans = orphan_rows(fact, dim, [("fk", "dk")]).collect()
+        assert [r["id"] for r in orphans] == [2]  # NULL FK excluded
+        for bc in (True, False):
+            v = referential_verdict(fact, dim, [("fk", "dk")], broadcast=bc).collect()[0]
+            # checked population = non-null FKs only; one true orphan
+            assert (v["n_checked"], v["n_failed"], v["pass"]) == (2, 1, False), bc
+
+    def test_zero_norm_query_returns_no_null_ranked_rows(self, spark):
+        from jsonschema_validator_spark.operators.similarity import brute_force_topk
+
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+        )
+        queries = spark.createDataFrame(
+            [(10, [1.0, 1.0]), (11, [0.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        out = brute_force_topk(corpus, queries, k=2)
+        rows = out.collect()
+        assert all(r["cos_sim"] is not None for r in rows)
+        assert {r["query_id"] for r in rows} == {10}  # zero-norm query: no rows
+
+    def test_tdigest_ignores_infinities(self, spark):
+        import numpy as np
+
+        from jsonschema_validator_spark.operators.tdigest import (
+            deserialize,
+            digest_of,
+            quantile,
+        )
+
+        vals = [1.0, 2.0, 3.0, float("inf"), float("-inf"), float("nan")]
+        blob = digest_of(vals)
+        means, weights = deserialize(blob)
+        assert np.isfinite(means).all()
+        assert quantile(blob, 0.5) == 2.0
