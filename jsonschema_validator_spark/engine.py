@@ -39,6 +39,40 @@ CHECKS_COL = "_checks"
 VALID_COL = "_valid"
 
 
+def unpivot_verdicts(agged, checks, group_cols, non_fatal: bool):
+    """Explode an aggregated frame's per-rule failure sums (columns
+    ``_n, _f0.._f{R-1}``) into long verdict rows — THE one copy of the
+    verdict unpivot, shared by the batch ``verdicts()`` and the streaming
+    ``windowed_verdicts`` (they had drifted: the batch copy gained the
+    zero-checks guard, the streaming copy did not).
+
+    rule_id/tag are literals baked into the projection — no side meta
+    DataFrame, no broadcast join (plan ANALYSIS is a per-query driver
+    cost, and the join bought nothing). ``non_fatal`` keeps pass=true
+    (the engine-native option; warn mode does NOT soften verdicts — the
+    reference never branches on ModeWarn, validator.go:507/806).
+    """
+    entries = [
+        F.struct(
+            F.lit(c.rule_id).alias("rule_id"),
+            F.lit(c.tag).alias("tag"),
+            F.col(f"_f{i}").alias("n_failed"),
+        )
+        for i, c in enumerate(checks)
+    ]
+    exploded = agged.select(
+        *group_cols, F.col("_n"), F.explode(F.array(*entries)).alias("_v")
+    )
+    return exploded.select(
+        *group_cols,
+        F.col("_v.rule_id").alias("rule_id"),
+        F.col("_v.tag").alias("tag"),
+        F.col("_n").alias("n_checked"),
+        F.col("_v.n_failed").alias("n_failed"),
+        (F.lit(True) if non_fatal else (F.col("_v.n_failed") == 0)).alias("pass"),
+    )
+
+
 def _root_column(check: Check) -> Optional[str]:
     """Root table column a compiled check targets, parsed from its rule_id
     (``<keyword>:$.<col>[...]``). Used to scope the custom-hook guard."""
@@ -65,12 +99,26 @@ class Validator:
     def __init__(
         self,
         spec: Union[Spec, dict, str],
-        mode: Union[str, ValidationMode] = "strict",
+        mode: Union[str, ValidationMode, None] = None,
         stop_on_first_error: bool = False,
         enable_caching: bool = False,
         non_fatal_verdicts: bool = False,
     ):
-        self.spec = spec if isinstance(spec, Spec) else Spec(spec, mode=mode)
+        if isinstance(spec, Spec):
+            # a prebuilt Spec carries its own mode; silently ignoring a
+            # CONFLICTING explicit mode here would leave the caller in the
+            # wrong mode with no signal
+            if mode is not None and ValidationMode(
+                mode.value if isinstance(mode, ValidationMode) else mode
+            ) != spec.mode:
+                raise SpecError(
+                    f"conflicting modes: Spec was built with "
+                    f"mode={spec.mode.value!r} but Validator got mode={mode!r} "
+                    "— rebuild the Spec with the desired mode"
+                )
+            self.spec = spec
+        else:
+            self.spec = Spec(spec, mode=mode)
         self.stop_on_first_error = stop_on_first_error
         self.enable_caching = enable_caching
         # engine-native (NOT reference parity): report n_failed but keep
@@ -243,14 +291,15 @@ class ValidationResult:
         include = list(include or [])
         if not self.compiled.checks:
             # zero compiled checks (e.g. spec of standalone if/then/else
-            # no-ops) — empty violation set with the stable 5-column schema
-            from pyspark.sql.types import StringType, StructField, StructType
-
-            inc_fields = list(self.df.select(*include).schema) if include else []
-            schema = StructType(
-                inc_fields + [StructField(f, StringType()) for f in VIOLATION_FIELDS]
-            )
-            return self.df.sparkSession.createDataFrame([], schema)
+            # no-ops) — empty violation set with the stable 5-column
+            # schema, derived FROM self.df (filter-false + literals) so a
+            # STREAMING input still returns a streaming frame
+            # (createDataFrame([]) here broke writeStream on the
+            # documented violations-stream surface)
+            lits = [
+                F.lit(None).cast("string").alias(f) for f in VIOLATION_FIELDS
+            ]
+            return self.df.filter(F.lit(False)).select(*include, *lits)
         checks = self._checks_array()
         failed = F.filter(checks, lambda c: ~c["ok"])
         if self.stop_on_first_error:
@@ -278,32 +327,19 @@ class ValidationResult:
         if not self.compiled.checks:
             # zero compiled checks — mirror the violations() early-return
             # (F.array() of no entries is array<null>, which breaks the
-            # unpivot's field extraction). Stable verdict schema, no rows.
-            from pyspark.sql.types import (
-                BooleanType,
-                IntegerType,
-                LongType,
-                StringType,
-                StructField,
-                StructType,
-            )
-
-            part_fields = (
-                list(self.df.select(*partition_by).schema) if partition_by else []
-            )
+            # unpivot's field extraction). Stable verdict schema, no rows,
+            # derived from self.df so streaming inputs stay streaming.
+            sel = [F.col(c) for c in (partition_by or [])]
             if use_spark_partition_id:
-                part_fields.append(StructField("partition_id", IntegerType()))
-            schema = StructType(
-                part_fields
-                + [
-                    StructField("rule_id", StringType()),
-                    StructField("tag", StringType()),
-                    StructField("n_checked", LongType()),
-                    StructField("n_failed", LongType()),
-                    StructField("pass", BooleanType()),
-                ]
-            )
-            return self.df.sparkSession.createDataFrame([], schema)
+                sel.append(F.spark_partition_id().alias("partition_id"))
+            sel += [
+                F.lit(None).cast("string").alias("rule_id"),
+                F.lit(None).cast("string").alias("tag"),
+                F.lit(None).cast("long").alias("n_checked"),
+                F.lit(None).cast("long").alias("n_failed"),
+                F.lit(None).cast("boolean").alias("pass"),
+            ]
+            return self.df.filter(F.lit(False)).select(*sel)
         group_cols = [F.col(c) for c in (partition_by or [])]
         df = self.df
         if use_spark_partition_id:
@@ -315,36 +351,11 @@ class ValidationResult:
             aggs.append(F.sum((~c.predicate).cast("long")).alias(f"_f{i}"))
         agged = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
 
-        # unpivot the per-rule sums: array<struct(rule_id,tag,n_failed)> →
-        # explode. rule_id/tag are literals baked into the projection — no
-        # side meta DataFrame, no broadcast join (keeps the plan small: plan
-        # ANALYSIS is a per-query driver cost, and the join bought nothing)
-        entries = [
-            F.struct(
-                F.lit(c.rule_id).alias("rule_id"),
-                F.lit(c.tag).alias("tag"),
-                F.col(f"_f{i}").alias("n_failed"),
-            )
-            for i, c in enumerate(self.compiled.checks)
-        ]
         base_cols = [c for c in (partition_by or [])] + (
             ["_pid"] if use_spark_partition_id else []
         )
-        exploded = agged.select(
-            *base_cols, F.col("_n"), F.explode(F.array(*entries)).alias("_v")
-        )
-        # warn mode does NOT soften verdicts: the reference never branches on
-        # ModeWarn (only ModeStrict — validator.go:507/806, schema.go:278/286)
-        # so warn ≡ loose. Non-fatal verdicts are the separate engine-native
-        # non_fatal_verdicts option.
-        non_fatal = self.non_fatal_verdicts
-        out = exploded.select(
-            *base_cols,
-            F.col("_v.rule_id").alias("rule_id"),
-            F.col("_v.tag").alias("tag"),
-            F.col("_n").alias("n_checked"),
-            F.col("_v.n_failed").alias("n_failed"),
-            (F.lit(True) if non_fatal else (F.col("_v.n_failed") == 0)).alias("pass"),
+        out = unpivot_verdicts(
+            agged, self.compiled.checks, base_cols, self.non_fatal_verdicts
         )
         if use_spark_partition_id:
             out = out.withColumnRenamed("_pid", "partition_id")

@@ -58,7 +58,12 @@ def exact_duplicates(
     """
     fp = _fingerprint(F.col(text_col))
     return (
-        df.select(fp.alias("fingerprint"), F.col(id_col))
+        # NULL text ⇒ NULL fingerprint: no content means no identity —
+        # without the filter all NULL-text docs grouped under the NULL
+        # fingerprint and were reported as duplicates of each other
+        # (the streaming twin passes them through for the same reason)
+        df.filter(F.col(text_col).isNotNull())
+        .select(fp.alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -51,7 +51,6 @@ class ValidationMode(str, Enum):
     WARN = "warn"
 
 
-_ROOT_ONLY = {"type", "required", "properties", "columns"}
 _OBJECT_KEYWORDS = {
     "required",
     "properties",
@@ -66,7 +65,11 @@ _OBJECT_KEYWORDS = {
 class Spec:
     """A parsed validation spec (analogue of schema.Schema)."""
 
-    def __init__(self, raw: Union[dict, str], mode: Union[str, ValidationMode] = "strict"):
+    def __init__(
+        self,
+        raw: Union[dict, str],
+        mode: Union[str, ValidationMode, None] = None,
+    ):
         if isinstance(raw, str):
             raw = json.loads(raw)  # schema.Parse (schema.go:36-58)
         if not isinstance(raw, dict):
@@ -76,7 +79,22 @@ class Spec:
             props = dict(self.raw.pop("columns"))
             props.update(self.raw.get("properties") or {})
             self.raw["properties"] = props
-        self.mode = ValidationMode(mode if not isinstance(mode, ValidationMode) else mode.value)
+        # an embedded 'mode' key (engine-native convenience; the keyword
+        # screen whitelists it) is HONORED, not silently ignored; an
+        # explicit ctor mode that contradicts it is an authoring error
+        embedded = self.raw.get("mode")
+        if mode is not None and embedded is not None and str(embedded) != (
+            mode.value if isinstance(mode, ValidationMode) else str(mode)
+        ):
+            raise SpecError(
+                f"conflicting modes: spec embeds mode={embedded!r} but the "
+                f"constructor got mode={mode!r}"
+            )
+        eff = mode if mode is not None else (embedded or "strict")
+        try:
+            self.mode = ValidationMode(eff)
+        except ValueError as exc:
+            raise SpecError(f"invalid mode: {eff!r}") from exc
         self._validate_keywords(self.raw)
 
     def _validate_keywords(self, spec: dict) -> None:
@@ -109,6 +127,36 @@ class Spec:
             if key in _OBJECT_KEYWORDS or key == "type":
                 if key == "properties" and isinstance(value, dict):
                     for s in value.values():
+                        if isinstance(s, dict):
+                            self._validate_subschema(s)
+                # the reference compiles these sub-schemas eagerly with the
+                # parent's mode (schema.go:156-178 patternProperties,
+                # :190-209 dependencies schema form, :244-256
+                # additionalProperties), so a typo'd keyword inside them
+                # fails strict compile too — recursion matching that
+                # exactly. Logical-composition keywords (allOf/anyOf/
+                # oneOf/not/conditional) are deliberately NOT screened:
+                # the reference stores them as plain keyword values with
+                # no sub-Compile (no strict screening), and giving them
+                # semantics the reference lacks is a parity break.
+                elif key == "patternProperties" and isinstance(value, dict):
+                    for s in value.values():
+                        if isinstance(s, dict):
+                            self._validate_subschema(s)
+                elif key == "dependencies" and isinstance(value, dict):
+                    for s in value.values():
+                        if isinstance(s, dict):  # schema form only
+                            self._validate_subschema(s)
+                elif key == "additionalProperties" and isinstance(value, dict):
+                    self._validate_subschema(value)
+                continue
+            if key == "items":
+                # schema.go:212-241: object form and tuple form both
+                # sub-compile with the parent mode
+                if isinstance(value, dict):
+                    self._validate_subschema(value)
+                elif isinstance(value, list):
+                    for s in value:
                         if isinstance(s, dict):
                             self._validate_subschema(s)
                 continue

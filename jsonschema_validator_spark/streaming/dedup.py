@@ -68,6 +68,17 @@ def streaming_exact_dedup(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if key[0] is None:
+            # NULL text ⇒ NULL fingerprint: no content means no identity,
+            # so these rows are NOT duplicates of each other — pass every
+            # one through untouched, keep no state (the batch family's
+            # settled NULL-text convention; deduping them would silently
+            # delete all but one of the corpus' NULL docs AND funnel them
+            # all through one hot state key)
+            for pdf in pdfs:
+                if len(pdf):
+                    yield pdf[cols]
+            return
         if use_ttl and state.hasTimedOut:
             # horizon passed with no new arrivals: drop the fingerprint
             state.remove()
@@ -80,8 +91,23 @@ def streaming_exact_dedup(
                 continue
             total += len(pdf)
             if prior == 0:
-                cand = pdf.loc[[pdf[id_col].idxmin()]]
-                if best is None or cand[id_col].iloc[0] < best[id_col].iloc[0]:
+                # NULL ids sort last (min of the non-null ids); an
+                # all-NULL-id chunk falls back to the first row —
+                # idxmin() on all-NaN returns NaN and .loc[[nan]] would
+                # crash the whole streaming query
+                sub = pdf[pdf[id_col].notna()]
+                pick = sub[id_col].idxmin() if len(sub) else pdf.index[0]
+                cand = pdf.loc[[pick]]
+                if (
+                    best is None
+                    or (
+                        cand[id_col].notna().iloc[0]
+                        and (
+                            best[id_col].isna().iloc[0]
+                            or cand[id_col].iloc[0] < best[id_col].iloc[0]
+                        )
+                    )
+                ):
                     best = cand
         state.update((total,))
         if use_ttl:

@@ -75,36 +75,31 @@ class StreamingValidator:
         Output: `window, rule_id, tag, n_checked, n_failed, pass` —
         the streaming analogue of ``ValidationResult.verdicts``.
         """
+        from jsonschema_validator_spark.engine import unpivot_verdicts
+
         res = self._result(stream)
         checks = res.compiled.checks
-        # warn mode ≡ loose (reference never branches on ModeWarn —
-        # validator.go:507/806); only the engine-native non_fatal_verdicts
-        # option softens the pass flag (parity with batch verdicts)
-        non_fatal = res.non_fatal_verdicts
         wm = stream.withWatermark(ts_col, watermark)
+        if not checks:
+            # zero compiled checks: the F.array()-of-nothing unpivot fails
+            # analysis (the batch verdicts() guard, mirrored) — emit an
+            # empty STREAMING frame with the stable schema
+            return wm.filter(F.lit(False)).select(
+                F.window(F.col(ts_col), window).alias("window"),
+                F.lit(None).cast("string").alias("rule_id"),
+                F.lit(None).cast("string").alias("tag"),
+                F.lit(None).cast("long").alias("n_checked"),
+                F.lit(None).cast("long").alias("n_failed"),
+                F.lit(None).cast("boolean").alias("pass"),
+            )
         aggs = [F.count(F.lit(1)).alias("_n")]
         for i, c in enumerate(checks):
             aggs.append(F.sum((~c.predicate).cast("long")).alias(f"_f{i}"))
         agged = wm.groupBy(F.window(F.col(ts_col), window).alias("window")).agg(*aggs)
-        entries = [
-            F.struct(
-                F.lit(c.rule_id).alias("rule_id"),
-                F.lit(c.tag).alias("tag"),
-                F.col(f"_f{i}").alias("n_failed"),
-            )
-            for i, c in enumerate(checks)
-        ]
-        exploded = agged.select(
-            "window", F.col("_n"), F.explode(F.array(*entries)).alias("_v")
-        )
-        return exploded.select(
-            "window",
-            F.col("_v.rule_id").alias("rule_id"),
-            F.col("_v.tag").alias("tag"),
-            F.col("_n").alias("n_checked"),
-            F.col("_v.n_failed").alias("n_failed"),
-            (F.lit(True) if non_fatal else (F.col("_v.n_failed") == 0)).alias("pass"),
-        )
+        # warn ≡ loose; non_fatal_verdicts is the engine-native softener —
+        # the shared unpivot carries both conventions (one copy, batch +
+        # streaming)
+        return unpivot_verdicts(agged, checks, ["window"], res.non_fatal_verdicts)
 
 
 __all__ = ["StreamingValidator"]

@@ -172,3 +172,68 @@ def test_nested_logical_composition(spark):
     assert out[3]["message"] == (
         "failed to validate against schema at allOf[1] for keyword 'not'"
     )
+
+
+class TestStrictSubschemaScreening:
+    """Review fix: strict-mode unknown-keyword screening recursed only
+    into `properties` — typos inside items / patternProperties /
+    dependencies(schema) / additionalProperties sub-schemas compiled
+    cleanly and the constraint silently never ran. The reference
+    sub-compiles exactly those keywords with the parent's mode
+    (schema.go:136-261); logical-composition keywords are deliberately
+    NOT screened (the reference stores them without sub-Compile)."""
+
+    def test_typo_inside_items_fails_strict(self):
+        import pytest as _pytest
+
+        from jsonschema_validator_spark.rules.base import SpecError
+        from jsonschema_validator_spark.spec import Spec
+
+        for sub in (
+            {"items": {"minLenght": 3}},
+            {"items": [{"type": "string"}, {"minLenght": 3}]},
+            {"patternProperties": {"^x": {"minLenght": 3}}},
+            {"dependencies": {"a": {"minLenght": 3}}},
+            {"additionalProperties": {"minLenght": 3}},
+        ):
+            with _pytest.raises(SpecError, match="minLenght"):
+                Spec({"properties": {"a": sub}})
+
+    def test_loose_mode_still_tolerates(self):
+        from jsonschema_validator_spark.spec import Spec
+
+        Spec({"properties": {"a": {"items": {"minLenght": 3}}}}, mode="loose")
+
+    def test_logical_subschemas_not_screened_reference_parity(self):
+        from jsonschema_validator_spark.spec import Spec
+
+        # the reference never sub-compiles allOf/anyOf/oneOf/not, so a
+        # typo there is NOT a strict compile error (parity, not a bug)
+        Spec({"properties": {"a": {"allOf": [{"minLenght": 3}]}}})
+
+
+class TestModeHandling:
+    def test_embedded_mode_honored_and_conflicts_raise(self):
+        import pytest as _pytest
+
+        from jsonschema_validator_spark.rules.base import SpecError
+        from jsonschema_validator_spark.spec import Spec
+
+        # embedded loose mode tolerates unknown keywords
+        Spec({"mode": "loose", "properties": {"a": {"zzz": 1}}})
+        with _pytest.raises(SpecError, match="conflicting"):
+            Spec({"mode": "loose", "properties": {}}, mode="strict")
+        with _pytest.raises(SpecError, match="invalid mode"):
+            Spec({"properties": {}}, mode="sloppy")
+
+    def test_validator_rejects_conflicting_mode_for_prebuilt_spec(self):
+        import pytest as _pytest
+
+        from jsonschema_validator_spark import Spec, Validator
+        from jsonschema_validator_spark.rules.base import SpecError
+
+        s = Spec({"properties": {"a": {"minimum": 1}}}, mode="strict")
+        Validator(s)  # no mode: fine
+        Validator(s, mode="strict")  # matching: fine
+        with _pytest.raises(SpecError, match="conflicting"):
+            Validator(s, mode="loose")

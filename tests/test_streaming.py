@@ -492,3 +492,64 @@ def test_streaming_contamination_bench_size_guard(spark):
     # the same guard fires through the operator entry point
     with _pytest.raises(ValueError, match="max_bench_shingles"):
         streaming_contamination_flags(docs, docs, max_bench_shingles=10)
+
+
+def test_streaming_dedup_null_text_passes_through(spark, tmp_path):
+    """Review fix: NULL-text rows all share a NULL fingerprint — they were
+    deduped against each other (999 of 1000 NULL docs silently vanished)
+    and an all-NULL-id chunk crashed the query via pandas idxmin(NaN).
+    NULL-text rows now pass through untouched; NULL ids never crash."""
+    import os
+
+    from jsonschema_validator_spark.streaming.dedup import streaming_exact_dedup
+
+    schema = "doc_id long, text string"
+    flat = str(tmp_path / "nulls")
+    os.makedirs(flat)
+    rows = [(1, None), (2, None), (None, "same text"), (None, "same text"), (5, "x")]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(flat + "/b0")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(flat + "/b*")
+    out = streaming_exact_dedup(stream)
+    q = out.writeStream.format("memory").queryName("dedup_nulls").outputMode(
+        "append"
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    got = [
+        (r["doc_id"], r["text"])
+        for r in spark.sql("SELECT * FROM dedup_nulls").collect()
+    ]
+    # both NULL-text rows survive; the duplicated text emits exactly one
+    # row (NULL ids tolerated); the unique row survives
+    assert sorted(x for x in got if x[1] is None) == [(1, None), (2, None)]
+    assert len([x for x in got if x[1] == "same text"]) == 1
+    assert (5, "x") in got
+
+
+def test_streaming_windowed_verdicts_zero_checks_is_streaming(spark, tmp_path):
+    """Review fix: a spec that compiles to zero checks made the streaming
+    verdicts path fail analysis on an empty unpivot (the batch guard was
+    never mirrored); and the zero-check frames must stay STREAMING."""
+    import os
+
+    schema = "ts timestamp, v long"
+    src = str(tmp_path / "zc")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(datetime(2026, 1, 1, 0, 0, 0), 1)], schema
+    ).coalesce(1).write.parquet(src + "/b0")
+    stream = spark.readStream.schema(schema).parquet(src + "/b*")
+    sv = StreamingValidator({"properties": {"v": {"title": "annotation only"}}})
+    out = sv.windowed_verdicts(stream, ts_col="ts")
+    assert out.isStreaming
+    assert out.columns == ["window", "rule_id", "tag", "n_checked", "n_failed", "pass"]
+    viols = sv.violations(stream)
+    assert viols.isStreaming  # was a static createDataFrame([]) frame
+    q = out.writeStream.format("memory").queryName("zc_sink").outputMode(
+        "append"
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT * FROM zc_sink").count() == 0
