@@ -651,7 +651,10 @@ def audio_feature_rows(n: int = 24, seed: int = 42) -> list[tuple]:
                 payload, dtype="<f4" if bits == 32 else "<f8"
             ).astype(np.float64)
         elif bits == 8:
-            wave = (np.frombuffer(payload, np.uint8).astype(np.float64) - 128.0) / 127.0
+            wave = np.maximum(
+                (np.frombuffer(payload, np.uint8).astype(np.float64) - 128.0) / 127.0,
+                -1.0,
+            )  # clamp byte 0 to the [-1,1] bound — twin of decode_wav
         elif bits == 24:
             b3 = np.frombuffer(payload, np.uint8).reshape(-1, 3)
             w32 = np.zeros((b3.shape[0], 4), np.uint8)

@@ -64,7 +64,13 @@ def encode_png(
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, c = pixels.shape
-    assert pixels.dtype == np.uint8 and c == _CTYPE_CHANNELS[color_type]
+    if pixels.dtype != np.uint8 or c != _CTYPE_CHANNELS[color_type]:
+        # a bare assert is stripped under python -O, silently emitting a
+        # PNG whose IHDR disagrees with the data
+        raise ValueError(
+            f"encode_png needs uint8 pixels with {_CTYPE_CHANNELS[color_type]} "
+            f"channels for color_type {color_type}, got {pixels.dtype} x{c}"
+        )
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     flat = pixels.reshape(h, w * c).astype(np.int32)
     if filter_type == 0:
@@ -249,7 +255,8 @@ def _unblockify(blocks: np.ndarray, H: int, W: int, h: int, w: int) -> np.ndarra
 def encode_fdct(pixels: np.ndarray) -> bytes:
     """RGB uint8 (h, w, 3) → DCT-quantized lossy payload."""
     h, w, c = pixels.shape
-    assert c == 3 and pixels.dtype == np.uint8
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError(f"encode_fdct needs uint8 (h, w, 3) pixels, got {pixels.dtype} x{c}")
     coeffs = []
     for ch in range(3):
         blocks, H, W = _blockify(pixels[:, :, ch].astype(np.float64) - 128.0)

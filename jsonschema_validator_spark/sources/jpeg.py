@@ -477,8 +477,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     Accepts SOF0/SOF1 scans (1 or 3 components, any sampling factors that
     divide the max factor), reads quantization and Huffman tables from the
     stream, honors DRI/RSTn. Raises ValueError for progressive,
-    arithmetic-coded, truncated, or otherwise unsupported streams.
+    arithmetic-coded, truncated, or otherwise unsupported streams — for
+    EVERY malformed-stream failure mode: index/arithmetic errors from
+    corrupt tables or zero sampling factors are converted here so callers
+    (decode_image, decode_avi_frames, the oracle readers) can quarantine
+    on one exception type. Known limitation: a 1-component scan with
+    sampling factors > 1 is decoded as interleaved (T.81 A.2.2 says a
+    single-component scan is non-interleaved); encoders emitting that
+    shape are rare and such streams raise rather than misdecode silently.
     """
+    try:
+        return _decode_jpeg_inner(data)
+    except (IndexError, ZeroDivisionError, struct.error) as exc:
+        # corrupt DHT bit tables, empty SOF/SOS bodies, zero sampling
+        # factors — all ValueError per the contract, never a crash class
+        raise ValueError(
+            f"malformed JPEG stream: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -548,10 +566,29 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, fh, fw, nc = body[0], u16(pos + 2 + 1) , u16(pos + 2 + 3), body[5]
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
+            if fh < 1 or fw < 1:
+                raise ValueError("invalid SOF dimensions")
+            if fh * fw > (1 << 31):
+                # a short corrupt stream can declare 65535x65535 with 4x4
+                # sampling — a multi-TB allocation; no plausible payload
+                # this decoder sees is beyond 2^31 samples
+                raise ValueError("implausible SOF dimensions")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    # T.81 table B.2: factors are 1..4; 0 divides by zero
+                    raise ValueError(f"invalid sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, tq))
+            if len(comps) == 1 and comps[0][1:3] != (1, 1):
+                # T.81 A.2.2: a single-component scan is NON-interleaved
+                # (component padded to 8, not to the MCU); this decoder
+                # only implements the interleaved layout, so reject rather
+                # than misdecode the block order
+                raise ValueError(
+                    "unsupported: single-component scan with sampling > 1"
+                )
             frame = (fh, fw, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("unsupported JPEG mode (progressive/arithmetic)")

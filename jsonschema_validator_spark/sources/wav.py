@@ -85,10 +85,17 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     or unsupported format tags (compressed WAV needs a real codec)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
+    # bound the walk by the declared RIFF size (clamped to the buffer):
+    # real-world files carry trailing tag/padding bytes AFTER the RIFF
+    # payload, which are not chunks — walking to end-of-file rejected
+    # WAVs every mainstream reader accepts (the AVI walker already
+    # bounds itself this way)
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    end = min(len(data), 8 + riff_size)
     pos = 12
     fmt_info = None
     payload = None
-    while pos + 8 <= len(data):
+    while pos + 8 <= end:
         cid = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + size]
@@ -117,7 +124,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         elif bits in _PCM_DTYPES:
             raw = np.frombuffer(payload, dtype=_PCM_DTYPES[bits])
             if bits == 8:
-                wave = (raw.astype(np.float64) - 128.0) / 127.0
+                # byte 0 maps to -128/127 = -1.0079; clamp so the
+                # documented [-1, 1] output bound holds for external
+                # files too (our encoder never emits byte 0; the oracle
+                # reader clamps identically)
+                wave = np.maximum((raw.astype(np.float64) - 128.0) / 127.0, -1.0)
             else:
                 wave = raw.astype(np.float64) / float(2 ** (bits - 1) - 1)
         else:

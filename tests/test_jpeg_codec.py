@@ -157,3 +157,55 @@ def test_fill_bytes_before_markers_are_skipped():
 def test_encoder_restart_interval_range():
     with pytest.raises(ValueError, match="restart_interval"):
         encode_jpeg(np.zeros((8, 8, 3), np.uint8), restart_interval=70000)
+
+
+class TestMalformedStreamContract:
+    """Review fixes: every malformed-stream failure mode raises ValueError
+    (zero sampling factors divided by zero; truncated DHT bit tables and
+    empty SOF bodies raised IndexError; huge declared dims attempted
+    multi-TB allocations), and single-component scans with sampling > 1
+    (non-interleaved per T.81 A.2.2, unimplemented) reject loudly."""
+
+    def _encode_tiny(self):
+        px = np.full((8, 8, 3), 90, np.uint8)
+        return bytearray(encode_jpeg(px, quality=90))
+
+    def _patch_sof(self, blob, offset_fn):
+        blob = bytearray(blob)
+        i = blob.find(b"\xff\xc0")
+        assert i > 0
+        offset_fn(blob, i)
+        return bytes(blob)
+
+    def test_zero_sampling_factor_is_valueerror(self):
+        def corrupt(b, i):
+            b[i + 11] = 0x00  # first component hv byte -> 0x00
+
+        bad = self._patch_sof(self._encode_tiny(), corrupt)
+        with pytest.raises(ValueError, match="sampling"):
+            decode_jpeg(bad)
+
+    def test_huge_dims_are_valueerror_not_oom(self):
+        def corrupt(b, i):
+            b[i + 5 : i + 9] = b"\xff\xff\xff\xff"  # fh = fw = 65535
+
+        bad = self._patch_sof(self._encode_tiny(), corrupt)
+        with pytest.raises(ValueError, match="implausible|truncated|scan"):
+            decode_jpeg(bad)
+
+    def test_truncated_dht_is_valueerror(self):
+        blob = bytearray(self._encode_tiny())
+        i = blob.find(b"\xff\xc4")
+        assert i > 0
+        blob[i + 2 : i + 4] = (6).to_bytes(2, "big")  # DHT length 6: bits cut
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(blob))
+
+    def test_single_component_subsampled_rejected(self):
+        def corrupt(b, i):
+            b[i + 9] = 1  # nc = 1
+            b[i + 11] = 0x22  # hv = 2x2
+
+        bad = self._patch_sof(self._encode_tiny(), corrupt)
+        with pytest.raises(ValueError, match="single-component"):
+            decode_jpeg(bad)

@@ -168,3 +168,42 @@ def test_avi_encoder_input_validation():
         encode_mjpeg_avi(_frames(1, w=16) + _frames(1, w=32), fps=10)
     with pytest.raises(ValueError, match="fps"):
         encode_mjpeg_avi(_frames(1), fps=0)
+
+
+class TestWavReviewRegressions:
+    def test_trailing_junk_after_riff_payload_tolerated(self):
+        """Real-world WAVs carry tag/padding bytes after the RIFF payload;
+        the walk is bounded by the declared RIFF size (review fix — the
+        unbounded walk raised 'truncated WAV chunk' on them)."""
+        import numpy as np
+
+        from jsonschema_validator_spark.sources.wav import decode_wav_mono, encode_wav
+
+        wave = np.sin(np.linspace(0, 6.28, 800)).astype(np.float64) * 0.5
+        blob = encode_wav(wave, 8000, bits=16) + b"TAG\x01junkjunk"
+        pcm, rate = decode_wav_mono(blob)
+        assert rate == 8000 and pcm.size == 800
+
+    def test_u8_byte_zero_clamped_to_minus_one(self):
+        """Byte 0 maps to -128/127 = -1.0079; the documented [-1, 1]
+        bound now holds (clamped, twin of the oracle reader)."""
+        import struct
+
+        import numpy as np
+
+        from jsonschema_validator_spark.sources.wav import decode_wav_mono, encode_wav
+
+        blob = bytearray(encode_wav(np.zeros(4), 8000, bits=8))
+        i = blob.find(b"data")
+        blob[i + 8] = 0  # plant byte 0 in the payload
+        pcm, _ = decode_wav_mono(bytes(blob))
+        assert pcm.min() >= -1.0
+
+    def test_encode_png_raises_not_asserts(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from jsonschema_validator_spark.sources.codecs import encode_png
+
+        with _pytest.raises(ValueError, match="uint8"):
+            encode_png(np.zeros((4, 4, 3), np.float64))
