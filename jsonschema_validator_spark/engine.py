@@ -108,9 +108,16 @@ class Validator:
             # a prebuilt Spec carries its own mode; silently ignoring a
             # CONFLICTING explicit mode here would leave the caller in the
             # wrong mode with no signal
-            if mode is not None and ValidationMode(
-                mode.value if isinstance(mode, ValidationMode) else mode
-            ) != spec.mode:
+            if mode is not None:
+                # same error contract as the Spec path: an invalid mode
+                # string raises SpecError, not a bare ValueError
+                try:
+                    coerced = ValidationMode(
+                        mode.value if isinstance(mode, ValidationMode) else mode
+                    )
+                except ValueError:
+                    raise SpecError(f"invalid mode: {mode!r}") from None
+            if mode is not None and coerced != spec.mode:
                 raise SpecError(
                     f"conflicting modes: Spec was built with "
                     f"mode={spec.mode.value!r} but Validator got mode={mode!r} "

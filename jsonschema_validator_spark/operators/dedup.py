@@ -30,12 +30,27 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     """Parallelism guard for the shingle-heavy operators: a small input
     (e.g. one sub-128MB parquet file → ONE scan split) serializes the whole
     explode+hash pipeline on a single core (measured 3.0 s of a 3.4 s
-    simhash run at 5k docs). When the incoming partition count is below the
-    session's default parallelism, round-robin repartition the (id, text)
-    projection — a trivial shuffle at small scale. At production scale the
-    scan already yields ≥ that many splits and this is a no-op."""
+    simhash run at 5k docs). When the input's source-FILE count is below
+    the session's default parallelism, round-robin repartition the
+    (id, text) projection — a trivial shuffle at small scale. At
+    production scale the scan reads ≥ that many files and this is a no-op.
+
+    Detection uses ``inputFiles()`` (pure plan inspection), NOT
+    ``df.rdd.getNumPartitions()``: converting to an RDD makes AQE
+    materialize the upstream query stages at PLAN BUILD time (the same
+    trap as localCheckpoint, stats.py NOTE) — cheap on a plain scan,
+    silent stage execution behind any computed upstream (VERDICT r4).
+    Non-file inputs (in-memory test frames: no source files) are left
+    as-is — createDataFrame already spreads over defaultParallelism
+    slices. A few huge splittable files can false-positive here (scan
+    splits ≥ files); the extra round-robin of the narrow projection is
+    trivial next to the shingle pipeline it feeds."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file plans (streams, pure-local relations)
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

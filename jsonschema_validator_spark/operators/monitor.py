@@ -46,6 +46,18 @@ from pyspark.sql import functions as F
 _IQR_TO_SIGMA = 1.3489795003921634
 
 
+def _finite_or_null(raw: Column) -> Column:
+    """Screen a metric value to NULL unless it is a FINITE number. NaN and
+    ±Inf are both "missing", like null: NaN compares greater than any
+    value in Spark, and one Inf in a history/calibration makes the
+    center/scale aggregates NaN — either way every subsequent point of the
+    series would alarm forever. The streaming twins mirror this rule
+    (math.isfinite) so batch==stream parity holds on poisoned series."""
+    return F.when(
+        raw.isNotNull() & ~F.isnan(raw) & (F.abs(raw) != float("inf")), raw
+    )
+
+
 def _interp_quantile(sorted_arr: Column, n: Column, p: float) -> Column:
     """Linear-interpolated quantile of a SORTED array column (1-indexed
     ``element_at``; caller guarantees n ≥ 1 on evaluated rows)."""
@@ -141,7 +153,7 @@ def control_chart(
     # not enter histories — NaN compares greater than any value in Spark,
     # so one NaN in a history would flag every subsequent point forever
     raw = F.col(value_col).cast("double")
-    v = F.when(raw.isNotNull() & ~F.isnan(raw), raw)
+    v = _finite_or_null(raw)
     df = df.withColumn("n_history", F.count(v).over(w).cast("int"))
     warm = F.col("n_history") >= F.lit(min_history)
     return _attach_chart_stats(
@@ -262,7 +274,7 @@ def _bounded_control_chart(
     # NaN = missing, like null (same rule as the unbounded path): NaN
     # rows go to the null branch and never enter the bounded frames
     raw = F.col(value_col).cast("double")
-    v = F.when(raw.isNotNull() & ~F.isnan(raw), raw)
+    v = _finite_or_null(raw)
     # bounded history size = min(preceding non-null count, k) — valid for
     # null rows too (count() skips nulls), so compute it BEFORE the split.
     df = df.withColumn(
@@ -357,7 +369,7 @@ def cusum_chart(
     raw = F.col(value_col).cast("double")
     # NaN is "missing", like null: it must neither calibrate nor
     # contribute (one NaN in a running sum poisons every later point)
-    v = F.when(raw.isNotNull() & ~F.isnan(raw), raw)
+    v = _finite_or_null(raw)
     # 1-based index among the series' valid values (count includes the
     # current row when valid) — drives warmup membership and n_history.
     df = df.withColumn("_nn_rank", F.count(v).over(w_incl))

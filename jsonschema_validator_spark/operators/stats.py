@@ -141,7 +141,7 @@ def robust_outlier_stats(
     columns: Optional[Sequence[str]] = None,
     z_threshold: float = 3.0,
     tukey_k: float = 1.5,
-    exact: bool = True,
+    exact: bool = False,
     accuracy: int = 10000,
 ) -> DataFrame:
     """Robust per-column outlier statistics: median / MAD / robust-z counts
@@ -158,11 +158,14 @@ def robust_outlier_stats(
     robust counts; each statistic depends on the previous pass's scalars),
     each a single all-column aggregation whose 1-row result is broadcast
     into the next pass — no driver-side collect, no shuffle beyond
-    O(partitions) partial-agg rows. ``exact=True`` (test/oracle scale)
-    uses sort-based ``percentile`` — bit-identical to DuckDB's
-    quantile_cont (verified empirically, incl. interpolated midpoints), so
-    outlier-count parity needs no rounding. ``exact=False`` is the 100 TB
-    path: mergeable ``percentile_approx`` sketches, same three-pass shape.
+    O(partitions) partial-agg rows. The DEFAULT ``exact=False`` is the
+    100 TB path: mergeable ``percentile_approx`` sketches, same
+    three-pass shape (same default as :func:`numeric_quantiles` — the
+    sort-based exact aggregate buffers values per aggregate and is an
+    OOM bomb at 10^12 rows). ``exact=True`` is the test/oracle scale
+    opt-in: sort-based ``percentile``, bit-identical to DuckDB's
+    quantile_cont (verified empirically, incl. interpolated midpoints),
+    so outlier-count parity needs no rounding.
 
     A constant column has mad = iqr = 0, making every deviating value an
     outlier — the conventional (and intended) degenerate behavior.
@@ -204,7 +207,7 @@ def robust_outlier_stats_by_group(
     columns: Optional[Sequence[str]] = None,
     z_threshold: float = 3.0,
     tukey_k: float = 1.5,
-    exact: bool = True,
+    exact: bool = False,
     accuracy: int = 10000,
 ) -> DataFrame:
     """Per-group robust outlier LOCALIZATION — the

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from jsonschema_validator_spark.operators.dedup import _norm
+from jsonschema_validator_spark.operators.dedup import _fingerprint
 
 _FP_COL = "_fp"
 
@@ -115,9 +115,10 @@ def streaming_exact_dedup(
         if prior == 0 and best is not None:
             yield best[cols]
 
-    keyed = stream.withColumn(
-        _FP_COL, F.substring(F.md5(_norm(F.col(text_col))), 1, 16)
-    )
+    # THE single copy of the fingerprint formula (operators/dedup.py) —
+    # inlining it here would let the streaming twin desynchronize from
+    # the batch operators and the curation funnel (ADVICE r4)
+    keyed = stream.withColumn(_FP_COL, _fingerprint(F.col(text_col)))
     return keyed.groupBy(_FP_COL).applyInPandasWithState(
         fn,
         outputStructType=out_schema,

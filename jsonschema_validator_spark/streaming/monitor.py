@@ -54,7 +54,9 @@ def _score(hist: list, x: float, min_history: int, z_threshold: float, method: s
     the batch chart's per-row expression (same interpolation, same
     zero-scale and warmup rules)."""
     n = len(hist)
-    if n < min_history or x is None or (isinstance(x, float) and math.isnan(x)):
+    if n < min_history or x is None or (
+        isinstance(x, float) and not math.isfinite(x)
+    ):
         return n, None, None, None, False
     if method == "robust":
         center = float(np.percentile(hist, 50, method="linear"))
@@ -142,7 +144,13 @@ def streaming_control_chart(
         rows = []
         for _, row in pdf.iterrows():
             raw = row[value_col]
-            x = None if pd.isna(raw) else float(raw)
+            # NaN AND ±Inf are "missing", like null (the batch charts'
+            # _finite_or_null rule): neither may enter history/calibration
+            x = (
+                None
+                if pd.isna(raw) or not math.isfinite(float(raw))
+                else float(raw)
+            )
             n, center, scale, z, flag = _score(
                 hist, x, min_history, z_threshold, method
             )
@@ -239,7 +247,13 @@ def streaming_cusum_chart(
         rows = []
         for _, row in pdf.iterrows():
             raw = row[value_col]
-            x = None if pd.isna(raw) else float(raw)
+            # NaN AND ±Inf are "missing", like null (the batch charts'
+            # _finite_or_null rule): neither may enter history/calibration
+            x = (
+                None
+                if pd.isna(raw) or not math.isfinite(float(raw))
+                else float(raw)
+            )
             n_hist = nn_seen
             if x is None:
                 rows.append([row[c] for c in keep] + [n_hist, mu0, sigma0, None, None, False])

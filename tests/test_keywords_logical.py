@@ -237,3 +237,7 @@ class TestModeHandling:
         Validator(s, mode="strict")  # matching: fine
         with _pytest.raises(SpecError, match="conflicting"):
             Validator(s, mode="loose")
+        # same error contract as the Spec path (ADVICE r4): an invalid
+        # mode string is a SpecError, never a bare ValueError
+        with _pytest.raises(SpecError, match="invalid mode"):
+            Validator(s, mode="bogus")

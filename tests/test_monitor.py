@@ -275,6 +275,27 @@ def test_control_chart_nan_is_missing(spark, method):
         assert got[("s", 6)]["is_anomaly"], kw
 
 
+@pytest.mark.parametrize("method", ["robust", "classic"])
+def test_control_chart_inf_is_missing(spark, method):
+    """±Inf behaves exactly like null/NaN in both chart modes (ADVICE
+    r4): one Inf in a history makes the center/scale aggregates NaN, and
+    NaN compares greater than any threshold in Spark — every subsequent
+    point would alarm forever."""
+    raw = [10.0, 10.2, float("inf"), 9.8, float("-inf"), 10.1, 9.9, 30.0]
+    as_null = [10.0, 10.2, None, 9.8, None, 10.1, 9.9, 30.0]
+    for kw in ({}, {"max_history": 4}):
+        got = _chart_rows(
+            spark, {"s": raw}, min_history=3, z_threshold=3.0, method=method, **kw
+        )
+        exp = _np_expected(as_null, 3, 3.0, method, kw.get("max_history"))
+        for i, (n, z, flag) in enumerate(exp):
+            r = got[("s", i)]
+            assert r["n_history"] == n, (i, kw)
+            assert r["is_anomaly"] == flag, (i, kw)
+        # the spike at the end is still caught (history stayed finite)
+        assert got[("s", 7)]["is_anomaly"], kw
+
+
 def test_classic_constant_series_never_self_flags(spark):
     """Regression: a perfectly constant series must never flag its own
     constant value — avg() accumulation drift made the classic chart's
@@ -523,6 +544,27 @@ def test_cusum_nan_is_missing_not_poison(spark):
     assert got2[("s", 6)]["mu0"] == pytest.approx(exp_mu0, rel=1e-12)
 
 
+def test_cusum_inf_is_missing_not_poison(spark):
+    """±Inf behaves exactly like null/NaN in the CUSUM (ADVICE r4): an
+    Inf in the calibration window makes sigma0 NaN (alarming every later
+    point), an Inf after calibration poisons the running sums. Both are
+    screened to missing."""
+    rng = np.random.default_rng(7)
+    clean = [float(x) for x in rng.normal(10, 1, 14)]
+    vals = clean[:5] + [float("inf")] + clean[5:10] + [float("-inf")] + clean[10:]
+    nulls = clean[:5] + [None] + clean[5:10] + [None] + clean[10:]
+    got = _cusum_rows(spark, {"s": vals}, warmup=8, slack=0.5, h=5.0)
+    exp = _np_cusum(nulls, None, None, 8, 0.5, 5.0)
+    for i, (n, sp, sn, flag) in enumerate(exp):
+        r = got[("s", i)]
+        assert r["n_history"] == n, i
+        assert r["is_anomaly"] == flag, i
+        if sp is None:
+            assert r["s_pos"] is None, i
+        else:
+            assert r["s_pos"] == pytest.approx(sp, rel=1e-9), i
+
+
 def test_cusum_validates_args(spark):
     df = spark.createDataFrame([("s", 0, 1.0)], "series string, ord int, value double")
     with pytest.raises(ValueError, match="warmup"):
@@ -758,6 +800,55 @@ def test_streaming_chart_bounded_state_rolls(spark, tmp_path):
                 assert r["z"] == pytest.approx(
                     (x - center) / (iqr / _IQR_TO_SIGMA), abs=1e-9
                 )
+
+
+def test_streaming_twins_inf_parity(spark, tmp_path):
+    """±Inf screening holds batch==stream (ADVICE r4 mirror rule): a
+    series poisoned with Inf replayed through BOTH streaming twins
+    matches the batch operators point for point — neither side lets an
+    Inf enter history, calibration, or the running sums."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    clean = [float(x) for x in rng.normal(2.0, 0.5, 12)]
+    vals = clean[:4] + [float("inf")] + clean[4:8] + [float("-inf")] + clean[8:]
+    rows = [("s", i, v) for i, v in enumerate(vals)]
+    src = tmp_path / "inf_src"
+    src.mkdir()
+    for b in range(2):
+        batch = [r for r in rows if 7 * b <= r[1] < 7 * (b + 1)]
+        spark.createDataFrame(batch, "series string, ord int, value double").coalesce(
+            1
+        ).write.parquet(str(src / f"b{b}"))
+    batch_df = spark.createDataFrame(rows, "series string, ord int, value double")
+
+    got = _drain_stream(spark, str(src) + "/b*", "inf_chart", min_history=3)
+    want = {
+        (r["series"], r["ord"]): r.asDict()
+        for r in control_chart(
+            batch_df, ["series"], "ord", "value", min_history=3
+        ).collect()
+    }
+    for k in want:
+        assert got[k]["n_history"] == want[k]["n_history"], k
+        assert got[k]["is_anomaly"] == want[k]["is_anomaly"], k
+        assert (got[k]["z"] is None) == (want[k]["z"] is None), k
+    # the Inf rows themselves are unscored on both sides
+    assert want[("s", 4)]["z"] is None and want[("s", 9)]["z"] is None
+
+    got_c = _drain_cusum_stream(
+        spark, str(src) + "/b*", "inf_cusum", warmup=5, h=4.0
+    )
+    want_c = {
+        (r["series"], r["ord"]): r.asDict()
+        for r in cusum_chart(
+            batch_df, ["series"], "ord", "value", warmup=5, h=4.0
+        ).collect()
+    }
+    for k in want_c:
+        assert got_c[k]["n_history"] == want_c[k]["n_history"], k
+        assert got_c[k]["is_anomaly"] == want_c[k]["is_anomaly"], k
+        assert (got_c[k]["s_pos"] is None) == (want_c[k]["s_pos"] is None), k
 
 
 def test_streaming_chart_validates_args(spark, tmp_path):

@@ -492,7 +492,9 @@ class TestRobustOutlierStats:
         # 1..20 plus two gross outliers and a null
         vals = [float(i) for i in range(1, 21)] + [1000.0, -1000.0, None]
         df = spark.createDataFrame([(v,) for v in vals], "x double")
-        (r,) = robust_outlier_stats(df, ["x"]).collect()
+        # exact=True: asserts the interpolated midpoint (10.5) — the
+        # sketch default returns an actual element, not an interpolation
+        (r,) = robust_outlier_stats(df, ["x"], exact=True).collect()
         assert r["n_values"] == 22
         assert r["median"] == pytest.approx(10.5)
         # both gross outliers trip both detectors; nothing else does
@@ -519,7 +521,7 @@ class TestRobustOutlierStats:
         got = {
             r["column"]: r.asDict()
             for r in robust_outlier_stats(
-                df, ["l_quantity", "l_extendedprice"]
+                df, ["l_quantity", "l_extendedprice"], exact=True
             ).collect()
         }
         con = duckdb.connect()
@@ -554,6 +556,28 @@ class TestRobustOutlierStats:
         assert ap["median"] == pytest.approx(ex["median"], rel=0.01)
         assert ap["mad"] == pytest.approx(ex["mad"], rel=0.02)
 
+    def test_default_is_sketch_not_sort_percentile(self, spark):
+        """The API DEFAULT is the 100 TB plan (VERDICT r4 'What's wrong'
+        #1): mergeable percentile_approx sketches, never the sort-based
+        exact percentile (which buffers every value per aggregate — an
+        OOM bomb at 10^12 rows). Gated oracle queries opt in to
+        exact=True explicitly at their call sites."""
+        import inspect
+
+        from jsonschema_validator_spark.operators import stats as S
+
+        for fn in (
+            S.robust_outlier_stats,
+            S.robust_outlier_stats_by_group,
+            S.numeric_quantiles,
+        ):
+            assert inspect.signature(fn).parameters["exact"].default is False, fn
+        approx_expr = str(S._outlier_pctl_fn(False, 1000)(F.col("x"), [0.5]))
+        assert "percentile_approx" in approx_expr
+        exact_expr = str(S._outlier_pctl_fn(True, 1000)(F.col("x"), [0.5]))
+        assert "percentile_approx" not in exact_expr
+        assert "percentile" in exact_expr
+
 
 class TestRobustOutlierStatsByGroup:
     def test_per_group_parity_with_global(self, spark):
@@ -568,7 +592,7 @@ class TestRobustOutlierStatsByGroup:
         got = {
             (r["group"], r["column"]): r.asDict()
             for r in robust_outlier_stats_by_group(
-                df, "grp", ["l_quantity", "l_extendedprice"]
+                df, "grp", ["l_quantity", "l_extendedprice"], exact=True
             ).collect()
         }
         for g in ("0", "1", "2"):
@@ -577,6 +601,7 @@ class TestRobustOutlierStatsByGroup:
                 for r in robust_outlier_stats(
                     df.filter(F.col("grp").cast("string") == g),
                     ["l_quantity", "l_extendedprice"],
+                    exact=True,
                 ).collect()
             }
             for c, erow in exp.items():
