@@ -481,6 +481,112 @@ def q_drift_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_per_group_localization_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group LOCALIZATION profile — round-5 driver gate for the four
+    formerly tests-only by-group operators, unpivoted to one long shape
+    ``(family, group, stat, value)`` so one slot gates all four (the
+    driver verifies at most 50 queries):
+
+    - ``drift:l_quantity`` — drift_by_group (KS/PSI/JS/EMD + side counts
+      per l_returnflag group, even/odd l_orderkey halves; one scan per
+      side, groupBy(group, bucket) with map-side partial agg);
+    - ``categorical_drift:l_linestatus`` — categorical_drift_by_group
+      (chi²/Cramér's V/TVD/dof/n_categories per group, shared reducer);
+    - ``heavy_hitters:l_linenumber`` — heavy_hitters_by_group top-3 per
+      group (stats ``n:<value>`` / ``share:<value>``);
+    - ``robust_outliers:l_extendedprice`` — robust_outlier_stats_by_group
+      (q1/median/q3/iqr/mad + value/Tukey/robust-z counts; exact=True
+      opt-in at this oracle-gated site — quantile interpolation is
+      bit-identical to DuckDB quantile_cont, so values are unrounded).
+
+    Float convention: drift/categorical statistics and shares round to
+    1e-6 (the profile-query convention); counts, dof and the robust
+    quantile family are exact/bit-parity and stay unrounded. (family,
+    group, stat) is unique, so NULL values can never reach the driver's
+    positional row-sort comparison."""
+    from jsonschema_validator_spark.operators.drift import (
+        categorical_drift_by_group,
+        drift_by_group,
+    )
+    from jsonschema_validator_spark.operators.stats import (
+        heavy_hitters_by_group,
+        robust_outlier_stats_by_group,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    a, b = _halves(spark, sf_dir)
+
+    def unpivot(df, family, rounded, exact):
+        parts = []
+        for s in rounded:
+            parts.append(
+                df.select(
+                    F.lit(family).alias("family"),
+                    F.col("group"),
+                    F.lit(s).alias("stat"),
+                    F.round(F.col(s).cast("double"), 6).alias("value"),
+                )
+            )
+        for s in exact:
+            parts.append(
+                df.select(
+                    F.lit(family).alias("family"),
+                    F.col("group"),
+                    F.lit(s).alias("stat"),
+                    F.col(s).cast("double").alias("value"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    num = unpivot(
+        drift_by_group(a, b, "l_returnflag", "l_quantity", 0.5, 50.5, 50),
+        "drift:l_quantity",
+        rounded=["ks", "psi", "js", "emd"],
+        exact=["n_a", "n_b"],
+    )
+    cat = unpivot(
+        categorical_drift_by_group(a, b, "l_returnflag", "l_linestatus"),
+        "categorical_drift:l_linestatus",
+        rounded=["chi2", "cramers_v", "tvd"],
+        exact=["n_categories", "dof", "n_a", "n_b"],
+    )
+    hh = heavy_hitters_by_group(li, "l_returnflag", "l_linenumber", k=3)
+    hh_rows = hh.select(
+        F.lit("heavy_hitters:l_linenumber").alias("family"),
+        F.col("group"),
+        F.concat(F.lit("n:"), F.col("value")).alias("stat"),
+        F.col("n").cast("double").alias("value"),
+    ).unionByName(
+        hh.select(
+            F.lit("heavy_hitters:l_linenumber").alias("family"),
+            F.col("group"),
+            F.concat(F.lit("share:"), F.col("value")).alias("stat"),
+            F.round(F.col("share").cast("double"), 6).alias("value"),
+        )
+    )
+    rob = unpivot(
+        robust_outlier_stats_by_group(
+            li, "l_returnflag", ["l_extendedprice"], exact=True
+        ),
+        "robust_outliers:l_extendedprice",
+        rounded=[],
+        exact=[
+            "q1",
+            "median",
+            "q3",
+            "iqr",
+            "mad",
+            "n_values",
+            "n_tukey_outliers",
+            "n_robust_outliers",
+        ],
+    )
+    return num.unionByName(cat).unionByName(hh_rows).unionByName(rob)
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonschema_validator_spark.operators.dedup import exact_duplicates
 
@@ -598,11 +704,28 @@ def q_stratified_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jsonschema_validator_spark.operators.similarity import brute_force_topk
+    """Top-k similarity search, BOTH paths method-tagged in one result:
+    the exact brute-force baseline (cross-score + rank window) and the
+    single-probe hyperplane-LSH ANN pipeline (bucket equi-join). Round-5
+    consolidation: absorbs the former ann_lsh_topk query — identical
+    output shape, one driver slot (the driver verifies at most 50
+    queries). Oracles stay split by method: DuckDB computes the brute
+    rows live (list_dot_product), the LSH rows come from the golden
+    XXH64 + pandas twin (oracle.ann_topk_rows)."""
+    from jsonschema_validator_spark.operators.similarity import (
+        ann_topk,
+        brute_force_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return brute_force_topk(emb, queries, k=5)
+    brute = brute_force_topk(emb, queries, k=5).select(
+        F.lit("brute").alias("method"), "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+    lsh = ann_topk(emb, queries, dim=64, k=5, n_planes=8).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+    return brute.unionByName(lsh)
 
 
 def q_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -619,11 +742,71 @@ def q_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jsonschema_validator_spark.operators.dedup import minhash_lsh_candidates
+def q_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based near-duplicate candidate pairs, BOTH signature families
+    method-tagged in one result: MinHash-LSH banding (score =
+    n_shared_bands) and SimHash bit-slice buckets (score = hamming
+    distance). Round-5 consolidation: absorbs the former
+    minhash_candidates + simhash_neardups queries — same (id_a, id_b,
+    integer-score) shape, one driver slot. Both sides keep their golden
+    pure-Python XXH64 + pandas oracles (oracle.minhash_candidate_rows /
+    simhash_neardup_rows)."""
+    from jsonschema_validator_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        simhash_near_duplicates,
+    )
 
     df = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(df, n_hashes=32, bands=8)
+    mh = minhash_lsh_candidates(df, n_hashes=32, bands=8).select(
+        F.lit("minhash_lsh").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("n_shared_bands").cast("long").alias("score"),
+    )
+    sh = simhash_near_duplicates(df, max_hamming=3).select(
+        F.lit("simhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("long").alias("score"),
+    )
+    return mh.unionByName(sh)
+
+
+def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup through the data-plane Bloom filter
+    (operators/bloom — round-5 driver gate for the formerly tests-only
+    family): the 'seen' corpus (doc_id % 7 != 0) builds a bitmap frame
+    (ONE scan, bit_or word aggregate), each 'new' increment row
+    (doc_id % 3 == 0) is probed (broadcast word join keyed by distinct
+    key value), and incremental_new_rows routes ONLY the maybe-seen
+    sliver through the exact anti-join. Output per new row:
+    ``doc_id, maybe_seen`` (the phase-1 bloom verdict — golden-parity
+    vs the pure-Python xxh64 bitmap twin, oracle.bloom_incremental_rows)
+    and ``is_new`` (the phase-2 exact verdict — equals a plain left_anti
+    by the operator's pinned contract). Rows where maybe_seen and is_new
+    are both true are the filter's false positives; false negatives are
+    impossible (asserted in the oracle twin). m=4096, k=5 explicit —
+    deterministic sizing for the golden oracle."""
+    from jsonschema_validator_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        incremental_new_rows,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    seen = docs.filter(F.col("doc_id") % 7 != 0).select(key.alias("k"))
+    new = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", key.alias("k"))
+    bf = bloom_build(seen, "k", m=4096, k=5)
+    flagged = bloom_might_contain(new, bf, "k", flag_col="maybe_seen")
+    inc = incremental_new_rows(new, seen, "k", bloom=bf).select(
+        "doc_id", F.lit(True).alias("is_new")
+    )
+    return flagged.join(inc, "doc_id", "left").select(
+        "doc_id",
+        "maybe_seen",
+        F.coalesce("is_new", F.lit(False)).alias("is_new"),
+    )
 
 
 def q_jaccard_via_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,12 +904,6 @@ def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         contamination_threshold=0.5,
     )
     return stats.orderBy("stage_idx")
-
-
-def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jsonschema_validator_spark.operators.dedup import simhash_near_duplicates
-
-    return simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 PART_SPEC = {
@@ -1184,6 +1361,78 @@ def q_streaming_windowed_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_streaming_metrics_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the metrics_monitoring control chart under the
+    driver gate (round 5): the same deterministic monthly fail-rate
+    series (3 rule series × ~83 months) is replayed through
+    streaming/monitor.streaming_control_chart in three ord-contiguous
+    micro-batches — per-series history state carries ACROSS batches via
+    applyInPandasWithState — and the output is checked against the SAME
+    DuckDB expanding-window oracle that gates the batch chart (windowed
+    quantile_cont; batch==stream equality is the operator's contract,
+    locked point-for-point in test_monitor.py). Row policy matches
+    metrics_monitoring: expose n_history / is_anomaly / bit-exact
+    fail_rate, not the center/scale/z floats (cross-engine quantile
+    interpolation drifts ulps). Results detach from the memory sink via
+    createDataFrame(collect) so the returned frame is a plain batch
+    DataFrame."""
+    import shutil
+    import tempfile
+
+    from jsonschema_validator_spark.streaming.monitor import (
+        streaming_control_chart,
+    )
+
+    hist = _metrics_monthly_history(spark, sf_dir)
+    rows = hist.collect()  # 3 series x ~83 months — driver-scale only
+    ords = sorted({r["snapshot_ord"] for r in rows})
+    cuts = (ords[len(ords) // 3], ords[2 * len(ords) // 3])
+    root = tempfile.mkdtemp(prefix="jsvs_stream_chart_")
+    try:
+        spans = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+        for i, (lo, hi) in enumerate(spans):
+            batch = [
+                r
+                for r in rows
+                if (lo is None or r["snapshot_ord"] >= lo)
+                and (hi is None or r["snapshot_ord"] < hi)
+            ]
+            spark.createDataFrame(batch, hist.schema).coalesce(1).write.parquet(
+                f"{root}/b{i}"
+            )
+        stream = (
+            spark.readStream.schema(hist.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(root + "/b*")
+        )
+        out = streaming_control_chart(
+            stream,
+            ["rule_id"],
+            "snapshot_ord",
+            "fail_rate",
+            min_history=6,
+            z_threshold=2.5,
+            method="robust",
+        )
+        name = "jsvs_stream_metrics_chart"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        res = spark.sql(
+            f"SELECT rule_id, CAST(snapshot_ord AS INT) AS snapshot_ord, "
+            f"fail_rate, CAST(n_history AS BIGINT) AS n_history, is_anomaly "
+            f"FROM {name}"
+        )
+        return spark.createDataFrame(res.collect(), res.schema)  # detach
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_streaming_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming drift monitoring end-to-end: events re-staged as a file
     stream → watermarked per-day windowed ``width_bucket`` histograms
@@ -1304,76 +1553,6 @@ def q_streaming_dedup_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)  # detach
     finally:
         shutil.rmtree(root, ignore_errors=True)
-
-
-def q_ivf_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN under the recall gate (the ann_recall_floor pattern; IVF is
-    the second ANN scale path the build brief names alongside LSH).
-    Coarse quantizer: deterministic spherical k-means trained driver-side
-    on the id-ordered sample (similarity.ivf_train — the faiss
-    train-on-sample shape; at 10^12 rows the sample stays bounded), then
-    cell assignment + probing runs distributed as literal-centroid Column
-    algebra. Measured recall@5 vs brute force on this corpus: 0.78 at
-    n_probe=1, 0.90 at n_probe=4 — data-adaptive cells beat single-probe
-    hyperplane LSH (0.04) by construction on near-orthogonal data.
-    Deterministic end-to-end ⇒ VALUES oracle."""
-    import numpy as np
-
-    from jsonschema_validator_spark.operators.similarity import (
-        brute_force_topk,
-        ivf_topk,
-        ivf_train,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    sample = np.array(
-        [r["embedding"] for r in emb.orderBy("vec_id").limit(512).collect()],
-        dtype=np.float64,
-    )
-    cents = ivf_train(sample, n_cells=16)
-    bf = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
-
-    def hits(ann: DataFrame, name: str) -> DataFrame:
-        return (
-            bf.join(
-                ann.select("query_id", "neighbor_id"),
-                ["query_id", "neighbor_id"],
-                "left_semi",
-            ).agg(F.count(F.lit(1)).alias(name))
-        )
-
-    p1 = ivf_topk(emb, queries, cents, k=5, n_probe=1)
-    p4 = ivf_topk(emb, queries, cents, k=5, n_probe=4)
-    j = (
-        hits(p1, "h1")
-        .crossJoin(hits(p4, "h4"))
-        .crossJoin(bf.agg(F.count(F.lit(1)).alias("t")))
-    )
-    r1 = F.col("h1") / F.col("t")
-    r4 = F.col("h4") / F.col("t")
-    rows = (
-        j.select(
-            F.lit("ivf_c16_p1").alias("config"),
-            F.lit(0.7).alias("floor"),
-            (r1 >= 0.7).alias("recall_ok"),
-        )
-        .unionAll(
-            j.select(
-                F.lit("ivf_c16_p4").alias("config"),
-                F.lit(0.85).alias("floor"),
-                (r4 >= 0.85).alias("recall_ok"),
-            )
-        )
-        .unionAll(
-            j.select(
-                F.lit("ivf_probe_lift").alias("config"),
-                F.lit(0.05).alias("floor"),
-                ((r4 - r1) >= 0.05).alias("recall_ok"),
-            )
-        )
-    )
-    return rows.orderBy("config")
 
 
 def q_images_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1571,19 +1750,16 @@ def q_audio_features_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(df)
 
 
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jsonschema_validator_spark.operators.similarity import ann_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return ann_topk(emb, queries, dim=64, k=5, n_planes=8)
-
-
 def q_ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall gate for the ANN scale path (the hll_distinct_accuracy gate
-    pattern: the approx-vs-exact comparison runs inside Spark, the oracle
-    checks the emitted booleans). recall@5 of :func:`ann_topk` vs the
-    brute-force baseline on the deterministic embeddings corpus:
+    """Recall gate for BOTH ANN scale paths — hyperplane LSH and IVF —
+    against one shared brute-force baseline (the hll_distinct_accuracy
+    gate pattern: the approx-vs-exact comparison runs inside Spark, the
+    oracle checks the emitted booleans). Round-5 consolidation: absorbs
+    the former ivf_recall_floor query (same shape, same baseline) to free
+    a driver slot — the driver verifies at most 50 queries.
+
+    LSH rows — recall@5 of :func:`ann_topk` vs brute force on the
+    deterministic embeddings corpus:
 
     - single-probe single-table (pl=8) is honestly poor on this
       NEAR-ORTHOGONAL corpus (true top-5 cosine ≈0.3–0.45 ⇒ per-plane
@@ -1597,9 +1773,13 @@ def q_ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     All quantities are deterministic (seeded hyperplanes, fixed input,
     1e-6 rounding, neighbor_id tie-break), so the booleans are
     oracle-stable as a VALUES table."""
+    import numpy as np
+
     from jsonschema_validator_spark.operators.similarity import (
         ann_topk,
         brute_force_topk,
+        ivf_topk,
+        ivf_train,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1619,34 +1799,40 @@ def q_ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi = ann_topk(
         emb, queries, dim=64, k=5, n_planes=4, n_probes=3, n_tables=8
     )
+    sample = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").limit(512).collect()],
+        dtype=np.float64,
+    )
+    cents = ivf_train(sample, n_cells=16)
+    p1 = ivf_topk(emb, queries, cents, k=5, n_probe=1)
+    p4 = ivf_topk(emb, queries, cents, k=5, n_probe=4)
     j = (
         hits(single, "hs")
         .crossJoin(hits(multi, "hm"))
+        .crossJoin(hits(p1, "h1"))
+        .crossJoin(hits(p4, "h4"))
         .crossJoin(bf.agg(F.count(F.lit(1)).alias("t")))
     )
     rs = F.col("hs") / F.col("t")
     rm = F.col("hm") / F.col("t")
-    rows = (
-        j.select(
-            F.lit("multiprobe_lift_over_single").alias("config"),
-            F.lit(0.5).alias("floor"),
-            ((rm - rs) >= 0.5).alias("recall_ok"),
+    r1 = F.col("h1") / F.col("t")
+    r4 = F.col("h4") / F.col("t")
+    gates = [
+        ("ivf_c16_p1", 0.7, r1 >= 0.7),
+        ("ivf_c16_p4", 0.85, r4 >= 0.85),
+        ("ivf_probe_lift", 0.05, (r4 - r1) >= 0.05),
+        ("multiprobe_lift_over_single", 0.5, (rm - rs) >= 0.5),
+        ("multiprobe_pl4_t8_p3", 0.9, rm >= 0.9),
+        ("single_probe_pl8_t1_p1", 0.02, rs >= 0.02),
+    ]
+    rows = None
+    for config, floor, ok in gates:
+        part = j.select(
+            F.lit(config).alias("config"),
+            F.lit(floor).alias("floor"),
+            ok.alias("recall_ok"),
         )
-        .unionAll(
-            j.select(
-                F.lit("multiprobe_pl4_t8_p3").alias("config"),
-                F.lit(0.9).alias("floor"),
-                (rm >= 0.9).alias("recall_ok"),
-            )
-        )
-        .unionAll(
-            j.select(
-                F.lit("single_probe_pl8_t1_p1").alias("config"),
-                F.lit(0.02).alias("floor"),
-                (rs >= 0.02).alias("recall_ok"),
-            )
-        )
-    )
+        rows = part if rows is None else rows.unionAll(part)
     return rows.orderBy("config")
 
 
@@ -1686,13 +1872,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_documents": q_pii_scrub_documents,
         "stratified_split_documents": q_stratified_split_documents,
         "embedding_topk": q_embedding_topk,
-        "minhash_candidates": q_minhash_candidates,
+        "neardup_candidates": q_neardup_candidates,
         "dedup_cluster_assignment": q_dedup_cluster_assignment,
         "corpus_curation_funnel": q_corpus_curation_funnel,
-        "simhash_neardups": q_simhash_neardups,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_recall_floor": q_ann_recall_floor,
-        "ivf_recall_floor": q_ivf_recall_floor,
+        "bloom_incremental_dedup": q_bloom_incremental_dedup,
+        "per_group_localization_profile": q_per_group_localization_profile,
+        "streaming_metrics_chart": q_streaming_metrics_chart,
         "embedding_cosine_neardups": q_embedding_cosine_neardups,
         "validate_part_composite": q_validate_part_composite,
         "validate_customer_conditional": q_validate_customer_conditional,
@@ -1998,6 +2184,37 @@ SELECT rule_id, snapshot_ord, fail_rate,
 FROM chart
 """
 
+# streaming_metrics_chart oracle: the expanding-window chart subset of
+# _METRICS_MONITORING_SQL (same hist CTE, same windowed quantile_cont
+# center/scale, same zero-scale and warmup rules) — the stream must equal
+# the batch chart point-for-point, so it shares the batch oracle's math.
+_STREAMING_METRICS_CHART_SQL = """
+WITH hist AS (
+  SELECT l_returnflag AS rule_id,
+         CAST(year(l_shipdate)*12 + month(l_shipdate) AS INT) AS snapshot_ord,
+         CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS fail_rate
+  FROM lineitem GROUP BY 1, 2
+),
+chart AS (
+  SELECT rule_id, snapshot_ord, fail_rate,
+         count(fail_rate) OVER wp AS n_history,
+         quantile_cont(fail_rate, 0.5) OVER wp AS center,
+         (quantile_cont(fail_rate, 0.75) OVER wp
+          - quantile_cont(fail_rate, 0.25) OVER wp)
+           / 1.3489795003921634 AS scale
+  FROM hist
+  WINDOW wp AS (PARTITION BY rule_id ORDER BY snapshot_ord
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT rule_id, snapshot_ord, fail_rate,
+       CAST(n_history AS BIGINT) AS n_history,
+       CASE WHEN n_history < 6 THEN FALSE
+            WHEN scale > 0 THEN abs((fail_rate - center) / scale) > 2.5
+            ELSE fail_rate != center END AS is_anomaly
+FROM chart
+"""
+
 _REF_ORPHANS_SQL = """
 SELECT c_custkey, c_nationkey FROM customer
 WHERE c_nationkey NOT IN (SELECT r_regionkey FROM region WHERE r_regionkey IS NOT NULL)
@@ -2055,6 +2272,167 @@ SELECT 'l_quantity' AS "column",
        (SELECT round(sum(abs(ca - cb) * gap) * 1.0, 6) FROM c) AS emd
 """
 )
+
+# per_group_localization_profile oracle: every family recomputed
+# independently in DuckDB keyed by group — the per-group twins of the
+# gated global oracles (_DRIFT_STATS_SQL histogram/cumsum conventions,
+# _CATEGORICAL_PROFILE_SQL contingency formulas, the LATERAL
+# quantile_cont robust-outlier chain). EMD's last-row gap spans through
+# the overflow bucket (n_buckets+2 = 52), matching
+# _reduce_distribution_stats' one-sided tail convention.
+_PER_GROUP_LOCALIZATION_SQL = """
+WITH ga AS (
+  SELECT l_returnflag AS grp,
+         CAST(floor((l_quantity - 0.5) / 1.0) + 1 AS INT) AS bucket,
+         count(*) AS n
+  FROM lineitem
+  WHERE l_orderkey % 2 = 0 AND l_quantity IS NOT NULL
+    AND l_returnflag IS NOT NULL
+  GROUP BY 1, 2
+), gb AS (
+  SELECT l_returnflag AS grp,
+         CAST(floor((l_quantity - 0.5) / 1.0) + 1 AS INT) AS bucket,
+         count(*) AS n
+  FROM lineitem
+  WHERE l_orderkey % 2 = 1 AND l_quantity IS NOT NULL
+    AND l_returnflag IS NOT NULL
+  GROUP BY 1, 2
+), ta AS (SELECT grp, sum(n) AS t FROM ga GROUP BY 1),
+tb AS (SELECT grp, sum(n) AS t FROM gb GROUP BY 1),
+gj AS (
+  SELECT COALESCE(ga.grp, gb.grp) AS grp,
+         COALESCE(ga.bucket, gb.bucket) AS bucket,
+         COALESCE(ga.n, 0) AS na,
+         COALESCE(gb.n, 0) AS nb,
+         COALESCE(CAST(ga.n AS DOUBLE) / ta.t, 0.0) AS pa,
+         COALESCE(CAST(gb.n AS DOUBLE) / tb.t, 0.0) AS pb
+  FROM ga FULL OUTER JOIN gb ON ga.grp = gb.grp AND ga.bucket = gb.bucket
+  LEFT JOIN ta ON ta.grp = COALESCE(ga.grp, gb.grp)
+  LEFT JOIN tb ON tb.grp = COALESCE(ga.grp, gb.grp)
+), gc AS (
+  SELECT grp, bucket,
+         sum(pa) OVER w AS ca,
+         sum(pb) OVER w AS cb,
+         COALESCE(lead(bucket) OVER (PARTITION BY grp ORDER BY bucket), 52)
+           - bucket AS gap
+  FROM gj
+  WINDOW w AS (PARTITION BY grp ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), drift AS (
+  SELECT gj.grp,
+         (SELECT round(max(abs(ca - cb)), 6) FROM gc WHERE gc.grp = gj.grp)
+           AS ks,
+         round(sum((greatest(pa, 1e-6) - greatest(pb, 1e-6))
+               * ln(greatest(pa, 1e-6) / greatest(pb, 1e-6))), 6) AS psi,
+         round(0.5 * sum(CASE WHEN pa > 0
+                              THEN pa * ln(pa / ((pa + pb)/2)) ELSE 0 END)
+             + 0.5 * sum(CASE WHEN pb > 0
+                              THEN pb * ln(pb / ((pa + pb)/2)) ELSE 0 END), 6)
+           AS js,
+         (SELECT round(sum(abs(ca - cb) * gap) * 1.0, 6)
+          FROM gc WHERE gc.grp = gj.grp) AS emd,
+         CAST(sum(na) AS DOUBLE) AS n_a,
+         CAST(sum(nb) AS DOUBLE) AS n_b
+  FROM gj GROUP BY gj.grp
+), cha AS (
+  SELECT l_returnflag AS grp, l_linestatus AS cat, CAST(count(*) AS DOUBLE) AS na
+  FROM lineitem
+  WHERE l_orderkey % 2 = 0 AND l_returnflag IS NOT NULL
+    AND l_linestatus IS NOT NULL
+  GROUP BY 1, 2
+), chb AS (
+  SELECT l_returnflag AS grp, l_linestatus AS cat, CAST(count(*) AS DOUBLE) AS nb
+  FROM lineitem
+  WHERE l_orderkey % 2 = 1 AND l_returnflag IS NOT NULL
+    AND l_linestatus IS NOT NULL
+  GROUP BY 1, 2
+), cj AS (
+  SELECT COALESCE(cha.grp, chb.grp) AS grp,
+         COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+  FROM cha FULL OUTER JOIN chb
+    ON cha.grp = chb.grp AND cha.cat = chb.cat
+), ct AS (
+  SELECT grp, count(*) AS kk, sum(na) AS ta2, sum(nb) AS tb2
+  FROM cj GROUP BY 1
+), catd AS (
+  SELECT cj.grp,
+         round(sum(pow(na - (na+nb)*ta2/(ta2+tb2), 2)
+                     / ((na+nb)*ta2/(ta2+tb2))
+                 + pow(nb - (na+nb)*tb2/(ta2+tb2), 2)
+                     / ((na+nb)*tb2/(ta2+tb2))), 6) AS chi2,
+         round(sqrt(sum(pow(na - (na+nb)*ta2/(ta2+tb2), 2)
+                          / ((na+nb)*ta2/(ta2+tb2))
+                      + pow(nb - (na+nb)*tb2/(ta2+tb2), 2)
+                          / ((na+nb)*tb2/(ta2+tb2)))
+                    / max(ta2+tb2)), 6) AS cramers_v,
+         round(0.5 * sum(abs(na/ta2 - nb/tb2)), 6) AS tvd,
+         CAST(max(kk) AS DOUBLE) AS n_categories,
+         CAST(max(kk) - 1 AS DOUBLE) AS dof,
+         CAST(max(ta2) AS DOUBLE) AS n_a,
+         CAST(max(tb2) AS DOUBLE) AS n_b
+  FROM cj JOIN ct ON cj.grp = ct.grp GROUP BY cj.grp
+), hhc AS (
+  SELECT COALESCE(CAST(l_returnflag AS VARCHAR), 'NULL') AS grp,
+         COALESCE(CAST(l_linenumber AS VARCHAR), 'NULL') AS value,
+         count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+), hhr AS (
+  SELECT grp, value, CAST(n AS DOUBLE) AS n,
+         round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY grp), 6)
+           AS share,
+         row_number() OVER (PARTITION BY grp ORDER BY n DESC, value ASC)
+           AS rk
+  FROM hhc
+), rq AS (
+  SELECT l_returnflag AS grp,
+         CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE) AS q1,
+         CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS med,
+         CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE) AS q3
+  FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1
+), rm AS (
+  SELECT l.l_returnflag AS grp,
+         CAST(quantile_cont(abs(l.l_extendedprice - rq.med), 0.5) AS DOUBLE)
+           AS mad
+  FROM lineitem l JOIN rq ON rq.grp = l.l_returnflag GROUP BY 1
+), rob AS (
+  SELECT rq.grp, rq.q1, rq.med, rq.q3, rq.q3 - rq.q1 AS iqr, rm.mad,
+         (SELECT CAST(count(l_extendedprice) AS DOUBLE) FROM lineitem l
+          WHERE l.l_returnflag = rq.grp) AS n_values,
+         (SELECT CAST(sum(CASE WHEN l_extendedprice < rq.q1 - 1.5*(rq.q3-rq.q1)
+                                 OR l_extendedprice > rq.q3 + 1.5*(rq.q3-rq.q1)
+                          THEN 1 ELSE 0 END) AS DOUBLE) FROM lineitem l
+          WHERE l.l_returnflag = rq.grp) AS n_tukey_outliers,
+         (SELECT CAST(sum(CASE WHEN abs(l_extendedprice - rq.med)
+                                    > 3.0 * 1.4826 * rm.mad
+                          THEN 1 ELSE 0 END) AS DOUBLE) FROM lineitem l
+          WHERE l.l_returnflag = rq.grp) AS n_robust_outliers
+  FROM rq JOIN rm ON rq.grp = rm.grp
+)
+SELECT 'drift:l_quantity' AS family, grp AS "group", 'ks' AS stat, ks AS value FROM drift
+UNION ALL SELECT 'drift:l_quantity', grp, 'psi', psi FROM drift
+UNION ALL SELECT 'drift:l_quantity', grp, 'js', js FROM drift
+UNION ALL SELECT 'drift:l_quantity', grp, 'emd', emd FROM drift
+UNION ALL SELECT 'drift:l_quantity', grp, 'n_a', n_a FROM drift
+UNION ALL SELECT 'drift:l_quantity', grp, 'n_b', n_b FROM drift
+UNION ALL SELECT 'categorical_drift:l_linestatus', grp, 'chi2', chi2 FROM catd
+UNION ALL SELECT 'categorical_drift:l_linestatus', grp, 'cramers_v', cramers_v FROM catd
+UNION ALL SELECT 'categorical_drift:l_linestatus', grp, 'tvd', tvd FROM catd
+UNION ALL SELECT 'categorical_drift:l_linestatus', grp, 'n_categories', n_categories FROM catd
+UNION ALL SELECT 'categorical_drift:l_linestatus', grp, 'dof', dof FROM catd
+UNION ALL SELECT 'categorical_drift:l_linestatus', grp, 'n_a', n_a FROM catd
+UNION ALL SELECT 'categorical_drift:l_linestatus', grp, 'n_b', n_b FROM catd
+UNION ALL SELECT 'heavy_hitters:l_linenumber', grp, 'n:' || value, n FROM hhr WHERE rk <= 3
+UNION ALL SELECT 'heavy_hitters:l_linenumber', grp, 'share:' || value, share FROM hhr WHERE rk <= 3
+UNION ALL SELECT 'robust_outliers:l_extendedprice', grp, 'q1', q1 FROM rob
+UNION ALL SELECT 'robust_outliers:l_extendedprice', grp, 'median', med FROM rob
+UNION ALL SELECT 'robust_outliers:l_extendedprice', grp, 'q3', q3 FROM rob
+UNION ALL SELECT 'robust_outliers:l_extendedprice', grp, 'iqr', iqr FROM rob
+UNION ALL SELECT 'robust_outliers:l_extendedprice', grp, 'mad', mad FROM rob
+UNION ALL SELECT 'robust_outliers:l_extendedprice', grp, 'n_values', n_values FROM rob
+UNION ALL SELECT 'robust_outliers:l_extendedprice', grp, 'n_tukey_outliers', n_tukey_outliers FROM rob
+UNION ALL SELECT 'robust_outliers:l_extendedprice', grp, 'n_robust_outliers', n_robust_outliers FROM rob
+"""
+
 
 def _suggested_spec_sql() -> str:
     """suggested_spec_lineitem oracle: every suggested keyword recomputed
@@ -2442,7 +2820,9 @@ WITH q AS (
          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
   FROM s
 )
-SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rank FROM r WHERE rk <= 5
+SELECT 'brute' AS method, query_id, neighbor_id, cos_sim,
+       CAST(rk AS INT) AS rank
+FROM r WHERE rk <= 5
 """
 
 
@@ -3044,10 +3424,25 @@ def _hash_oracles() -> dict[str, str]:
 
         mh = o.minhash_candidate_rows()
         _HASH_ORACLE_CACHE = {
-            "minhash_candidates": o.values_sql(
-                mh,
-                ["id_a", "id_b", "n_shared_bands"],
-                ["BIGINT", "BIGINT", "BIGINT"],
+            # merged minhash+simhash candidate pairs (round 5), both
+            # sides golden XXH64/pandas twins, method-tagged
+            "neardup_candidates": (
+                "SELECT 'minhash_lsh' AS method, id_a, id_b, "
+                "CAST(n_shared_bands AS BIGINT) AS score FROM (\n"
+                + o.values_sql(
+                    mh,
+                    ["id_a", "id_b", "n_shared_bands"],
+                    ["BIGINT", "BIGINT", "BIGINT"],
+                )
+                + "\n) mhv UNION ALL\n"
+                "SELECT 'simhash' AS method, id_a, id_b, "
+                "CAST(hamming AS BIGINT) AS score FROM (\n"
+                + o.values_sql(
+                    o.simhash_neardup_rows(),
+                    ["id_a", "id_b", "hamming"],
+                    ["BIGINT", "BIGINT", "INTEGER"],
+                )
+                + "\n) shv"
             ),
             # both Jaccard gates share one slot: live-DuckDB all-pairs
             # slice + golden-XXH64 production pipeline, tagged by path
@@ -3062,21 +3457,29 @@ def _hash_oracles() -> dict[str, str]:
                 )
                 + ") v"
             ),
+            "bloom_incremental_dedup": o.values_sql(
+                o.bloom_incremental_rows(),
+                ["doc_id", "maybe_seen", "is_new"],
+                ["BIGINT", "BOOLEAN", "BOOLEAN"],
+            ),
             "dedup_cluster_assignment": _cluster_oracle_sql(
                 o.jaccard_rows_for_candidates(mh, threshold=0.5)
             ),
             "corpus_curation_funnel": _funnel_oracle_sql(
                 o.jaccard_rows_for_candidates(mh, threshold=0.5)
             ),
-            "simhash_neardups": o.values_sql(
-                o.simhash_neardup_rows(),
-                ["id_a", "id_b", "hamming"],
-                ["BIGINT", "BIGINT", "INTEGER"],
-            ),
-            "ann_lsh_topk": o.values_sql(
-                o.ann_topk_rows(),
-                ["query_id", "neighbor_id", "cos_sim", "rank"],
-                ["BIGINT", "BIGINT", "DOUBLE", "INTEGER"],
+            # merged brute+lsh top-k (round 5): brute rows computed live
+            # in DuckDB (_TOPK_SQL), lsh rows from the golden XXH64 twin
+            "embedding_topk": (
+                _TOPK_SQL
+                + "\nUNION ALL\nSELECT 'lsh' AS method, query_id, "
+                "neighbor_id, cos_sim, rank FROM (\n"
+                + o.values_sql(
+                    o.ann_topk_rows(),
+                    ["query_id", "neighbor_id", "cos_sim", "rank"],
+                    ["BIGINT", "BIGINT", "DOUBLE", "INTEGER"],
+                )
+                + "\n) lshv"
             ),
             "embedding_cosine_neardups": o.values_sql(
                 o.embedding_neardup_rows(),
@@ -3122,29 +3525,26 @@ FROM (VALUES ('hll_approx', 'l_orderkey'), ('hll_approx', 'l_suppkey'),
         "spec_constraint_drift": _spec_drift_sql(),
         "ann_recall_floor": """
 SELECT config, CAST(floor AS DOUBLE) AS floor, TRUE AS recall_ok
-FROM (VALUES ('multiprobe_lift_over_single', 0.5),
+FROM (VALUES ('ivf_c16_p1', 0.7),
+             ('ivf_c16_p4', 0.85),
+             ('ivf_probe_lift', 0.05),
+             ('multiprobe_lift_over_single', 0.5),
              ('multiprobe_pl4_t8_p3', 0.9),
              ('single_probe_pl8_t1_p1', 0.02)) AS t(config, floor)
 ORDER BY config
 """,
-        "ivf_recall_floor": """
-SELECT config, CAST(floor AS DOUBLE) AS floor, TRUE AS recall_ok
-FROM (VALUES ('ivf_c16_p1', 0.7),
-             ('ivf_c16_p4', 0.85),
-             ('ivf_probe_lift', 0.05)) AS t(config, floor)
-ORDER BY config
-""",
         "uniqueness_checks": _UNIQ_CHECKS_SQL,
         "metrics_monitoring": _METRICS_MONITORING_SQL,
+        "streaming_metrics_chart": _STREAMING_METRICS_CHART_SQL,
         "ref_orphans_nationkey": _REF_ORPHANS_SQL,
         "ref_verdict_lineitem_part": _REF_VERDICT_SQL,
         "drift_stats_profile": _drift_stats_profile_sql(),
+        "per_group_localization_profile": _PER_GROUP_LOCALIZATION_SQL,
         "categorical_stats_profile": _CATEGORICAL_PROFILE_SQL,
         "dedup_exact_documents": _DEDUP_EXACT_SQL,
         "documents_text_profile": _TEXT_PROFILE_SQL,
         "pii_scrub_documents": _PII_SCRUB_SQL,
         "stratified_split_documents": _stratified_split_sql(),
-        "embedding_topk": _TOPK_SQL,
         "validate_part_composite": _PART_COMPOSITE_SQL,
         "validate_customer_conditional": _CUSTOMER_COND_SQL,
         "events_props_map_validation": _PROPS_MAP_SQL,

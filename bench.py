@@ -98,15 +98,40 @@ def images_flagship(spark, path: str):
 SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "4000000"))
 
 
-def run_scaling(levels=(4, 16), n: int = SCALING_N) -> dict:
-    """North-rule scaling evidence: the SAME flagship job on the SAME input
-    at two parallelism levels (sandbox stand-in for N vs 4N executors).
-    Efficiency = R_4N / (4 × R_N) with R = validated rows/sec."""
+SCALING_PROBE_FLOOR = float(os.environ.get("SPARK_GRAFT_SCALING_PROBE_FLOOR", "90000"))
+
+
+def _scaling_leg(cpus: int, n: int, runs: int = 1) -> dict:
+    """One clean-JVM flagship leg at the given parallelism; returns the
+    subprocess headline JSON (value = validated rows/sec over n rows)."""
     import subprocess
 
-    results = {}
     env = dict(os.environ, SPARK_GRAFT_IMAGES_N=str(n))
-    # pre-warm the OS page cache so the FIRST level measured does not pay
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--images-only",
+         "--cpus", str(cpus), "--runs", str(runs)],
+        capture_output=True, text=True, timeout=3600, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def run_scaling(levels=(4, 16), n: int = SCALING_N, pairs: int = 2) -> dict:
+    """North-rule scaling evidence: the SAME flagship job on the SAME input
+    at two parallelism levels (sandbox stand-in for N vs 4N executors).
+    Efficiency = R_4N / (4 × R_N) with R = validated rows/sec.
+
+    Round-5 protocol (VERDICT r4 item 5): legs are INTERLEAVED within the
+    session — probe(16), then [4,16] × pairs — and efficiency is the median
+    of the per-pair ratios, so slow host drift lands symmetrically in both
+    legs of a pair instead of biasing one level. A 16-thread health probe
+    gates the session: below SCALING_PROBE_FLOOR rows/s the host is
+    contended (r4's sessions 6-9 decayed 110→63k on identical code) and the
+    session is reported unhealthy rather than polluting the estimator."""
+    import statistics
+
+    # pre-warm the OS page cache so the FIRST leg measured does not pay
     # the one-time cold disk read (which would bias efficiency either way)
     import glob as _glob
 
@@ -114,30 +139,41 @@ def run_scaling(levels=(4, 16), n: int = SCALING_N) -> dict:
         with open(f, "rb") as fh:
             while fh.read(1 << 24):
                 pass
-    for cpus in levels:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--images-only",
-             "--cpus", str(cpus), "--runs", "3"],
-            capture_output=True, text=True, timeout=3600, env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
     lo, hi = min(levels), max(levels)
-    r_lo = results[lo]["value"]
-    r_hi = results[hi]["value"]
     factor = hi / lo
-    return {
+
+    probe = _scaling_leg(hi, n, runs=1)
+    result = {
         "metric": "scaling_efficiency",
-        "value": round(r_hi / (factor * r_lo), 4),
         "unit": f"R{hi}/({int(factor)}*R{lo})",
         "rows": n,
-        "rows_per_sec": {str(lo): r_lo, str(hi): r_hi},
-        "sec": {
-            str(lo): results[lo]["queries"]["images_validate_all_constraints"],
-            str(hi): results[hi]["queries"]["images_validate_all_constraints"],
-        },
+        "protocol": f"interleaved probe({hi}),[{lo},{hi}]x{pairs}; median of per-pair ratios",
+        "probe_rows_per_sec": probe["value"],
+        "probe_floor": SCALING_PROBE_FLOOR,
+        "healthy": probe["value"] >= SCALING_PROBE_FLOOR,
     }
+    if not result["healthy"]:
+        result["value"] = None
+        result["note"] = "host failed health probe; session not counted"
+        return result
+
+    pair_rows = []
+    for _ in range(pairs):
+        r_lo = _scaling_leg(lo, n, runs=1)
+        r_hi = _scaling_leg(hi, n, runs=1)
+        pair_rows.append({
+            "rows_per_sec": {str(lo): r_lo["value"], str(hi): r_hi["value"]},
+            "sec": {
+                str(lo): r_lo["queries"]["images_validate_all_constraints"],
+                str(hi): r_hi["queries"]["images_validate_all_constraints"],
+            },
+            "efficiency": round(r_hi["value"] / (factor * r_lo["value"]), 4),
+        })
+    result["pairs"] = pair_rows
+    result["value"] = round(
+        statistics.median(p["efficiency"] for p in pair_rows), 4
+    )
+    return result
 
 
 def force(df) -> None:
@@ -343,6 +379,18 @@ def main() -> int:
         # prebuilt plan would measure a createDataFrame, not the profiling
         "suggested_spec_lineitem",
         "spec_constraint_drift",
+        # streaming queries stage + DRAIN the whole stream inside the
+        # query fn and return a detached local frame — timing the prebuilt
+        # result measured a local collect, not the stream (round-5 honesty
+        # fix; r4 and earlier under-reported these)
+        "streaming_windowed_verdicts",
+        "streaming_dedup_firstseen",
+        "streaming_windowed_drift",
+        "streaming_metrics_chart",
+        # bloom builds/probes via localCheckpoint at plan build; the
+        # robust-outlier passes of the localization profile do too
+        "bloom_incremental_dedup",
+        "per_group_localization_profile",
     }
 
     timings: dict[str, float] = {}

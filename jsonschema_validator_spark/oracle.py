@@ -331,6 +331,45 @@ def minhash_candidate_rows(
     return [(a, b, n) for (a, b), n in sorted(pair_counts.items())]
 
 
+def bloom_incremental_rows(
+    sf_dir: str | None = None, m: int = 4096, k: int = 5
+) -> list[tuple]:
+    """Expected (doc_id, maybe_seen, is_new) for the
+    bloom_incremental_dedup driver query: an INDEPENDENT pure-Python
+    bloom twin (same probe formula as operators/bloom._probe_words —
+    pmod(xxhash64(key, i), m) via the from-scratch xxh64) over the
+    seen/new corpus split (seen: doc_id % 7 != 0; new: doc_id % 3 == 0;
+    key = str(doc_id) ≙ CAST(doc_id AS STRING)). ``is_new`` is exact set
+    membership — the phase-2 anti-join ground truth; rows where
+    maybe_seen ≠ NOT is_new are the filter's false positives (never
+    false negatives, asserted here because it's a hard invariant)."""
+    from jsonschema_validator_spark.xxh64 import spark_xxhash64
+
+    docs = _docs(sf_dir)
+    bits: set[int] = set()
+    seen: set[str] = set()
+    for doc_id in docs["doc_id"]:
+        d = int(doc_id)
+        if d % 7 != 0:
+            key = str(d)
+            seen.add(key)
+            for i in range(k):
+                bits.add(spark_xxhash64(key, (i, "int")) % m)
+    out = []
+    for doc_id in docs["doc_id"]:
+        d = int(doc_id)
+        if d % 3 != 0:
+            continue
+        key = str(d)
+        maybe = all(
+            (spark_xxhash64(key, (i, "int")) % m) in bits for i in range(k)
+        )
+        is_new = key not in seen
+        assert maybe or is_new, f"bloom false negative on {key}"
+        out.append((d, maybe, is_new))
+    return sorted(out)
+
+
 def simhash_neardup_rows(
     sf_dir: str | None = None,
     max_hamming: int = 3,
