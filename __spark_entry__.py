@@ -280,17 +280,65 @@ def q_ref_verdict_lineitem_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-mix planning rollup (text.corpus_token_budget): token
-    budget per lang x source with corpus share and cumulative coverage
-    ranked by size. One scan, one exchange; the share/cumulative windows
-    run over the tiny grouped frame (97 groups at sf0.01), never the
-    corpus. Oracle: the identical rollup in DuckDB SQL (regexp_split
-    token count, window shares)."""
-    from jsonschema_validator_spark.operators.text import corpus_token_budget
+_RETENTION_THRESHOLDS = (0.25, 0.5, 0.75, 1.0)
+
+
+def q_curation_planning_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation PLANNING profile, one long shape ``(family, group,
+    stat, value)`` — round-5 consolidation of the former
+    corpus_token_budget slot, adding the formerly tests-only
+    quality_retention_curve under the driver gate (VERDICT r4 stretch):
+
+    - ``token_budget`` (text.corpus_token_budget): token budget per
+      lang×source with corpus share and cumulative coverage ranked by
+      size; group = ``lang/source``. One scan, one exchange; the
+      share/cumulative windows run over the tiny grouped frame (97 groups
+      at sf0.01), never the corpus.
+    - ``retention`` (text.quality_retention_curve): docs/tokens surviving
+      ``quality_score >= t`` for each planning threshold; group =
+      ``t=<threshold>``. ONE scan — every threshold is a conditional
+      aggregate over the same pass.
+
+    Oracle: the identical rollups in DuckDB SQL (regexp_split token
+    count, window shares, the text-profile quality-score expressions).
+    Group labels are exact string literals on BOTH sides (a when-chain
+    here, VALUES literals in the SQL) — no cross-engine float→string
+    formatting anywhere. quality_score is a sum of 0.25 indicators over
+    ROUNDED ratios, so the ``>= t`` comparisons are exact. (family,
+    group, stat) is unique and every value is non-null, so the driver's
+    positional row-sort never compares NULLs."""
+    from jsonschema_validator_spark.operators.text import (
+        corpus_token_budget,
+        quality_retention_curve,
+    )
 
     df = _t(spark, sf_dir, "documents")
-    return corpus_token_budget(df, ("lang", "source"))
+    tb = corpus_token_budget(df, ("lang", "source"))
+    tb_group = F.concat_ws("/", "lang", "source")
+    tb_rows = None
+    for stat in ("n_docs", "n_tokens", "token_share", "cum_share"):
+        part = tb.select(
+            F.lit("token_budget").alias("family"),
+            tb_group.alias("group"),
+            F.lit(stat).alias("stat"),
+            F.col(stat).cast("double").alias("value"),
+        )
+        tb_rows = part if tb_rows is None else tb_rows.unionByName(part)
+
+    rc = quality_retention_curve(df, _RETENTION_THRESHOLDS)
+    label = F.lit(None).cast("string")
+    for t in _RETENTION_THRESHOLDS:
+        label = F.when(F.col("threshold") == t, F.lit(f"t={t}")).otherwise(label)
+    rc_rows = None
+    for stat in ("n_docs", "n_tokens", "doc_retention", "token_retention"):
+        part = rc.select(
+            F.lit("retention").alias("family"),
+            label.alias("group"),
+            F.lit(stat).alias("stat"),
+            F.col(stat).cast("double").alias("value"),
+        )
+        rc_rows = part if rc_rows is None else rc_rows.unionByName(part)
+    return tb_rows.unionByName(rc_rows)
 
 
 def q_tdigest_quantiles_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,7 +545,13 @@ def q_per_group_localization_profile(spark: SparkSession, sf_dir: str) -> DataFr
     - ``robust_outliers:l_extendedprice`` — robust_outlier_stats_by_group
       (q1/median/q3/iqr/mad + value/Tukey/robust-z counts; exact=True
       opt-in at this oracle-gated site — quantile interpolation is
-      bit-identical to DuckDB quantile_cont, so values are unrounded).
+      bit-identical to DuckDB quantile_cont, so values are unrounded);
+    - ``embedding_centroid:labels`` — embedding_centroid_shift between
+      the ``label < 5`` / ``label >= 5`` embedding populations (the same
+      halves the gated embedding drift uses): L2 distance + cosine
+      between the per-dimension mean vectors, group ``all`` (round-5
+      gate for the formerly tests-only summary op; the posexplode →
+      groupBy(pos) shuffle carries ≤ 2·dim rows at any table size).
 
     Float convention: drift/categorical statistics and shares round to
     1e-6 (the profile-query convention); counts, dof and the robust
@@ -507,6 +561,7 @@ def q_per_group_localization_profile(spark: SparkSession, sf_dir: str) -> DataFr
     from jsonschema_validator_spark.operators.drift import (
         categorical_drift_by_group,
         drift_by_group,
+        embedding_centroid_shift,
     )
     from jsonschema_validator_spark.operators.stats import (
         heavy_hitters_by_group,
@@ -515,6 +570,7 @@ def q_per_group_localization_profile(spark: SparkSession, sf_dir: str) -> DataFr
 
     li = _t(spark, sf_dir, "lineitem")
     a, b = _halves(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
 
     def unpivot(df, family, rounded, exact):
         parts = []
@@ -584,7 +640,23 @@ def q_per_group_localization_profile(spark: SparkSession, sf_dir: str) -> DataFr
             "n_robust_outliers",
         ],
     )
-    return num.unionByName(cat).unionByName(hh_rows).unionByName(rob)
+    cent = unpivot(
+        embedding_centroid_shift(
+            emb.filter(F.col("label") < 5),
+            emb.filter(F.col("label") >= 5),
+            column="embedding",
+            dim=64,
+        ).withColumn("group", F.lit("all")),
+        "embedding_centroid:labels",
+        rounded=["centroid_l2", "centroid_cos"],
+        exact=["n_a", "n_b"],
+    )
+    return (
+        num.unionByName(cat)
+        .unionByName(hh_rows)
+        .unionByName(rob)
+        .unionByName(cent)
+    )
 
 
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1362,18 +1434,28 @@ def q_streaming_windowed_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def q_streaming_metrics_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING twin of the metrics_monitoring control chart under the
+    """STREAMING twins of the metrics_monitoring detectors under the
     driver gate (round 5): the same deterministic monthly fail-rate
-    series (3 rule series × ~83 months) is replayed through
-    streaming/monitor.streaming_control_chart in three ord-contiguous
-    micro-batches — per-series history state carries ACROSS batches via
-    applyInPandasWithState — and the output is checked against the SAME
-    DuckDB expanding-window oracle that gates the batch chart (windowed
-    quantile_cont; batch==stream equality is the operator's contract,
-    locked point-for-point in test_monitor.py). Row policy matches
-    metrics_monitoring: expose n_history / is_anomaly / bit-exact
-    fail_rate, not the center/scale/z floats (cross-engine quantile
-    interpolation drifts ulps). Results detach from the memory sink via
+    series (3 rule series × ~83 months) is replayed in three
+    ord-contiguous micro-batches through BOTH stateful twins,
+    family-tagged in one result:
+
+    - ``chart`` — streaming/monitor.streaming_control_chart (per-series
+      history state carries ACROSS batches via applyInPandasWithState),
+      checked against the SAME DuckDB expanding-window oracle that gates
+      the batch chart (windowed quantile_cont);
+    - ``cusum`` — streaming/monitor.streaming_cusum_chart (O(1) state:
+      two running sums + the Phase-I calibration buffer; warmup=12,
+      slack=0.5, h=4.0 — the batch metrics_monitoring parameters),
+      checked against the batch oracle's prefix-sum/running-min CUSUM
+      CTEs. Batch==stream equality is each operator's contract, locked
+      point-for-point in test_monitor.py / test_streaming.
+
+    Row policy matches metrics_monitoring: expose n_history /
+    is_anomaly / bit-exact fail_rate, not the center/scale/z/s floats
+    (cross-engine quantile interpolation and running sums drift ulps;
+    the nearest margins — |z| 0.045, |s−h| 0.2145 — are far beyond
+    that). Results detach from the memory sinks via
     createDataFrame(collect) so the returned frame is a plain batch
     DataFrame."""
     import shutil
@@ -1381,6 +1463,7 @@ def q_streaming_metrics_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from jsonschema_validator_spark.streaming.monitor import (
         streaming_control_chart,
+        streaming_cusum_chart,
     )
 
     hist = _metrics_monthly_history(spark, sf_dir)
@@ -1400,53 +1483,96 @@ def q_streaming_metrics_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.createDataFrame(batch, hist.schema).coalesce(1).write.parquet(
                 f"{root}/b{i}"
             )
-        stream = (
-            spark.readStream.schema(hist.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(root + "/b*")
+
+        def drain(make_out, name):
+            stream = (
+                spark.readStream.schema(hist.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(root + "/b*")
+            )
+            q = (
+                make_out(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            return spark.sql(
+                f"SELECT '{name.rsplit('_', 1)[-1]}' AS family, rule_id, "
+                f"CAST(snapshot_ord AS INT) AS snapshot_ord, fail_rate, "
+                f"CAST(n_history AS BIGINT) AS n_history, is_anomaly "
+                f"FROM {name}"
+            )
+
+        chart = drain(
+            lambda s: streaming_control_chart(
+                s,
+                ["rule_id"],
+                "snapshot_ord",
+                "fail_rate",
+                min_history=6,
+                z_threshold=2.5,
+                method="robust",
+            ),
+            "jsvs_stream_metrics_chart",
         )
-        out = streaming_control_chart(
-            stream,
-            ["rule_id"],
-            "snapshot_ord",
-            "fail_rate",
-            min_history=6,
-            z_threshold=2.5,
-            method="robust",
+        cusum = drain(
+            lambda s: streaming_cusum_chart(
+                s,
+                ["rule_id"],
+                "snapshot_ord",
+                "fail_rate",
+                warmup=12,
+                slack=0.5,
+                h=4.0,
+            ),
+            "jsvs_stream_metrics_cusum",
         )
-        name = "jsvs_stream_metrics_chart"
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        res = spark.sql(
-            f"SELECT rule_id, CAST(snapshot_ord AS INT) AS snapshot_ord, "
-            f"fail_rate, CAST(n_history AS BIGINT) AS n_history, is_anomaly "
-            f"FROM {name}"
-        )
+        res = chart.unionByName(cusum)
         return spark.createDataFrame(res.collect(), res.schema)  # detach
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
 
 def q_streaming_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming drift monitoring end-to-end: events re-staged as a file
-    stream → watermarked per-day windowed ``width_bucket`` histograms
-    (the only stateful stage — state is O(windows × buckets)) drained to
-    a memory sink → per-window KS + PSI against the full-table baseline
-    histogram computed batch-side (streaming/drift.py). The oracle is the
-    identical windowed-histogram KS/PSI pipeline in DuckDB SQL."""
+    """Streaming drift monitoring end-to-end, BOTH column families
+    family-tagged in one long result ``(family, window_start, stat,
+    value)`` — round 5 adds the formerly tests-only categorical twin to
+    the slot:
+
+    - ``numeric:value`` — events re-staged as a file stream →
+      watermarked per-day windowed ``width_bucket`` histograms (state is
+      O(windows × buckets)) drained to a memory sink → per-window KS +
+      PSI against the full-table baseline histogram computed batch-side
+      (streaming/drift.windowed_histograms + drift_vs_baseline);
+    - ``categorical:event_type`` — the SAME staged stream → watermarked
+      per-day windowed category counts (state O(windows × categories)) →
+      per-window homogeneity chi²/Cramér's V/TVD + n_categories/dof vs
+      the full-table category baseline, via the SAME shared reducer as
+      the batch operator (streaming/drift.windowed_category_counts +
+      categorical_drift_vs_baseline).
+
+    The oracle is the identical windowed-histogram KS/PSI pipeline plus
+    the per-window contingency formulas in DuckDB SQL. Stats round to
+    1e-6 (profile convention); counts/dof are exact. The window column is
+    named ``ord`` so the driver's alphabetical column sort compares
+    (family, ord, stat) — a unique, non-null prefix — before any float
+    value (named ``window_start`` it would sort value BEFORE the window
+    and compare floats across tied (family, stat) prefixes)."""
     import shutil
     import tempfile
     import uuid
 
-    from jsonschema_validator_spark.operators.drift import histogram
+    from jsonschema_validator_spark.operators.drift import (
+        category_histogram,
+        histogram,
+    )
     from jsonschema_validator_spark.streaming.drift import (
+        categorical_drift_vs_baseline,
         drift_vs_baseline,
+        windowed_category_counts,
         windowed_histograms,
     )
 
@@ -1454,7 +1580,7 @@ def q_streaming_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     events = _t(spark, sf_dir, "events")
     src = events.select(
-        F.col("ts").cast("timestamp").alias("ts"), "value"
+        F.col("ts").cast("timestamp").alias("ts"), "value", "event_type"
     ).filter(F.col("ts").isNotNull())
     root = tempfile.mkdtemp(prefix="jsv_sdrift_")
     name = "sw_" + uuid.uuid4().hex[:8]
@@ -1462,28 +1588,82 @@ def q_streaming_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = os.path.join(root, "src")
         src.coalesce(1).write.parquet(path)
         schema = spark.read.parquet(path).schema
-        stream = spark.readStream.schema(schema).parquet(path)
-        hist = windowed_histograms(
-            stream, "ts", "value", 0.0, 500.0, 25, window="1 day"
+
+        def drain(make_out, qname, head_cols):
+            stream = spark.readStream.schema(schema).parquet(path)
+            q = (
+                make_out(stream)
+                .writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("complete")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            res = spark.sql(
+                f"SELECT CAST(window.start AS LONG) AS window_start, "
+                f"{head_cols} FROM {qname}"
+            )
+            return spark.createDataFrame(res.collect(), res.schema)
+
+        win_hist = drain(
+            lambda s: windowed_histograms(
+                s, "ts", "value", 0.0, 500.0, 25, window="1 day"
+            ),
+            name + "_n",
+            "bucket, n",
         )
-        q = (
-            hist.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .start()
+        win_cats = drain(
+            lambda s: windowed_category_counts(
+                s, "ts", "event_type", window="1 day"
+            ),
+            name + "_c",
+            "cat, n",
         )
-        q.processAllAvailable()
-        q.stop()
-        win_hist = spark.sql(
-            f"SELECT CAST(window.start AS LONG) AS window_start, bucket, n FROM {name}"
-        )
-        win_hist = spark.createDataFrame(win_hist.collect(), win_hist.schema)
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
         shutil.rmtree(root, ignore_errors=True)
-    baseline = histogram(events, "value", 0.0, 500.0, 25)
-    out = drift_vs_baseline(win_hist, baseline, round_to=6)
-    return out.orderBy("window_start")
+
+    num = drift_vs_baseline(
+        win_hist, histogram(events, "value", 0.0, 500.0, 25), round_to=6
+    )
+    cat = categorical_drift_vs_baseline(
+        win_cats, category_histogram(events, "event_type")
+    )
+
+    def unpivot(df, family, rounded, exact):
+        parts = []
+        for s in rounded:
+            parts.append(
+                df.select(
+                    F.lit(family).alias("family"),
+                    F.col("window_start").alias("ord"),
+                    F.lit(s).alias("stat"),
+                    F.round(F.col(s).cast("double"), 6).alias("value"),
+                )
+            )
+        for s in exact:
+            parts.append(
+                df.select(
+                    F.lit(family).alias("family"),
+                    F.col("window_start").alias("ord"),
+                    F.lit(s).alias("stat"),
+                    F.col(s).cast("double").alias("value"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    return unpivot(num, "numeric:value", rounded=["ks", "psi"], exact=[]).unionByName(
+        unpivot(
+            cat,
+            "categorical:event_type",
+            rounded=["chi2", "cramers_v", "tvd"],
+            exact=["n_categories", "dof"],
+        )
+    )
 
 
 def q_streaming_dedup_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1857,7 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_stats_lineitem": q_column_stats_lineitem,
         "quantiles_extendedprice": q_quantiles_extendedprice,
         "sketch_accuracy_gates": q_sketch_accuracy_gates,
-        "corpus_token_budget": q_corpus_token_budget,
+        "curation_planning_profile": q_curation_planning_profile,
         "suggested_spec_lineitem": q_suggested_spec_lineitem,
         "spec_constraint_drift": q_spec_constraint_drift,
         "uniqueness_checks": q_uniqueness_checks,
@@ -2043,30 +2223,81 @@ FROM lineitem
     for p in [0.25, 0.5, 0.75]
 )
 
-# corpus_token_budget oracle: identical rollup — whitespace token count
-# (empty-after-trim => 0; NULL text => NULL, skipped by sum on both
-# engines), per-(lang, source) sums, share + cumulative share over the
-# size-desc / group-asc total order (ROWS frame == Spark's RANGE frame
-# because the order is total).
-_TOKEN_BUDGET_SQL = r"""
+# curation_planning_profile oracle (round 5): the former token-budget
+# rollup — whitespace token count (empty-after-trim => 0; NULL text =>
+# NULL, skipped by sum on both engines), per-(lang, source) sums, share +
+# cumulative share over the size-desc / group-asc total order (ROWS frame
+# == Spark's RANGE frame because the order is total) — unpivoted to the
+# long (family, group, stat, value) shape, plus the retention-curve
+# family: the text-profile quality-score expressions verbatim (ratios
+# rounded BEFORE thresholding, score = exact 0.25 indicator sums so the
+# `>= t` comparisons never sit on a float boundary), one conditional
+# aggregate per planning threshold. Group labels are string literals on
+# both sides — no float→string formatting crosses engines.
+_CURATION_PLANNING_SQL = r"""
 WITH tok AS (
   SELECT lang, source,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         length(text) AS n_chars,
+         string_split_regex(lower(trim(text)), '\s+') AS toks,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
   FROM documents
 ), g AS (
   SELECT lang, source,
          CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(n_tok) AS BIGINT) AS n_tokens
   FROM tok GROUP BY lang, source
+), tb AS (
+  SELECT lang || '/' || source AS grp,
+         CAST(n_docs AS DOUBLE) AS n_docs,
+         CAST(n_tokens AS DOUBLE) AS n_tokens,
+         round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share,
+         round(sum(n_tokens) OVER (ORDER BY n_tokens DESC, lang ASC, source ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS cum_share
+  FROM g
+), q AS (
+  SELECT n_tok,
+         round((CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6)
+                          <= 0.2 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN round(CAST(n_digit AS DOUBLE) / greatest(n_chars, 1), 6)
+                          <= 0.2 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE
+                             round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                                   / greatest(n_tok, 1), 6) END)
+                          >= 0.3 THEN 0.25 ELSE 0.0 END), 6) AS score
+  FROM tok
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS docs_all,
+         CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS toks_all
+  FROM q
+), th AS (
+  SELECT * FROM (VALUES (0.25, 't=0.25'), (0.5, 't=0.5'),
+                        (0.75, 't=0.75'), (1.0, 't=1.0')) v(t, label)
+), r AS (
+  SELECT th.label,
+         CAST(COALESCE(sum(CASE WHEN q.score >= th.t THEN 1 END), 0) AS DOUBLE)
+           AS n_docs,
+         CAST(COALESCE(sum(CASE WHEN q.score >= th.t THEN q.n_tok END), 0) AS DOUBLE)
+           AS n_tokens,
+         max(agg.docs_all) AS docs_all,
+         max(agg.toks_all) AS toks_all
+  FROM th CROSS JOIN q CROSS JOIN agg
+  GROUP BY th.label
 )
-SELECT lang, source, n_docs, n_tokens,
-       round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share,
-       round(sum(n_tokens) OVER (ORDER BY n_tokens DESC, lang ASC, source ASC
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS cum_share
-FROM g
-ORDER BY n_tokens DESC, lang ASC, source ASC
+SELECT 'token_budget' AS family, grp AS "group", 'n_docs' AS stat, n_docs AS value FROM tb
+UNION ALL SELECT 'token_budget', grp, 'n_tokens', n_tokens FROM tb
+UNION ALL SELECT 'token_budget', grp, 'token_share', token_share FROM tb
+UNION ALL SELECT 'token_budget', grp, 'cum_share', cum_share FROM tb
+UNION ALL SELECT 'retention', label, 'n_docs', n_docs FROM r
+UNION ALL SELECT 'retention', label, 'n_tokens', n_tokens FROM r
+UNION ALL SELECT 'retention', label, 'doc_retention',
+  round(n_docs / CAST(greatest(docs_all, 1) AS DOUBLE), 6) FROM r
+UNION ALL SELECT 'retention', label, 'token_retention',
+  round(n_tokens / CAST(greatest(toks_all, 1) AS DOUBLE), 6) FROM r
 """
 
 _UNIQ_CHECKS_SQL = """
@@ -2187,7 +2418,10 @@ FROM chart
 # streaming_metrics_chart oracle: the expanding-window chart subset of
 # _METRICS_MONITORING_SQL (same hist CTE, same windowed quantile_cont
 # center/scale, same zero-scale and warmup rules) — the stream must equal
-# the batch chart point-for-point, so it shares the batch oracle's math.
+# the batch chart point-for-point, so it shares the batch oracle's math —
+# plus (round 5) the `cusum` family: the batch oracle's prefix-sum /
+# running-min Page-CUSUM CTEs verbatim, with n_history the same
+# preceding-count the chart uses.
 _STREAMING_METRICS_CHART_SQL = """
 WITH hist AS (
   SELECT l_returnflag AS rule_id,
@@ -2206,13 +2440,65 @@ chart AS (
   FROM hist
   WINDOW wp AS (PARTITION BY rule_id ORDER BY snapshot_ord
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+rk AS (
+  SELECT *, row_number() OVER wo AS rn,
+         count(fail_rate) OVER wp AS n_history
+  FROM hist
+  WINDOW wo AS (PARTITION BY rule_id ORDER BY snapshot_ord),
+         wp AS (PARTITION BY rule_id ORDER BY snapshot_ord
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+calw AS (
+  SELECT *,
+    min(CASE WHEN rn <= 12 THEN fail_rate END) OVER wa AS cmin,
+    max(CASE WHEN rn <= 12 THEN fail_rate END) OVER wa AS cmax,
+    avg(CASE WHEN rn <= 12 THEN fail_rate END) OVER wa AS cavg,
+    stddev_samp(CASE WHEN rn <= 12 THEN fail_rate END) OVER wa AS cstd
+  FROM rk WINDOW wa AS (PARTITION BY rule_id ORDER BY snapshot_ord
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+cal AS (
+  SELECT *,
+    CASE WHEN cmin = cmax THEN cmin ELSE cavg END AS mu0,
+    CASE WHEN cmin = cmax THEN 0.0 ELSE coalesce(cstd, 0.0) END AS sigma0,
+    (cmin = cmax) AS const0
+  FROM calw
+),
+contrib AS (
+  SELECT *,
+    CASE WHEN rn > 12 AND sigma0 > 0
+         THEN (fail_rate - mu0)/sigma0 - 0.5 END AS cp,
+    CASE WHEN rn > 12 AND sigma0 > 0
+         THEN -((fail_rate - mu0)/sigma0) - 0.5 END AS cn
+  FROM cal
+),
+sums AS (
+  SELECT *, sum(cp) OVER wi AS p_pos, sum(cn) OVER wi AS p_neg
+  FROM contrib WINDOW wi AS (PARTITION BY rule_id ORDER BY snapshot_ord
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cusum AS (
+  SELECT rule_id, snapshot_ord, fail_rate, n_history,
+    CASE WHEN cp IS NOT NULL
+         THEN (p_pos - LEAST(0.0, min(p_pos) OVER wi) > 4.0)
+           OR (p_neg - LEAST(0.0, min(p_neg) OVER wi) > 4.0)
+         WHEN rn > 12 AND sigma0 = 0 AND const0
+         THEN fail_rate != mu0
+         ELSE FALSE END AS is_anomaly
+  FROM sums WINDOW wi AS (PARTITION BY rule_id ORDER BY snapshot_ord
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
-SELECT rule_id, snapshot_ord, fail_rate,
+SELECT 'chart' AS family, rule_id, snapshot_ord, fail_rate,
        CAST(n_history AS BIGINT) AS n_history,
        CASE WHEN n_history < 6 THEN FALSE
             WHEN scale > 0 THEN abs((fail_rate - center) / scale) > 2.5
             ELSE fail_rate != center END AS is_anomaly
 FROM chart
+UNION ALL
+SELECT 'cusum', rule_id, snapshot_ord, fail_rate,
+       CAST(n_history AS BIGINT) AS n_history, is_anomaly
+FROM cusum
 """
 
 _REF_ORPHANS_SQL = """
@@ -2407,6 +2693,26 @@ gj AS (
                           THEN 1 ELSE 0 END) AS DOUBLE) FROM lineitem l
           WHERE l.l_returnflag = rq.grp) AS n_robust_outliers
   FROM rq JOIN rm ON rq.grp = rm.grp
+), cva AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE label < 5 AND embedding IS NOT NULL AND len(embedding) = 64
+), cvb AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE label >= 5 AND embedding IS NOT NULL AND len(embedding) = 64
+), cma AS (
+  SELECT i.i AS pos, avg(e[i.i]) AS m_a, count(*) AS cn_a
+  FROM cva CROSS JOIN generate_series(1, 64) AS i(i) GROUP BY 1
+), cmb AS (
+  SELECT i.i AS pos, avg(e[i.i]) AS m_b, count(*) AS cn_b
+  FROM cvb CROSS JOIN generate_series(1, 64) AS i(i) GROUP BY 1
+), cent AS (
+  SELECT CAST(max(cn_a) AS DOUBLE) AS n_a,
+         CAST(max(cn_b) AS DOUBLE) AS n_b,
+         round(sqrt(sum(pow(m_a - m_b, 2))), 6) AS centroid_l2,
+         round(sum(m_a * m_b)
+               / (sqrt(sum(m_a * m_a)) * sqrt(sum(m_b * m_b))), 6)
+           AS centroid_cos
+  FROM cma JOIN cmb USING (pos)
 )
 SELECT 'drift:l_quantity' AS family, grp AS "group", 'ks' AS stat, ks AS value FROM drift
 UNION ALL SELECT 'drift:l_quantity', grp, 'psi', psi FROM drift
@@ -2431,6 +2737,10 @@ UNION ALL SELECT 'robust_outliers:l_extendedprice', grp, 'mad', mad FROM rob
 UNION ALL SELECT 'robust_outliers:l_extendedprice', grp, 'n_values', n_values FROM rob
 UNION ALL SELECT 'robust_outliers:l_extendedprice', grp, 'n_tukey_outliers', n_tukey_outliers FROM rob
 UNION ALL SELECT 'robust_outliers:l_extendedprice', grp, 'n_robust_outliers', n_robust_outliers FROM rob
+UNION ALL SELECT 'embedding_centroid:labels', 'all', 'centroid_l2', centroid_l2 FROM cent
+UNION ALL SELECT 'embedding_centroid:labels', 'all', 'centroid_cos', centroid_cos FROM cent
+UNION ALL SELECT 'embedding_centroid:labels', 'all', 'n_a', n_a FROM cent
+UNION ALL SELECT 'embedding_centroid:labels', 'all', 'n_b', n_b FROM cent
 """
 
 
@@ -2665,39 +2975,90 @@ SELECT doc_id,
 FROM aug
 """
 
+# streaming_windowed_drift oracle (round 5, long shape): the windowed
+# KS/PSI pipeline as before, plus the categorical family — per-window
+# homogeneity contingency vs the full-table event_type baseline, the
+# identical chi²/Cramér's V/TVD formulas as the gated batch categorical
+# oracles (baseline = side a, window = side b; the grid pins every
+# baseline category under every window so a category a window lost
+# entirely still contributes).
 _STREAM_DRIFT_SQL = """
 WITH wh AS (
-  SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS window_start,
+  SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS ord,
          CAST(least(greatest(floor(value / 20.0) + 1, 0), 26) AS INT) AS bucket,
          count(*) AS n
   FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 ),
-ws AS (SELECT window_start, bucket,
-              n / (sum(n) OVER (PARTITION BY window_start)) AS pw FROM wh),
+ws AS (SELECT ord, bucket,
+              n / (sum(n) OVER (PARTITION BY ord)) AS pw FROM wh),
 bh AS (SELECT CAST(least(greatest(floor(value / 20.0) + 1, 0), 26) AS INT) AS bucket,
               count(*) AS n
        FROM events WHERE value IS NOT NULL GROUP BY 1),
 bs AS (SELECT bucket, n / (sum(n) OVER ()) AS pb FROM bh),
-grid AS (SELECT w.window_start, b.bucket, b.pb
-         FROM (SELECT DISTINCT window_start FROM ws) w CROSS JOIN bs b),
+grid AS (SELECT w.ord, b.bucket, b.pb
+         FROM (SELECT DISTINCT ord FROM ws) w CROSS JOIN bs b),
 j AS (
-  SELECT COALESCE(g.window_start, s.window_start) AS window_start,
+  SELECT COALESCE(g.ord, s.ord) AS ord,
          COALESCE(g.bucket, s.bucket) AS bucket,
          COALESCE(s.pw, 0) AS pw, COALESCE(g.pb, 0) AS pb
   FROM grid g FULL OUTER JOIN ws s
-    ON g.window_start = s.window_start AND g.bucket = s.bucket
+    ON g.ord = s.ord AND g.bucket = s.bucket
 ),
 c AS (
-  SELECT window_start, pw, pb,
-         sum(pw) OVER (PARTITION BY window_start ORDER BY bucket) AS cw,
-         sum(pb) OVER (PARTITION BY window_start ORDER BY bucket) AS cb
+  SELECT ord, pw, pb,
+         sum(pw) OVER (PARTITION BY ord ORDER BY bucket) AS cw,
+         sum(pb) OVER (PARTITION BY ord ORDER BY bucket) AS cb
   FROM j
+),
+num AS (
+  SELECT ord,
+         round(max(abs(cw - cb)), 6) AS ks,
+         round(sum((greatest(pw, 1e-6) - greatest(pb, 1e-6))
+                   * ln(greatest(pw, 1e-6) / greatest(pb, 1e-6))), 6) AS psi
+  FROM c GROUP BY ord
+),
+cw_ AS (
+  SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS ord,
+         CAST(event_type AS VARCHAR) AS cat, count(*) AS n
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2
+),
+cb_ AS (
+  SELECT CAST(event_type AS VARCHAR) AS cat, count(*) AS n
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1
+),
+cgrid AS (
+  SELECT w.ord, b.cat, CAST(b.n AS DOUBLE) AS na
+  FROM (SELECT DISTINCT ord FROM cw_) w CROSS JOIN cb_ b
+),
+cj AS (
+  SELECT g.ord, COALESCE(g.na, 0) AS na, COALESCE(CAST(s.n AS DOUBLE), 0) AS nb
+  FROM cgrid g FULL OUTER JOIN cw_ s ON g.ord = s.ord AND g.cat = s.cat
+),
+ct AS (SELECT ord, count(*) AS kk, sum(na) AS ta2, sum(nb) AS tb2
+       FROM cj GROUP BY 1),
+catd AS (
+  SELECT cj.ord,
+         round(sum(pow(na - (na+nb)*ta2/(ta2+tb2), 2)
+                     / ((na+nb)*ta2/(ta2+tb2))
+                 + pow(nb - (na+nb)*tb2/(ta2+tb2), 2)
+                     / ((na+nb)*tb2/(ta2+tb2))), 6) AS chi2,
+         round(sqrt(sum(pow(na - (na+nb)*ta2/(ta2+tb2), 2)
+                          / ((na+nb)*ta2/(ta2+tb2))
+                      + pow(nb - (na+nb)*tb2/(ta2+tb2), 2)
+                          / ((na+nb)*tb2/(ta2+tb2)))
+                    / max(ta2+tb2)), 6) AS cramers_v,
+         round(0.5 * sum(abs(na/ta2 - nb/tb2)), 6) AS tvd,
+         CAST(max(kk) AS DOUBLE) AS n_categories,
+         CAST(max(kk) - 1 AS DOUBLE) AS dof
+  FROM cj JOIN ct ON cj.ord = ct.ord GROUP BY cj.ord
 )
-SELECT window_start,
-       round(max(abs(cw - cb)), 6) AS ks,
-       round(sum((greatest(pw, 1e-6) - greatest(pb, 1e-6))
-                 * ln(greatest(pw, 1e-6) / greatest(pb, 1e-6))), 6) AS psi
-FROM c GROUP BY window_start ORDER BY window_start
+SELECT 'numeric:value' AS family, ord, 'ks' AS stat, ks AS value FROM num
+UNION ALL SELECT 'numeric:value', ord, 'psi', psi FROM num
+UNION ALL SELECT 'categorical:event_type', ord, 'chi2', chi2 FROM catd
+UNION ALL SELECT 'categorical:event_type', ord, 'cramers_v', cramers_v FROM catd
+UNION ALL SELECT 'categorical:event_type', ord, 'tvd', tvd FROM catd
+UNION ALL SELECT 'categorical:event_type', ord, 'n_categories', n_categories FROM catd
+UNION ALL SELECT 'categorical:event_type', ord, 'dof', dof FROM catd
 """
 
 _STREAM_DEDUP_SQL = f"""
@@ -3520,7 +3881,7 @@ FROM (VALUES ('hll_approx', 'l_orderkey'), ('hll_approx', 'l_suppkey'),
              ('tdigest_p25', 'l_extendedprice'), ('tdigest_p50', 'l_extendedprice'),
              ('tdigest_p75', 'l_extendedprice')) AS t(sketch, target)
 """,
-        "corpus_token_budget": _TOKEN_BUDGET_SQL,
+        "curation_planning_profile": _CURATION_PLANNING_SQL,
         "suggested_spec_lineitem": _suggested_spec_sql(),
         "spec_constraint_drift": _spec_drift_sql(),
         "ann_recall_floor": """
