@@ -21,6 +21,40 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _unpivot_long(df, family, id_col, rounded=(), exact=(), id_alias=None):
+    """THE long-shape unpivot shared by the profile queries — one row per
+    stat as ``(family, <id>, stat, value)``. ``rounded`` stats take the
+    1e-6 profile convention (F.round HALF_UP, matched by DuckDB round);
+    ``exact`` stats pass through as unrounded doubles (counts, dof, and
+    the bit-parity quantile family). ``id_alias`` renames the id column
+    (e.g. window_start → ord so the driver's alphabetical column sort
+    compares the unique (family, id, stat) prefix before any value)."""
+    out_id = id_alias or id_col
+    parts = []
+    for s in rounded:
+        parts.append(
+            df.select(
+                F.lit(family).alias("family"),
+                F.col(id_col).alias(out_id),
+                F.lit(s).alias("stat"),
+                F.round(F.col(s).cast("double"), 6).alias("value"),
+            )
+        )
+    for s in exact:
+        parts.append(
+            df.select(
+                F.lit(family).alias("family"),
+                F.col(id_col).alias(out_id),
+                F.lit(s).alias("stat"),
+                F.col(s).cast("double").alias("value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # validation specs used by the flagship queries
 # ---------------------------------------------------------------------------
@@ -314,30 +348,35 @@ def q_curation_planning_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = _t(spark, sf_dir, "documents")
     tb = corpus_token_budget(df, ("lang", "source"))
-    tb_group = F.concat_ws("/", "lang", "source")
-    tb_rows = None
-    for stat in ("n_docs", "n_tokens", "token_share", "cum_share"):
-        part = tb.select(
-            F.lit("token_budget").alias("family"),
-            tb_group.alias("group"),
-            F.lit(stat).alias("stat"),
-            F.col(stat).cast("double").alias("value"),
-        )
-        tb_rows = part if tb_rows is None else tb_rows.unionByName(part)
+    # NULL group keys take the heavy_hitters 'NULL' sentinel on BOTH
+    # sides — concat_ws SKIPS nulls while DuckDB `||` PROPAGATES them, so
+    # neither raw form is cross-engine safe on a corpus with null
+    # lang/source (and a NULL group would reach the driver's positional
+    # row-sort)
+    tb_group = F.concat_ws(
+        "/",
+        F.coalesce(F.col("lang"), F.lit("NULL")),
+        F.coalesce(F.col("source"), F.lit("NULL")),
+    )
+    tb_rows = _unpivot_long(
+        tb.withColumn("group", tb_group),
+        "token_budget",
+        "group",
+        # token_share/cum_share arrive pre-rounded from the operator
+        exact=("n_docs", "n_tokens", "token_share", "cum_share"),
+    )
 
     rc = quality_retention_curve(df, _RETENTION_THRESHOLDS)
     label = F.lit(None).cast("string")
     for t in _RETENTION_THRESHOLDS:
         label = F.when(F.col("threshold") == t, F.lit(f"t={t}")).otherwise(label)
-    rc_rows = None
-    for stat in ("n_docs", "n_tokens", "doc_retention", "token_retention"):
-        part = rc.select(
-            F.lit("retention").alias("family"),
-            label.alias("group"),
-            F.lit(stat).alias("stat"),
-            F.col(stat).cast("double").alias("value"),
-        )
-        rc_rows = part if rc_rows is None else rc_rows.unionByName(part)
+    rc_rows = _unpivot_long(
+        rc.withColumn("group", label),
+        "retention",
+        "group",
+        # the retention ratios arrive pre-rounded from the operator
+        exact=("n_docs", "n_tokens", "doc_retention", "token_retention"),
+    )
     return tb_rows.unionByName(rc_rows)
 
 
@@ -573,29 +612,7 @@ def q_per_group_localization_profile(spark: SparkSession, sf_dir: str) -> DataFr
     emb = _t(spark, sf_dir, "embeddings")
 
     def unpivot(df, family, rounded, exact):
-        parts = []
-        for s in rounded:
-            parts.append(
-                df.select(
-                    F.lit(family).alias("family"),
-                    F.col("group"),
-                    F.lit(s).alias("stat"),
-                    F.round(F.col(s).cast("double"), 6).alias("value"),
-                )
-            )
-        for s in exact:
-            parts.append(
-                df.select(
-                    F.lit(family).alias("family"),
-                    F.col("group"),
-                    F.lit(s).alias("stat"),
-                    F.col(s).cast("double").alias("value"),
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return _unpivot_long(df, family, "group", rounded=rounded, exact=exact)
 
     num = unpivot(
         drift_by_group(a, b, "l_returnflag", "l_quantity", 0.5, 50.5, 50),
@@ -683,7 +700,7 @@ def q_documents_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     CodegenFallback, gets no CSE — measured 17 s vs ~1.5 s staged on the
     sf0.1 corpus. Still one scan, zero shuffles (stacked map-stage
     projections)."""
-    from jsonschema_validator_spark.operators.dedup import _norm
+    from jsonschema_validator_spark.operators.dedup import _fingerprint
     from jsonschema_validator_spark.operators.text import (
         bpe_ish_token_count,
         langid_struct,
@@ -701,7 +718,7 @@ def q_documents_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_ish_token_count(t).alias("n_bpe_tokens"),
         quality_struct(t).alias("_q"),
         langid_struct(t)["predicted_lang"].alias("predicted_lang"),
-        F.substring(F.md5(_norm(t)), 1, 16).alias("fingerprint"),
+        _fingerprint(t).alias("fingerprint"),
     )
     return with_repetition_columns(base, "text").select(
         "doc_id", "n_ws_tokens", "n_bpe_tokens", "_q.*",
@@ -850,8 +867,9 @@ def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     family): the 'seen' corpus (doc_id % 7 != 0) builds a bitmap frame
     (ONE scan, bit_or word aggregate), each 'new' increment row
     (doc_id % 3 == 0) is probed (broadcast word join keyed by distinct
-    key value), and incremental_new_rows routes ONLY the maybe-seen
-    sliver through the exact anti-join. Output per new row:
+    key value), and incremental_dedup_verdicts routes ONLY the
+    maybe-seen sliver's distinct keys through the exact anti-join — one
+    probe pass for both phases. Output per new row:
     ``doc_id, maybe_seen`` (the phase-1 bloom verdict — golden-parity
     vs the pure-Python xxh64 bitmap twin, oracle.bloom_incremental_rows)
     and ``is_new`` (the phase-2 exact verdict — equals a plain left_anti
@@ -861,8 +879,7 @@ def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic sizing for the golden oracle."""
     from jsonschema_validator_spark.operators.bloom import (
         bloom_build,
-        bloom_might_contain,
-        incremental_new_rows,
+        incremental_dedup_verdicts,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -870,14 +887,11 @@ def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen = docs.filter(F.col("doc_id") % 7 != 0).select(key.alias("k"))
     new = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", key.alias("k"))
     bf = bloom_build(seen, "k", m=4096, k=5)
-    flagged = bloom_might_contain(new, bf, "k", flag_col="maybe_seen")
-    inc = incremental_new_rows(new, seen, "k", bloom=bf).select(
-        "doc_id", F.lit(True).alias("is_new")
-    )
-    return flagged.join(inc, "doc_id", "left").select(
-        "doc_id",
-        "maybe_seen",
-        F.coalesce("is_new", F.lit(False)).alias("is_new"),
+    # ONE probe pass yields both phases' verdicts (an earlier draft ran
+    # bloom_might_contain AND incremental_new_rows — the full probe
+    # pipeline twice over the same increment)
+    return incremental_dedup_verdicts(new, seen, "k", bloom=bf).select(
+        "doc_id", "maybe_seen", "is_new"
     )
 
 
@@ -1632,29 +1646,9 @@ def q_streaming_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def unpivot(df, family, rounded, exact):
-        parts = []
-        for s in rounded:
-            parts.append(
-                df.select(
-                    F.lit(family).alias("family"),
-                    F.col("window_start").alias("ord"),
-                    F.lit(s).alias("stat"),
-                    F.round(F.col(s).cast("double"), 6).alias("value"),
-                )
-            )
-        for s in exact:
-            parts.append(
-                df.select(
-                    F.lit(family).alias("family"),
-                    F.col("window_start").alias("ord"),
-                    F.lit(s).alias("stat"),
-                    F.col(s).cast("double").alias("value"),
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return _unpivot_long(
+            df, family, "window_start", rounded=rounded, exact=exact, id_alias="ord"
+        )
 
     return unpivot(num, "numeric:value", rounded=["ks", "psi"], exact=[]).unionByName(
         unpivot(
@@ -2250,7 +2244,7 @@ WITH tok AS (
          CAST(sum(n_tok) AS BIGINT) AS n_tokens
   FROM tok GROUP BY lang, source
 ), tb AS (
-  SELECT lang || '/' || source AS grp,
+  SELECT COALESCE(lang, 'NULL') || '/' || COALESCE(source, 'NULL') AS grp,
          CAST(n_docs AS DOUBLE) AS n_docs,
          CAST(n_tokens AS DOUBLE) AS n_tokens,
          round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share,

@@ -113,6 +113,13 @@ def _scaling_leg(cpus: int, n: int, runs: int = 1) -> dict:
         capture_output=True, text=True, timeout=3600, env=env,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
+    # a dead leg must surface its stderr, not die on splitlines()[-1] of
+    # an empty stdout — the probe leg gates the whole session
+    if out.returncode != 0 or not out.stdout.strip():
+        raise RuntimeError(
+            f"scaling leg (cpus={cpus}) failed rc={out.returncode}; "
+            f"stderr tail: {out.stderr[-2000:]}"
+        )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 
@@ -391,6 +398,9 @@ def main() -> int:
         # robust-outlier passes of the localization profile do too
         "bloom_incremental_dedup",
         "per_group_localization_profile",
+        # the merged recall query now collects the IVF training sample
+        # and runs driver-side k-means at plan build
+        "ann_recall_floor",
     }
 
     timings: dict[str, float] = {}

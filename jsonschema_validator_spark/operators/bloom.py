@@ -285,3 +285,49 @@ def incremental_new_rows(
     maybe = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     verified_new = maybe.join(seen.select(key_col), key_col, "left_anti")
     return definitely_new.unionByName(verified_new)
+
+
+def incremental_dedup_verdicts(
+    new: DataFrame,
+    seen: DataFrame,
+    key_col: str,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    bloom: BloomFrame | None = None,
+    flag_col: str = "maybe_seen",
+    new_col: str = "is_new",
+) -> DataFrame:
+    """Per-increment-row dedup VERDICTS: every row of ``new`` annotated
+    with both phases' outcomes — ``flag_col`` (the phase-1 bloom probe:
+    true = maybe already crawled) and ``new_col`` (the phase-2 exact
+    truth: true = key not in ``seen``). Rows where both are true are the
+    filter's false positives; ``flag_col`` false AND ``new_col`` false is
+    impossible (a bloom filter has no false negatives — pinned by tests).
+
+    This is the observability companion to :func:`incremental_new_rows`
+    (which returns only the new rows): one probe pass shared by both
+    phases — the bloom pipeline (distinct keys → k-row explode → word
+    join → bool_and) runs ONCE, and only the maybe-seen sliver's DISTINCT
+    keys anti-join against ``seen`` (an earlier draft ran the probe twice
+    to get both columns). ``new_col`` equals
+    ``key not in seen`` exactly: bloom-miss rows are definitely new and
+    never touch ``seen``.
+    """
+    if bloom is None:
+        bloom = bloom_build(seen, key_col, expected_items=expected_items, fpp=fpp)
+    flagged = bloom_might_contain(new, bloom, key_col, flag_col=flag_col)
+    # both the maybe-key branch and the output consume `flagged`; without
+    # a checkpoint each branch re-plans and re-executes the whole probe
+    # pipeline (the incremental_new_rows convention; under AQE this runs
+    # at plan build, which is the point)
+    flagged = flagged.localCheckpoint(eager=False)
+    confirmed_seen = (
+        flagged.filter(F.col(flag_col))
+        .select(key_col)
+        .distinct()
+        .join(seen.select(key_col), key_col, "left_semi")
+        .withColumn("_seen", F.lit(True))
+    )
+    return flagged.join(confirmed_seen, key_col, "left").withColumn(
+        new_col, F.col("_seen").isNull()
+    ).drop("_seen")

@@ -167,6 +167,39 @@ class TestIncrementalDedup:
         want = new_df.join(seen_df, "k", "left_anti")
         assert got.count() == want.count()
 
+    def test_verdicts_match_both_phases(self, spark):
+        """incremental_dedup_verdicts: is_new == plain left_anti exactly
+        (incl. duplicate and NULL keys), maybe_seen == bloom_might_contain,
+        and no false negatives (NOT maybe_seen implies is_new)."""
+        from jsonschema_validator_spark.operators.bloom import (
+            bloom_might_contain,
+            incremental_dedup_verdicts,
+        )
+
+        seen_df, new_df = self._sets(spark)
+        bf = bloom_build(seen_df, "k", expected_items=1500)
+        got = incremental_dedup_verdicts(new_df, seen_df, "k", bloom=bf)
+        rows = got.collect()
+        # row multiset preserved (dups + the NULL survive)
+        assert sorted(r["k"] or "" for r in rows) == sorted(
+            r["k"] or "" for r in new_df.collect()
+        )
+        want_new = {
+            (r["k"] or "")
+            for r in new_df.join(seen_df, "k", "left_anti").collect()
+        }
+        flags = {
+            (r["k"] or ""): r["maybe_seen"]
+            for r in bloom_might_contain(
+                new_df, bf, "k", flag_col="maybe_seen"
+            ).collect()
+        }
+        for r in rows:
+            k = r["k"] or ""
+            assert r["is_new"] == (k in want_new), k
+            assert r["maybe_seen"] == flags[k], k
+            assert r["maybe_seen"] or r["is_new"], f"false negative on {k}"
+
 
 class TestPlanShapes:
     def test_probe_broadcasts_words_and_never_cartesian(self, spark):
