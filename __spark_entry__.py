@@ -28,31 +28,33 @@ def _unpivot_long(df, family, id_col, rounded=(), exact=(), id_alias=None):
     ``exact`` stats pass through as unrounded doubles (counts, dof, and
     the bit-parity quantile family). ``id_alias`` renames the id column
     (e.g. window_start → ord so the driver's alphabetical column sort
-    compares the unique (family, id, stat) prefix before any value)."""
+    compares the unique (family, id, stat) prefix before any value).
+
+    Shape: ONE explode-of-struct-array projection, NOT a union of
+    per-stat selects — Spark does not CSE across union branches, so the
+    union form re-derived the ENTIRE upstream aggregate once per stat
+    (the curation profile's formatted plan showed 16 parquet scans for
+    8 stats; the drift-by-group histogram pipeline ran 6×). The explode
+    touches each upstream row once."""
     out_id = id_alias or id_col
-    parts = []
-    for s in rounded:
-        parts.append(
-            df.select(
-                F.lit(family).alias("family"),
-                F.col(id_col).alias(out_id),
-                F.lit(s).alias("stat"),
-                F.round(F.col(s).cast("double"), 6).alias("value"),
-            )
+    structs = [
+        F.struct(
+            F.lit(s).alias("stat"),
+            F.round(F.col(s).cast("double"), 6).alias("value"),
         )
-    for s in exact:
-        parts.append(
-            df.select(
-                F.lit(family).alias("family"),
-                F.col(id_col).alias(out_id),
-                F.lit(s).alias("stat"),
-                F.col(s).cast("double").alias("value"),
-            )
+        for s in rounded
+    ] + [
+        F.struct(
+            F.lit(s).alias("stat"),
+            F.col(s).cast("double").alias("value"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        for s in exact
+    ]
+    return df.select(
+        F.lit(family).alias("family"),
+        F.col(id_col).alias(out_id),
+        F.explode(F.array(*structs)).alias("_sv"),
+    ).select("family", out_id, "_sv.stat", "_sv.value")
 
 
 # ---------------------------------------------------------------------------
@@ -627,19 +629,24 @@ def q_per_group_localization_profile(spark: SparkSession, sf_dir: str) -> DataFr
         exact=["n_categories", "dof", "n_a", "n_b"],
     )
     hh = heavy_hitters_by_group(li, "l_returnflag", "l_linenumber", k=3)
+    # one explode, not a two-branch union — the union form re-derived the
+    # whole heavy-hitters aggregation per branch (no CSE across unions)
     hh_rows = hh.select(
         F.lit("heavy_hitters:l_linenumber").alias("family"),
         F.col("group"),
-        F.concat(F.lit("n:"), F.col("value")).alias("stat"),
-        F.col("n").cast("double").alias("value"),
-    ).unionByName(
-        hh.select(
-            F.lit("heavy_hitters:l_linenumber").alias("family"),
-            F.col("group"),
-            F.concat(F.lit("share:"), F.col("value")).alias("stat"),
-            F.round(F.col("share").cast("double"), 6).alias("value"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(F.lit("n:"), F.col("value")).alias("stat"),
+                    F.col("n").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.concat(F.lit("share:"), F.col("value")).alias("stat"),
+                    F.round(F.col("share").cast("double"), 6).alias("value"),
+                ),
+            )
+        ).alias("_sv"),
+    ).select("family", "group", "_sv.stat", "_sv.value")
     rob = unpivot(
         robust_outlier_stats_by_group(
             li, "l_returnflag", ["l_extendedprice"], exact=True

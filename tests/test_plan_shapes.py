@@ -414,3 +414,28 @@ def test_ngram_contamination_broadcast_probe_single_corpus_scan(spark):
     assert "BroadcastHashJoin" in plan
     # two scans total: corpus + benchmark (same file here by construction)
     assert _op_count(plan, "Scan parquet") == 2
+
+
+def test_long_shape_unpivot_single_pass(spark):
+    """_unpivot_long must reshape with ONE explode projection, never a
+    per-stat union — Spark does no CSE across union branches, so the
+    union form re-derives the entire upstream aggregate once per stat
+    (PLANS.md §30: 16 scans for 8 stats before the rewrite)."""
+    from __spark_entry__ import _unpivot_long
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    agg = df.groupBy(F.col("l_returnflag").alias("group")).agg(
+        F.avg("l_quantity").alias("m"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("l_extendedprice").alias("s"),
+        F.max("l_discount").alias("x"),
+    )
+    out = _unpivot_long(agg, "fam", "group", rounded=["m", "s"], exact=["n", "x"])
+    plan = _plan(out)
+    assert _op_count(plan, "Scan parquet") == 1, plan
+    assert _op_count(plan, "Union") == 0, plan
+    # one partial->final aggregate exchange, nothing per-stat
+    assert _op_count(plan, "Exchange") == 1, plan
+    rows = out.collect()
+    assert len(rows) == 4 * agg.count()
+    assert {r["stat"] for r in rows} == {"m", "n", "s", "x"}
