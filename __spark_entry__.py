@@ -16,6 +16,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jsonschema_validator_spark.streaming import state_partitions
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -205,6 +207,50 @@ def q_uniqueness_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_keys").cast("long").alias("dup_keys"),
     )
     return dups.unionByName(verdict)
+
+
+_PA_BY_SPARK_TYPE = {
+    "string": "string",
+    "int": "int32",
+    "bigint": "int64",
+    "double": "float64",
+    "boolean": "bool_",
+}
+
+
+def _stage_driver_parquet(rows, schema, path: str, seq: int) -> None:
+    """Stage driver-scale rows as ONE parquet file WITHOUT a Spark job.
+
+    Streaming-replay scaffolding: the micro-batch fixtures here are a few
+    hundred to a few thousand rows already collected on the driver, and a
+    ``coalesce(1).write.parquet`` job per batch costs multiple seconds of
+    pure scheduler/committer overhead (measured 5-7 s/file on a loaded
+    host for 83-row files). Arrow types mirror Spark's parquet writer
+    (int -> int32, bigint -> int64) so the explicit readStream schema
+    matches byte-for-byte. The mtime is pinned ``seq`` x 10 s apart in the
+    recent past so FileStreamSource's timestamp-ordered listing replays
+    batches in a deterministic order regardless of fs timestamp
+    granularity."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields = []
+    for f in schema.fields:
+        t = f.dataType.simpleString()
+        if t not in _PA_BY_SPARK_TYPE:
+            raise ValueError(f"_stage_driver_parquet: unmapped Spark type {t}")
+        fields.append(
+            pa.field(f.name, getattr(pa, _PA_BY_SPARK_TYPE[t])(), nullable=f.nullable)
+        )
+    names = [f.name for f in schema.fields]
+    table = pa.Table.from_pydict(
+        {n: [r[n] for r in rows] for n in names}, schema=pa.schema(fields)
+    )
+    pq.write_table(table, path)
+    t0 = _time.time() - 3600 + seq * 10
+    os.utime(path, (t0, t0))
 
 
 def _metrics_monthly_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1432,18 +1478,21 @@ def q_streaming_windowed_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame
         path = os.path.join(root, "src")
         src.coalesce(1).write.parquet(path)
         schema = spark.read.parquet(path).schema
-        stream = spark.readStream.schema(schema).parquet(path)
-        v = StreamingValidator(EVENTS_SPEC).windowed_verdicts(
-            stream, ts_col="ts", window="1 day", watermark="1 minute"
-        )
-        q = (
-            v.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
+        # Windowed-agg state is (window x rule x tag) — hundreds of groups,
+        # not table-scale; 8 state partitions instead of the batch 32.
+        with state_partitions(spark, 8):
+            stream = spark.readStream.schema(schema).parquet(path)
+            v = StreamingValidator(EVENTS_SPEC).windowed_verdicts(
+                stream, ts_col="ts", window="1 day", watermark="1 minute"
+            )
+            q = (
+                v.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
         out = spark.sql(
             f"SELECT CAST(window.start AS LONG) AS window_start, rule_id, tag, "
             f"n_checked, n_failed, pass FROM {name}"
@@ -1501,25 +1550,29 @@ def q_streaming_metrics_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if (lo is None or r["snapshot_ord"] >= lo)
                 and (hi is None or r["snapshot_ord"] < hi)
             ]
-            spark.createDataFrame(batch, hist.schema).coalesce(1).write.parquet(
-                f"{root}/b{i}"
-            )
+            # driver-side staging: 83-row fixtures, no Spark write jobs
+            _stage_driver_parquet(batch, hist.schema, f"{root}/b{i}.parquet", i)
 
         def drain(make_out, name):
-            stream = (
-                spark.readStream.schema(hist.schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(root + "/b*")
-            )
-            q = (
-                make_out(stream)
-                .writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .start()
-            )
-            q.processAllAvailable()
-            q.stop()
+            # 3 rule_id state keys: size the state-store partition count to
+            # the key cardinality, not the batch session's 32 (each of the
+            # 6 micro-batches pays state-store + Python-worker overhead per
+            # partition — 32 vs 4 measured 2-4x the drain wall-clock).
+            with state_partitions(spark, 4):
+                stream = (
+                    spark.readStream.schema(hist.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(root + "/b*")
+                )
+                q = (
+                    make_out(stream)
+                    .writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode("append")
+                    .start()
+                )
+                q.processAllAvailable()
+                q.stop()
             return spark.sql(
                 f"SELECT '{name.rsplit('_', 1)[-1]}' AS family, rule_id, "
                 f"CAST(snapshot_ord AS INT) AS snapshot_ord, fail_rate, "
@@ -1611,16 +1664,19 @@ def q_streaming_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = spark.read.parquet(path).schema
 
         def drain(make_out, qname, head_cols):
-            stream = spark.readStream.schema(schema).parquet(path)
-            q = (
-                make_out(stream)
-                .writeStream.format("memory")
-                .queryName(qname)
-                .outputMode("complete")
-                .start()
-            )
-            q.processAllAvailable()
-            q.stop()
+            # State is O(windows x buckets|categories) — a few hundred
+            # groups; 8 state partitions instead of the batch 32.
+            with state_partitions(spark, 8):
+                stream = spark.readStream.schema(schema).parquet(path)
+                q = (
+                    make_out(stream)
+                    .writeStream.format("memory")
+                    .queryName(qname)
+                    .outputMode("complete")
+                    .start()
+                )
+                q.processAllAvailable()
+                q.stop()
             res = spark.sql(
                 f"SELECT CAST(window.start AS LONG) AS window_start, "
                 f"{head_cols} FROM {qname}"
@@ -1705,31 +1761,33 @@ def q_streaming_dedup_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         flat = os.path.join(root, "flat")
         os.makedirs(flat)
-        n = 0
-        for b in (b0, b1, b2):
-            tmp = os.path.join(root, f"stage{n}")
-            b.coalesce(1).write.parquet(tmp)
-            for f in sorted(os.listdir(tmp)):
-                if f.endswith(".parquet"):
-                    n += 1
-                    shutil.copy(
-                        os.path.join(tmp, f), os.path.join(flat, f"{n:02d}.parquet")
-                    )
-        schema = spark.read.parquet(flat).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(flat)
-        )
-        q = (
-            streaming_exact_dedup(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
+        schema = base.schema
+        for n, b in enumerate((b0, b1, b2)):
+            # driver-side staging (documents is 5k rows total): one
+            # collect + pyarrow write per micro-batch fixture instead of
+            # a coalesce(1) Spark write job + file copy per batch
+            _stage_driver_parquet(
+                b.collect(), schema, os.path.join(flat, f"{n:02d}.parquet"), n
+            )
+        # Fingerprint state has thousands of keys but each micro-batch is
+        # tiny — per-partition state-store + worker overhead dominates at
+        # 32 partitions; 8 keeps the 3-batch replay cheap and the knob is
+        # documented as cardinality-sized (streaming.state_partitions).
+        with state_partitions(spark, 8):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(flat)
+            )
+            q = (
+                streaming_exact_dedup(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
         out = spark.sql(f"SELECT doc_id, text FROM {name}")
         return spark.createDataFrame(out.collect(), out.schema)  # detach
     finally:
@@ -2006,15 +2064,23 @@ def q_ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("multiprobe_pl4_t8_p3", 0.9, rm >= 0.9),
         ("single_probe_pl8_t1_p1", 0.02, rs >= 0.02),
     ]
-    rows = None
-    for config, floor, ok in gates:
-        part = j.select(
-            F.lit(config).alias("config"),
-            F.lit(floor).alias("floor"),
-            ok.alias("recall_ok"),
+    # ONE pass over the 1-row scalar frame: the former per-gate union
+    # re-derived all five upstream pipelines per branch (no CSE across
+    # union branches — PLANS.md §30); explode-of-struct-array touches
+    # the crossJoined scalars exactly once.
+    g = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(config).alias("config"),
+                    F.lit(floor).alias("floor"),
+                    ok.alias("recall_ok"),
+                )
+                for config, floor, ok in gates
+            ]
         )
-        rows = part if rows is None else rows.unionAll(part)
-    return rows.orderBy("config")
+    ).alias("g")
+    return j.select(g).select("g.config", "g.floor", "g.recall_ok").orderBy("config")
 
 
 def q_embedding_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -698,7 +698,9 @@ def embedding_drift_metrics(
         )
         cols = []
         for i in range(n_projections):
-            lit = F.array(*[F.lit(float(v)) for v in dirs[i]])
+            # ONE array literal per direction: per-element F.lit costs a
+            # py4j round trip per component (dim x n_projections calls)
+            lit = F.lit([float(v) for v in dirs[i]])
             p = (
                 F.aggregate(
                     F.zip_with("_emb", lit, lambda x, y: x * y),
