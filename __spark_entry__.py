@@ -117,10 +117,46 @@ def q_validate_orders_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_validate_events_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events verdicts over TWO specs in one slot (round-5 merge of the
+    former events_keyword_gaps_verdicts to stay at the 50-query cap):
+
+    - the base EVENTS_SPEC (required/enum/type/minimum/maximum);
+    - the keyword-gaps spec: exclusiveMaximum, map-typed nested
+      properties + maximum, additionalProperties (bool form over a
+      MapType column), and BOTH dependencies forms — schema form on
+      props (validate the object when the prop is present) and array
+      form on event_type (listed props must exist).
+
+    The rule_id sets are disjoint (keyword:path keys), so the union
+    needs no disambiguating tag and the oracle is the two former
+    oracles' UNION ALL."""
     from jsonschema_validator_spark import Validator
 
     df = _t(spark, sf_dir, "events")
-    return Validator(EVENTS_SPEC).validate(df).verdicts()
+    base = Validator(EVENTS_SPEC).validate(df).verdicts()
+    gaps_spec = {
+        "properties": {
+            "value": {"exclusiveMaximum": 400},
+            "props_map": {
+                "properties": {"k": {"maximum": 90}},
+                "additionalProperties": False,
+            },
+        },
+        "dependencies": {
+            "props": {"required": ["user_id"]},
+            "event_type": ["user_id", "value"],
+        },
+    }
+    gaps = (
+        Validator(gaps_spec)
+        .validate(
+            df.withColumn(
+                "props_map", F.from_json(F.col("props"), "map<string,double>")
+            )
+        )
+        .verdicts()
+    )
+    return base.unionByName(gaps)
 
 
 def q_column_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1163,35 +1199,6 @@ def q_events_props_map_validation(spark: SparkSession, sf_dir: str) -> DataFrame
     return Validator(spec).validate(df).verdicts()
 
 
-def q_events_keyword_gaps_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The remaining tests-only object/numeric keywords under the oracle
-    gate: exclusiveMaximum, map-typed nested properties + maximum,
-    additionalProperties (bool form over a MapType column), and BOTH
-    dependencies forms — schema form on props (validate the object when
-    the prop is present) and array form on event_type (listed props must
-    exist; absorbed from the former standalone events_dependencies_verdict
-    query in the round-4 ≤50-query consolidation)."""
-    from jsonschema_validator_spark import Validator
-
-    df = _t(spark, sf_dir, "events").withColumn(
-        "props_map", F.from_json(F.col("props"), "map<string,double>")
-    )
-    spec = {
-        "properties": {
-            "value": {"exclusiveMaximum": 400},
-            "props_map": {
-                "properties": {"k": {"maximum": 90}},
-                "additionalProperties": False,
-            },
-        },
-        "dependencies": {
-            "props": {"required": ["user_id"]},
-            "event_type": ["user_id", "value"],
-        },
-    }
-    return Validator(spec).validate(df).verdicts()
-
-
 def q_categorical_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical-column profile gating TWO table-stats operators in one
     driver slot (50-query cap), unpivoted to a uniform (column, stat,
@@ -1518,8 +1525,18 @@ def q_streaming_metrics_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
       two running sums + the Phase-I calibration buffer; warmup=12,
       slack=0.5, h=4.0 — the batch metrics_monitoring parameters),
       checked against the batch oracle's prefix-sum/running-min CUSUM
-      CTEs. Batch==stream equality is each operator's contract, locked
-      point-for-point in test_monitor.py / test_streaming.
+      CTEs;
+    - ``flips`` — streaming/monitor.streaming_verdict_flips (round 5,
+      the last formerly tests-only monitor twin): ONE boolean of
+      per-series state emits a row the moment a series' pass/fail
+      verdict (fail_rate <= 0.10, the batch metrics_monitoring
+      threshold) flips vs its previous observation, checked against
+      the batch oracle's lag() flips. Its rows carry ``direction``
+      and NULL-pad the chart columns (the batch metrics_monitoring
+      row already hash-gates a mostly-NULL direction column).
+
+    Batch==stream equality is each operator's contract, locked
+    point-for-point in test_monitor.py / test_streaming.
 
     Row policy matches metrics_monitoring: expose n_history /
     is_anomaly / bit-exact fail_rate, not the center/scale/z/s floats
@@ -1534,6 +1551,7 @@ def q_streaming_metrics_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonschema_validator_spark.streaming.monitor import (
         streaming_control_chart,
         streaming_cusum_chart,
+        streaming_verdict_flips,
     )
 
     hist = _metrics_monthly_history(spark, sf_dir)
@@ -1553,7 +1571,7 @@ def q_streaming_metrics_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             # driver-side staging: 83-row fixtures, no Spark write jobs
             _stage_driver_parquet(batch, hist.schema, f"{root}/b{i}.parquet", i)
 
-        def drain(make_out, name):
+        def drain(make_out, name, select_cols):
             # 3 rule_id state keys: size the state-store partition count to
             # the key cardinality, not the batch session's 32 (each of the
             # 6 micro-batches pays state-store + Python-worker overhead per
@@ -1575,10 +1593,17 @@ def q_streaming_metrics_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.stop()
             return spark.sql(
                 f"SELECT '{name.rsplit('_', 1)[-1]}' AS family, rule_id, "
-                f"CAST(snapshot_ord AS INT) AS snapshot_ord, fail_rate, "
-                f"CAST(n_history AS BIGINT) AS n_history, is_anomaly "
+                f"CAST(snapshot_ord AS INT) AS snapshot_ord, {select_cols} "
                 f"FROM {name}"
             )
+
+        # sentinels, NOT NULLs: the driver's row sort compares cells
+        # positionally and None-vs-value raises (the uniqueness_checks /
+        # metrics_monitoring '' convention)
+        _CHART_COLS = (
+            "fail_rate, CAST(n_history AS BIGINT) AS n_history, is_anomaly, "
+            "'' AS direction"
+        )
 
         chart = drain(
             lambda s: streaming_control_chart(
@@ -1591,6 +1616,7 @@ def q_streaming_metrics_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
                 method="robust",
             ),
             "jsvs_stream_metrics_chart",
+            _CHART_COLS,
         )
         cusum = drain(
             lambda s: streaming_cusum_chart(
@@ -1603,8 +1629,24 @@ def q_streaming_metrics_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h=4.0,
             ),
             "jsvs_stream_metrics_cusum",
+            _CHART_COLS,
         )
-        res = chart.unionByName(cusum)
+        flips = drain(
+            lambda s: streaming_verdict_flips(
+                s.withColumn("pass", F.col("fail_rate") <= F.lit(0.10)),
+                ["rule_id"],
+                "snapshot_ord",
+                pass_col="pass",
+            ),
+            "jsvs_stream_metrics_flips",
+            # flips rows carry only the transition: sentinel-pad the chart
+            # columns (-1/false, never NULL — driver row-sort trap) so the
+            # three families share one hashed schema
+            "CAST(-1.0 AS DOUBLE) AS fail_rate, "
+            "CAST(-1 AS BIGINT) AS n_history, "
+            "false AS is_anomaly, direction",
+        )
+        res = chart.unionByName(cusum).unionByName(flips)
         return spark.createDataFrame(res.collect(), res.schema)  # detach
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1789,6 +1831,71 @@ def q_streaming_dedup_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
             q.stop()
         out = spark.sql(f"SELECT doc_id, text FROM {name}")
+        return spark.createDataFrame(out.collect(), out.schema)  # detach
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming benchmark decontamination under the driver gate (round 5,
+    the last formerly tests-only streaming twin): the deterministic eval
+    slice (doc_id % 97 == 0, the corpus_curation_funnel stage-6 benchmark)
+    is materialized once as a closure-shipped shingle set, then ALL
+    non-null-text documents are replayed as a TWO micro-batch file stream
+    through ``streaming_contamination_flags`` — stateless Arrow-batched
+    mapInPandas, no shuffle, no watermark (the right streaming shape for a
+    per-document statistic against a static eval set; see
+    streaming/decontaminate.py). Output is each document's full overlap
+    measurement ``(n_shingles, n_matched, contamination_frac,
+    contaminated)``, value-gated against the same DuckDB 5-word-shingle
+    SQL the funnel's stage 6 uses — here per-document rather than
+    count-only, so the hash checks every fraction, not just the gate."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsonschema_validator_spark.streaming.decontaminate import (
+        streaming_contamination_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    rows = sorted(
+        docs.filter(F.col("text").isNotNull()).collect(),
+        key=lambda r: r["doc_id"],
+    )  # driver-scale replay fixture: documents is 500-5k rows at test SFs
+    cut = rows[len(rows) // 2]["doc_id"]
+    root = tempfile.mkdtemp(prefix="jsv_sdecon_")
+    name = "sdc_" + uuid.uuid4().hex[:8]
+    try:
+        _stage_driver_parquet(
+            [r for r in rows if r["doc_id"] < cut], docs.schema,
+            os.path.join(root, "b0.parquet"), 0,
+        )
+        _stage_driver_parquet(
+            [r for r in rows if r["doc_id"] >= cut], docs.schema,
+            os.path.join(root, "b1.parquet"), 1,
+        )
+        # stateless mapInPandas: no state store, so no state_partitions
+        # pinning — there is no shuffle in this stream at all
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(root)
+        )
+        q = (
+            streaming_contamination_flags(stream, bench)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.sql(
+            f"SELECT doc_id, n_shingles, n_matched, contamination_frac, "
+            f"contaminated FROM {name}"
+        )
         return spark.createDataFrame(out.collect(), out.schema)  # detach
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -2132,7 +2239,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_map_validation": q_events_props_map_validation,
         "documents_token_array_validation": q_documents_token_array_validation,
         "format_validation_derived": q_format_validation_derived,
-        "events_keyword_gaps_verdicts": q_events_keyword_gaps_verdicts,
         "lineitem_partitioned_verdicts": q_lineitem_partitioned_verdicts,
         "violations_topk_per_rule": q_violations_topk_per_rule,
         # the four formerly-tail image queries sit BEFORE the streaming
@@ -2150,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features_gate": q_audio_features_gate,
         "streaming_windowed_verdicts": q_streaming_windowed_verdicts,
         "streaming_dedup_firstseen": q_streaming_dedup_firstseen,
+        "streaming_decontamination": q_streaming_decontamination,
         "streaming_windowed_drift": q_streaming_windowed_drift,
     }
 
@@ -2560,12 +2667,28 @@ SELECT 'chart' AS family, rule_id, snapshot_ord, fail_rate,
        CAST(n_history AS BIGINT) AS n_history,
        CASE WHEN n_history < 6 THEN FALSE
             WHEN scale > 0 THEN abs((fail_rate - center) / scale) > 2.5
-            ELSE fail_rate != center END AS is_anomaly
+            ELSE fail_rate != center END AS is_anomaly,
+       '' AS direction
 FROM chart
 UNION ALL
 SELECT 'cusum', rule_id, snapshot_ord, fail_rate,
-       CAST(n_history AS BIGINT) AS n_history, is_anomaly
+       CAST(n_history AS BIGINT) AS n_history, is_anomaly, ''
 FROM cusum
+UNION ALL
+-- flips family (round 5): the batch verdict_flips lag() semantics —
+-- first observation never flips; pass is non-null here (fail_rate is a
+-- count ratio), transition rows only, direction from the NEW verdict.
+-- Chart columns are sentinel-padded (-1/false, never NULL: the driver
+-- row-sort compares cells positionally, None-vs-value raises)
+SELECT 'flips', rule_id, snapshot_ord,
+       CAST(-1.0 AS DOUBLE), CAST(-1 AS BIGINT), FALSE,
+       CASE WHEN pass THEN 'recovered' ELSE 'regressed' END
+FROM (
+  SELECT rule_id, snapshot_ord, (fail_rate <= 0.10) AS pass,
+         lag(fail_rate <= 0.10) OVER
+           (PARTITION BY rule_id ORDER BY snapshot_ord) AS prev_pass
+  FROM hist
+) WHERE prev_pass IS NOT NULL AND prev_pass != pass
 """
 
 _REF_ORPHANS_SQL = """
@@ -3144,6 +3267,40 @@ r AS (
   FROM inp
 )
 SELECT doc_id, text FROM r WHERE rn = 1
+"""
+
+# streaming_decontamination oracle: per-document 5-word-shingle overlap vs
+# the deterministic eval slice — the same canonicalization SQL the funnel's
+# stage 6 uses (lower/trim/collapse-ws; < k tokens -> whole text; distinct
+# shingles), exposed per document with the full fraction instead of the
+# funnel's count-only gate. round() parity: contamination_frac is
+# HALF_UP-rounded at 6 dp on both sides (the engine-wide F.round
+# convention; decontaminate._round6 replicates it in the stream twin).
+_STREAM_DECON_SQL = """
+WITH bsh AS (
+  SELECT CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
+              i -> array_to_string(list_slice(t, i, i + 4), ' '))) END AS sh
+  FROM (SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+        FROM documents WHERE doc_id % 97 = 0 AND text IS NOT NULL)
+),
+bset AS (SELECT DISTINCT unnest(sh) AS s FROM bsh),
+dsh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
+              i -> array_to_string(list_slice(t, i, i + 4), ' '))) END AS sh
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+        FROM documents WHERE text IS NOT NULL)
+),
+dexp AS (SELECT doc_id, unnest(sh) AS s FROM dsh),
+dm AS (SELECT e.doc_id, count(*) AS n, count(b.s) AS m
+       FROM dexp e LEFT JOIN bset b ON e.s = b.s GROUP BY e.doc_id)
+SELECT doc_id, CAST(n AS BIGINT) AS n_shingles, CAST(m AS BIGINT) AS n_matched,
+       round(CAST(m AS DOUBLE) / n, 6) AS contamination_frac,
+       round(CAST(m AS DOUBLE) / n, 6) >= 0.5 AS contaminated
+FROM dm
 """
 
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -3938,7 +4095,12 @@ def oracle_sql() -> dict[str, str]:
         **_hash_oracles(),
         "validate_lineitem_verdicts": _LINEITEM_VERDICT_SQL,
         "validate_orders_violations": _ORDERS_VIOLATIONS_SQL,
-        "validate_events_verdicts": _EVENTS_VERDICT_SQL,
+        # round-5 merge: base EVENTS_SPEC verdicts + the keyword-gaps
+        # spec's verdicts (disjoint rule_ids) in one slot
+        "validate_events_verdicts": (
+            f"SELECT * FROM ({_EVENTS_VERDICT_SQL})\n"
+            f"UNION ALL\nSELECT * FROM ({_KEYWORD_GAPS_SQL})"
+        ),
         "column_stats_lineitem": _STATS_SQL,
         "quantiles_extendedprice": _QUANTILES_SQL,
         "sketch_accuracy_gates": """
@@ -3978,11 +4140,11 @@ ORDER BY config
         "events_props_map_validation": _PROPS_MAP_SQL,
         "documents_token_array_validation": _TOKEN_ARRAY_SQL,
         "format_validation_derived": _format_oracle_sql(),
-        "events_keyword_gaps_verdicts": _KEYWORD_GAPS_SQL,
         "lineitem_partitioned_verdicts": _PARTITIONED_VERDICT_SQL,
         "violations_topk_per_rule": _TOPK_VIOL_SQL,
         "streaming_windowed_verdicts": _STREAMING_VERDICT_SQL,
         "streaming_dedup_firstseen": _STREAM_DEDUP_SQL,
+        "streaming_decontamination": _STREAM_DECON_SQL,
         "streaming_windowed_drift": _STREAM_DRIFT_SQL,
         "images_jpeg_decode_gate": """
 SELECT CAST(12 AS BIGINT) AS n_images, TRUE AS all_above_floor

@@ -392,6 +392,7 @@ def main() -> int:
         # fix; r4 and earlier under-reported these)
         "streaming_windowed_verdicts",
         "streaming_dedup_firstseen",
+        "streaming_decontamination",
         "streaming_windowed_drift",
         "streaming_metrics_chart",
         # bloom builds/probes via localCheckpoint at plan build; the
