@@ -159,6 +159,17 @@ def run_scaling(levels=(4, 16), n: int = SCALING_N, pairs: int = 2) -> dict:
         "probe_floor": SCALING_PROBE_FLOOR,
         "healthy": probe["value"] >= SCALING_PROBE_FLOOR,
     }
+    # the host's OWN scaling ceilings (no Spark), measured in-session so
+    # every reading is self-contextualizing: the flagship's single-box
+    # efficiency cannot exceed cpu_eff (per-core throughput drops as more
+    # cores go active — measured 0.79 on the slow host class, 0 steal) and
+    # degrades toward membw_eff as per-row work lightens. PRIMARY `value`
+    # stays the RAW ratio; the normalized view is disclosure, not the gate.
+    bounds = run_host_bounds((lo, hi))
+    result["host_bounds"] = {
+        "cpu_eff": bounds["cpu_eff"],
+        "membw_eff": bounds["membw_eff"],
+    }
     if not result["healthy"]:
         result["value"] = None
         result["note"] = "host failed health probe; session not counted"
@@ -180,7 +191,94 @@ def run_scaling(levels=(4, 16), n: int = SCALING_N, pairs: int = 2) -> dict:
     result["value"] = round(
         statistics.median(p["efficiency"] for p in pair_rows), 4
     )
+    # fraction of the host's own pure-CPU ceiling the flagship achieved —
+    # disclosed context (a real N->4N cluster does not share one box's
+    # frequency/DRAM ceilings), never the gate number
+    if bounds["cpu_eff"] > 0:
+        result["value_vs_host_cpu_ceiling"] = round(
+            result["value"] / bounds["cpu_eff"], 4
+        )
     return result
+
+
+def _bound_burn_cpu(n_iter: int) -> float:
+    """Cache-resident CPU burn (zlib over a 1 MB buffer): scales with core
+    count, insensitive to DRAM bandwidth."""
+    import zlib
+
+    data = os.urandom(1 << 20)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        zlib.compress(data, 6)
+    return time.perf_counter() - t0
+
+
+def _bound_burn_membw(n_iter: int) -> float:
+    """Streaming-DRAM burn (elementwise ops over a 50 MB uint8 array,
+    ~100 MB of memory traffic per iteration): bounded by the host's shared
+    memory controller, not core count."""
+    import numpy as np
+
+    a = np.arange(50_000_000, dtype=np.uint8)
+    b = np.empty_like(a)
+    # warm-up: fault the pages in before the timed region
+    np.add(a, 1, out=b)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        np.add(a, 1, out=b)
+        np.add(b, 1, out=a)
+    return time.perf_counter() - t0
+
+
+def run_host_bounds(levels=(4, 16)) -> dict:
+    """Measure THIS host's own 4→16 scaling ceilings with no Spark at all,
+    bracketing what any job mixing CPU and memory traffic can achieve on
+    one box. Two multiprocessing burns, each interleaved [lo,hi]×2 like the
+    flagship protocol:
+
+    - pure-CPU (cache-resident zlib): a host with free cores scales ~1.0;
+      a CONTENDED host (other tenants) scores low here too.
+    - pure-DRAM (streaming numpy): bounded by the single shared memory
+      controller — local[hi] threads fight for the same DRAM channels that
+      local[lo] barely loads. On a REAL N→4N executor cluster this resource
+      scales WITH the cluster (every executor brings its own memory
+      controller), so the single-box flagship efficiency is a LOWER BOUND
+      on true N-vs-4N cluster scaling whenever membw_eff < cpu_eff.
+
+    The flagship mixes both bound classes (decode arithmetic + array/shuffle
+    traffic), so its single-box efficiency lands between these two numbers;
+    how close it sits to the CPU bound is the engine's doing, where the
+    ceiling itself sits is the host's.
+    """
+    import multiprocessing as mp
+    import statistics
+
+    def measure(burn, workers: int, n_iter: int) -> float:
+        with mp.Pool(workers) as p:
+            t0 = time.perf_counter()
+            p.map(burn, [n_iter] * workers)
+            wall = time.perf_counter() - t0
+        return workers * n_iter / wall  # jobs/sec
+
+    lo, hi = min(levels), max(levels)
+    factor = hi / lo
+    out = {"metric": "host_scaling_bounds", "levels": [lo, hi]}
+    for name, burn, n_iter in (
+        ("cpu", _bound_burn_cpu, 60),
+        ("membw", _bound_burn_membw, 40),
+    ):
+        measure(burn, lo, max(2, n_iter // 8))  # warm-up (pool spawn, JIT)
+        ratios = []
+        legs = []
+        for _ in range(2):
+            r_lo = measure(burn, lo, n_iter)
+            r_hi = measure(burn, hi, n_iter)
+            legs += [(lo, round(r_lo, 1)), (hi, round(r_hi, 1))]
+            ratios.append(round(r_hi / (factor * r_lo), 4))
+        out[f"{name}_eff"] = round(statistics.median(ratios), 4)
+        out[f"{name}_legs"] = legs
+        out[f"{name}_ratios"] = ratios
+    return out
 
 
 def force(df) -> None:
@@ -320,7 +418,16 @@ def main() -> int:
         "--scaling", action="store_true",
         help="run the flagship at local[8] and local[32]; print efficiency JSON",
     )
+    parser.add_argument(
+        "--host-bounds", action="store_true",
+        help="measure this host's own 4→16 scaling ceilings (pure-CPU vs "
+        "pure-DRAM multiprocessing burns, no Spark); print bounds JSON",
+    )
     args = parser.parse_args()
+
+    if args.host_bounds:
+        print(json.dumps(run_host_bounds()))
+        return 0
 
     if args.scaling:
         # generate the cache first (parent session), then measure in clean JVMs
