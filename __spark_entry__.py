@@ -2132,15 +2132,6 @@ def q_ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     bf = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
 
-    def hits(ann: DataFrame, name: str) -> DataFrame:
-        return (
-            bf.join(
-                ann.select("query_id", "neighbor_id"),
-                ["query_id", "neighbor_id"],
-                "left_semi",
-            ).agg(F.count(F.lit(1)).alias(name))
-        )
-
     single = ann_topk(emb, queries, dim=64, k=5, n_planes=8)
     multi = ann_topk(
         emb, queries, dim=64, k=5, n_planes=4, n_probes=3, n_tables=8
@@ -2152,12 +2143,32 @@ def q_ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf_train(sample, n_cells=16)
     p1 = ivf_topk(emb, queries, cents, k=5, n_probe=1)
     p4 = ivf_topk(emb, queries, cents, k=5, n_probe=4)
-    j = (
-        hits(single, "hs")
-        .crossJoin(hits(multi, "hm"))
-        .crossJoin(hits(p1, "h1"))
-        .crossJoin(hits(p4, "h4"))
-        .crossJoin(bf.agg(F.count(F.lit(1)).alias("t")))
+
+    # ONE derivation of the brute-force baseline. The former per-pipeline
+    # hits() made FIVE left-semi/agg branches, each re-deriving bf (no CSE
+    # across join branches), plus four crossJoins of 1-row scalars. The
+    # tagged union derives each ANN pipeline once, bf once, and a single
+    # conditional aggregate replaces all five branches: hits-per-config ==
+    # the old left_semi counts because (query_id, neighbor_id) is unique
+    # within every top-k output, and t == |bf| via the distinct pair count
+    # (a bf row duplicates once per matching config on the left join).
+    def _tag(ann: DataFrame, cfg: str) -> DataFrame:
+        return ann.select("query_id", "neighbor_id").withColumn(
+            "cfg", F.lit(cfg)
+        )
+
+    tagged = (
+        _tag(single, "s")
+        .unionByName(_tag(multi, "m"))
+        .unionByName(_tag(p1, "1"))
+        .unionByName(_tag(p4, "4"))
+    )
+    j = bf.join(tagged, ["query_id", "neighbor_id"], "left").agg(
+        F.count_distinct("query_id", "neighbor_id").alias("t"),
+        F.count(F.when(F.col("cfg") == "s", 1)).alias("hs"),
+        F.count(F.when(F.col("cfg") == "m", 1)).alias("hm"),
+        F.count(F.when(F.col("cfg") == "1", 1)).alias("h1"),
+        F.count(F.when(F.col("cfg") == "4", 1)).alias("h4"),
     )
     rs = F.col("hs") / F.col("t")
     rm = F.col("hm") / F.col("t")

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .similarity import double_array_lit
+
 
 def histogram(
     df: DataFrame,
@@ -698,9 +700,9 @@ def embedding_drift_metrics(
         )
         cols = []
         for i in range(n_projections):
-            # ONE array literal per direction: per-element F.lit costs a
-            # py4j round trip per component (dim x n_projections calls)
-            lit = F.lit([float(v) for v in dirs[i]])
+            # ONE SQL array literal per direction: F.lit(list) still pays
+            # ~0.6 ms/element of py4j conversion (similarity.double_array_lit)
+            lit = double_array_lit([float(v) for v in dirs[i]])
             p = (
                 F.aggregate(
                     F.zip_with("_emb", lit, lambda x, y: x * y),

@@ -26,6 +26,36 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _darray_sql(vals) -> str:
+    parts = []
+    for x in vals:
+        x = float(x)
+        if not math.isfinite(x):
+            raise ValueError(f"non-finite constant in array literal: {x!r}")
+        parts.append(repr(x) + "D")
+    return "array(" + ",".join(parts) + ")"
+
+
+def double_array_lit(vals) -> Column:
+    """Constant ``array<double>`` literal via ONE SQL ``expr``.
+
+    ``F.lit(list)`` converts element-by-element through py4j (~0.6 ms per
+    element measured — 1.3 s for one 2048-float plane set), which made
+    literal-heavy plan builds (LSH planes, IVF centroids, Cramér–Wold
+    directions) driver-bound. Parsing a single SQL array literal is ~200×
+    faster and bit-exact: ``repr`` emits the shortest round-trip decimal
+    and Java's correctly-rounded ``Double`` parsing returns the identical
+    bits (verified incl. -0.0, denormals, max double).
+    """
+    return F.expr(_darray_sql(vals))
+
+
+def double_matrix_lit(rows) -> Column:
+    """Constant ``array<array<double>>`` literal via ONE SQL ``expr``
+    (see :func:`double_array_lit` for why not ``F.lit``)."""
+    return F.expr("array(" + ",".join(_darray_sql(r) for r in rows) + ")")
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -168,47 +198,77 @@ def _probe_structs(
         raise ValueError("n_probes must be in [1, n_planes+1]")
     if n_tables < 1:
         raise ValueError("n_tables must be >= 1")
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     powers = F.lit([1 << i for i in range(n_planes)])  # array<bigint>, one call
-    per_table = []
-    for t in range(n_tables):
-        # F.lit(list) builds each plane as ONE array literal: the
-        # per-element F.array(*[F.lit(x) ...]) form cost dim py4j round
-        # trips per plane — 2048 driver calls (~8 s measured) for
-        # (8 tables, 4 planes, 64 dims) before any Spark work
-        dots = [
-            dot(v, F.lit(_hyperplane(dim, t * n_planes + i)))
-            for i in range(n_planes)
+    # [table][plane][dim] literal: one SQL matrix literal per table —
+    # F.lit(list) pays ~0.6 ms/element of py4j conversion (1.7 s at
+    # 8×4×64); the expr path is one string parse per table
+    planes_lit = F.array(
+        *[
+            double_matrix_lit(
+                [_hyperplane(dim, t * n_planes + i) for i in range(n_planes)]
+            )
+            for t in range(n_tables)
         ]
-        bucket = F.lit(0).cast("long")
-        for i, d in enumerate(dots):
-            bucket = bucket + F.shiftleft((d > 0).cast("long"), i)
-        if n_probes == 1:
-            probes = F.array(bucket)
-        else:
-            margins = F.array(
-                *[
-                    F.struct(F.abs(d).alias("m"), F.lit(i).alias("i"))
-                    for i, d in enumerate(dots)
-                ]
-            )
-            flips = F.slice(F.array_sort(margins), 1, n_probes - 1)
-            probes = F.concat(
-                F.array(bucket),
-                F.transform(
-                    flips,
-                    lambda s: bucket.bitwiseXOR(F.element_at(powers, s["i"] + 1)),
-                ),
-            )
-        per_table.append(
-            F.transform(
-                probes,
-                lambda b: F.struct(
-                    F.lit(t).alias("table"), b.alias("bucket")
-                ),
-            )
-        )
-    return per_table[0] if n_tables == 1 else F.concat(*per_table)
+    )
+
+    def _let(val: Column, body) -> Column:
+        # let-binding idiom: transform binds `val` to a lambda variable, so
+        # the body can reference it MANY times while it is EVALUATED ONCE
+        # per row (the previous build referenced each dot subtree from the
+        # bucket, the margins AND every flip — n_probes+1 evaluations of
+        # every 64-dim fold per row — and re-CONSTRUCTED the whole tree per
+        # table: 3.8 s of driver py4j chatter at 8 tables before any Spark
+        # work, since lambda bodies here are built once, not per element)
+        return F.element_at(F.transform(F.array(val), body), 1)
+
+    def with_vec(vv: Column) -> Column:
+        def per_table(planes_t: Column, t: Column) -> Column:
+            def with_dots(ds: Column) -> Column:
+                b0 = F.lit(0).cast("long")
+                for i in range(n_planes):
+                    b0 = b0 + F.shiftleft(
+                        (F.element_at(ds, i + 1) > 0).cast("long"), i
+                    )
+
+                def with_bucket(bucket: Column) -> Column:
+                    if n_probes == 1:
+                        probes = F.array(bucket)
+                    else:
+                        margins = F.array(
+                            *[
+                                F.struct(
+                                    F.abs(F.element_at(ds, i + 1)).alias("m"),
+                                    F.lit(i).alias("i"),
+                                )
+                                for i in range(n_planes)
+                            ]
+                        )
+                        flips = F.slice(F.array_sort(margins), 1, n_probes - 1)
+                        probes = F.concat(
+                            F.array(bucket),
+                            F.transform(
+                                flips,
+                                lambda s: bucket.bitwiseXOR(
+                                    F.element_at(powers, s["i"] + 1)
+                                ),
+                            ),
+                        )
+                    return F.transform(
+                        probes,
+                        lambda b: F.struct(
+                            t.cast("int").alias("table"), b.alias("bucket")
+                        ),
+                    )
+
+                return _let(b0, with_bucket)
+
+            return _let(F.transform(planes_t, lambda p: dot(vv, p)), with_dots)
+
+        tables = F.transform(planes_lit, per_table)
+        return F.element_at(tables, 1) if n_tables == 1 else F.flatten(tables)
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return _let(v, with_vec)
 
 
 def lsh_probe_buckets(
@@ -349,9 +409,9 @@ def _cell_sims(vec_col: str, centroids) -> list[Column]:
     return [
         # try_divide: a zero-norm vector must not DIVIDE_BY_ZERO the whole
         # assignment job under ANSI; its NULL sims exclude it from cells
-        # one array literal per centroid (see the plane-literal note in
-        # _probe_structs: per-element F.lit costs dim py4j calls each)
-        F.try_divide(dot(v, F.lit([float(x) for x in c])), vn)
+        # one SQL array literal per centroid (see double_array_lit: the
+        # F.lit(list) path pays ~0.6 ms/element of py4j conversion)
+        F.try_divide(dot(v, double_array_lit(c)), vn)
         for c in centroids
     ]
 
