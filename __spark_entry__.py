@@ -245,15 +245,6 @@ def q_uniqueness_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dups.unionByName(verdict)
 
 
-_PA_BY_SPARK_TYPE = {
-    "string": "string",
-    "int": "int32",
-    "bigint": "int64",
-    "double": "float64",
-    "boolean": "bool_",
-}
-
-
 def _stage_driver_parquet(rows, schema, path: str, seq: int) -> None:
     """Stage driver-scale rows as ONE parquet file WITHOUT a Spark job.
 
@@ -261,28 +252,23 @@ def _stage_driver_parquet(rows, schema, path: str, seq: int) -> None:
     hundred to a few thousand rows already collected on the driver, and a
     ``coalesce(1).write.parquet`` job per batch costs multiple seconds of
     pure scheduler/committer overhead (measured 5-7 s/file on a loaded
-    host for 83-row files). Arrow types mirror Spark's parquet writer
-    (int -> int32, bigint -> int64) so the explicit readStream schema
-    matches byte-for-byte. The mtime is pinned ``seq`` x 10 s apart in the
-    recent past so FileStreamSource's timestamp-ordered listing replays
-    batches in a deterministic order regardless of fs timestamp
-    granularity."""
+    host for 83-row files). The Arrow schema comes from pyspark's own
+    Spark→Arrow mapping (``to_arrow_schema``: int -> int32, bigint ->
+    int64, nullability preserved) — the exact parity with Spark's parquet
+    writer a hand-rolled map could only approximate — so the explicit
+    readStream schema matches byte-for-byte. The mtime is pinned ``seq``
+    x 10 s apart in the recent past so FileStreamSource's
+    timestamp-ordered listing replays batches in a deterministic order
+    regardless of fs timestamp granularity."""
     import time as _time
 
     import pyarrow as pa
     import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
 
-    fields = []
-    for f in schema.fields:
-        t = f.dataType.simpleString()
-        if t not in _PA_BY_SPARK_TYPE:
-            raise ValueError(f"_stage_driver_parquet: unmapped Spark type {t}")
-        fields.append(
-            pa.field(f.name, getattr(pa, _PA_BY_SPARK_TYPE[t])(), nullable=f.nullable)
-        )
     names = [f.name for f in schema.fields]
     table = pa.Table.from_pydict(
-        {n: [r[n] for r in rows] for n in names}, schema=pa.schema(fields)
+        {n: [r[n] for r in rows] for n in names}, schema=to_arrow_schema(schema)
     )
     pq.write_table(table, path)
     t0 = _time.time() - 3600 + seq * 10

@@ -138,6 +138,20 @@ def run_scaling(levels=(4, 16), n: int = SCALING_N, pairs: int = 2) -> dict:
     session is reported unhealthy rather than polluting the estimator."""
     import statistics
 
+    lo, hi = min(levels), max(levels)
+    factor = hi / lo
+
+    # the host's OWN scaling ceilings (no Spark), measured in-session so
+    # every reading is self-contextualizing: the flagship's single-box
+    # efficiency cannot exceed cpu_eff (per-core throughput drops as more
+    # cores go active — measured 0.79 on the slow host class, 0 steal) and
+    # degrades toward membw_eff as per-row work lightens. PRIMARY `value`
+    # stays the RAW ratio; the normalized view is disclosure, not the gate.
+    # Runs BEFORE the page-cache pre-warm: the membw burn's ~1.6 GB of anon
+    # allocations can evict the images cache pages, which would hand the
+    # first measured leg the cold read the pre-warm exists to prevent.
+    bounds = run_host_bounds((lo, hi))
+
     # pre-warm the OS page cache so the FIRST leg measured does not pay
     # the one-time cold disk read (which would bias efficiency either way)
     import glob as _glob
@@ -146,8 +160,6 @@ def run_scaling(levels=(4, 16), n: int = SCALING_N, pairs: int = 2) -> dict:
         with open(f, "rb") as fh:
             while fh.read(1 << 24):
                 pass
-    lo, hi = min(levels), max(levels)
-    factor = hi / lo
 
     probe = _scaling_leg(hi, n, runs=1)
     result = {
@@ -159,13 +171,6 @@ def run_scaling(levels=(4, 16), n: int = SCALING_N, pairs: int = 2) -> dict:
         "probe_floor": SCALING_PROBE_FLOOR,
         "healthy": probe["value"] >= SCALING_PROBE_FLOOR,
     }
-    # the host's OWN scaling ceilings (no Spark), measured in-session so
-    # every reading is self-contextualizing: the flagship's single-box
-    # efficiency cannot exceed cpu_eff (per-core throughput drops as more
-    # cores go active — measured 0.79 on the slow host class, 0 steal) and
-    # degrades toward membw_eff as per-row work lightens. PRIMARY `value`
-    # stays the RAW ratio; the normalized view is disclosure, not the gate.
-    bounds = run_host_bounds((lo, hi))
     result["host_bounds"] = {
         "cpu_eff": bounds["cpu_eff"],
         "membw_eff": bounds["membw_eff"],
@@ -254,11 +259,15 @@ def run_host_bounds(levels=(4, 16)) -> dict:
     import statistics
 
     def measure(burn, workers: int, n_iter: int) -> float:
+        # throughput from the SLOWEST worker's own setup-free elapsed time
+        # (each burn times only its loop), not the pool wall: with a fresh
+        # pool per call, pool-wall timing would charge every fork's numpy
+        # import / 50 MB allocation / os.urandom setup to the burn — a
+        # constant absolute inflation of both legs that overstates the
+        # recorded ceiling on contended hosts.
         with mp.Pool(workers) as p:
-            t0 = time.perf_counter()
-            p.map(burn, [n_iter] * workers)
-            wall = time.perf_counter() - t0
-        return workers * n_iter / wall  # jobs/sec
+            slowest = max(p.map(burn, [n_iter] * workers))
+        return workers * n_iter / slowest  # jobs/sec
 
     lo, hi = min(levels), max(levels)
     factor = hi / lo
