@@ -290,6 +290,51 @@ def run_host_bounds(levels=(4, 16)) -> dict:
     return out
 
 
+def host_speed_index() -> dict:
+    """A ~10-second host-class fingerprint for the headline JSON.
+
+    Absolute flagship numbers vary ~1.5-2x across the sandbox's host
+    classes on IDENTICAL code (BASELINE.md session tables); this stamps
+    every BENCH_r{N}.json with the host's own speed so readings are
+    self-contextualizing. Two ABSOLUTE throughputs (zlib compressions/s
+    of a 1 MB buffer): ``cpu_1core`` single-process and ``cpu_allcore``
+    across one worker per local core — the all-core sustained number is
+    the resource the local[32] flagship actually runs on. Medians of
+    repeated short bursts (quick RATIOS proved too noisy to publish —
+    turbo/interference swung a 15-iteration 4->16 ratio 0.86-1.09 within
+    minutes on one box; the real scaling protocol lives in
+    run_host_bounds/run_scaling). Best-of-N estimator: this fingerprints
+    the host's CAPABILITY (its class), so the least-interfered burst is
+    the signal and slower reps are contention to exclude — medians still
+    swung 30% rep-to-rep under transient co-tenant load."""
+    import multiprocessing as mp
+    import zlib
+
+    data = os.urandom(1 << 20)
+
+    def one(n_iter: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            zlib.compress(data, 6)
+        return n_iter / (time.perf_counter() - t0)
+
+    one(5)  # warm-up
+    cpu_1core = max(one(20) for _ in range(5))
+
+    workers = os.cpu_count() or 1
+    with mp.Pool(workers) as p:
+        p.map(_bound_burn_cpu, [2] * workers)  # warm the pool
+        alls = []
+        for _ in range(3):
+            slowest = max(p.map(_bound_burn_cpu, [12] * workers))
+            alls.append(workers * 12 / slowest)
+    return {
+        "cpu_1core": round(cpu_1core, 1),
+        "cpu_allcore": round(max(alls), 1),
+        "cores": workers,
+    }
+
+
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -557,8 +602,10 @@ def main() -> int:
             }
 
     ref_skew = None
+    host = None
     if not args.images_only:
         ref_skew = bench_ref_skew(spark, runs=args.runs)
+        host = host_speed_index()
 
     # Two outputs (round-3 lesson: the driver captures only the last ~2000
     # chars of stdout and parses the LAST line as JSON — one fat line with
@@ -582,6 +629,8 @@ def main() -> int:
         detail["large_scale"] = large
     if ref_skew is not None:
         detail["ref_skew"] = ref_skew
+    if host is not None:
+        detail["host"] = host
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     # only a FULL sweep may overwrite the evidence file — a --queries subset
@@ -613,6 +662,8 @@ def main() -> int:
         }
     if ref_skew is not None:
         headline["ref_skew"] = ref_skew
+    if host is not None:
+        headline["host"] = host
     line = json.dumps(headline)
     assert len(line) < 1500, f"headline line too long ({len(line)} chars)"
     print(line)
