@@ -553,3 +553,22 @@ def test_streaming_windowed_verdicts_zero_checks_is_streaming(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.sql("SELECT * FROM zc_sink").count() == 0
+
+
+def test_state_partitions_restores_on_error(spark):
+    """state_partitions must restore the session's shuffle-partition conf
+    on BOTH exits — a leaked low setting would silently shrink every later
+    batch shuffle in the session (driver queries share one session)."""
+    from jsonschema_validator_spark.streaming import state_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with state_partitions(spark, 3):
+        assert spark.conf.get(key) == "3"
+    assert spark.conf.get(key) == before
+
+    with pytest.raises(RuntimeError, match="boom"):
+        with state_partitions(spark, 5):
+            assert spark.conf.get(key) == "5"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
